@@ -1,0 +1,78 @@
+"""Text-analysis primitives for the documents table.
+
+All built-in ``pyspark.sql.functions`` — tokenization, n-gram
+shingling, language-ID votes, and quality ratios stay JVM-side in
+whole-stage codegen. Each primitive has a DuckDB-expressible twin used
+by the oracles in plans/llm_queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Marker stopwords per language for the heuristic language-ID vote.
+# (The synthetic corpus is a shared vocabulary, so votes mostly land on
+# the fallback — the operator contract is the deterministic rule, which
+# both engines replicate verbatim.)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and"),
+    "de": ("der", "die", "das", "und"),
+    "fr": ("le", "la", "les", "et"),
+    "es": ("el", "los", "las", "y"),
+    "zh": ("de5", "shi4", "le5", "he2"),
+}
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation.
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of the lower-cased text."""
+    return F.split(F.lower(F.trim(text)), "\\s+")
+
+
+def word_shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles: the unit for minhash/jaccard dedup."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def char_ngrams(text: Column, n: int = 3) -> Column:
+    """Distinct character n-grams of the lower-cased text."""
+    low = F.lower(text)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(low) - (n - 1), F.lit(0))),
+            lambda i: F.substring(low, i, n),
+        )
+    )
+
+
+def marker_hits(toks: Column, lang: str) -> Column:
+    """How many tokens are marker stopwords of ``lang``."""
+    markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+
+
+def predict_lang(toks: Column) -> Column:
+    """Deterministic argmax over marker votes; ties resolve in the fixed
+    language order; zero votes → 'und' (undetermined)."""
+    votes = {lang: marker_hits(toks, lang) for lang in LANG_MARKERS}
+    best = F.greatest(*votes.values())
+    expr = F.lit("und")
+    for lang in reversed(list(LANG_MARKERS)):
+        expr = F.when((votes[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def ws_token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("bigint")
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(BPE_TOKEN_RE)).cast("bigint")

@@ -1,0 +1,43 @@
+"""Vector math over ``array<float>`` columns — JVM-side, no UDFs.
+
+Dot products / norms / cosine are expressed with ``zip_with`` +
+``aggregate`` higher-order functions, so they run inside whole-stage
+codegen and never cross the Python boundary. Everything is computed in
+double with a deterministic left-to-right fold, which keeps results
+bit-comparable with the DuckDB oracle's sequential list_sum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def as_double(vec: Column) -> Column:
+    """array<float> → array<double> (do all math in double)."""
+    return F.transform(vec, lambda v: v.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two double arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity; caller is responsible for non-zero vectors."""
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_rounded(a: Column, b: Column, digits: int = 6) -> Column:
+    """Cosine rounded at an agreed precision — the cross-engine contract
+    (both engines fold in the same order; rounding absorbs last-ulp
+    differences)."""
+    return F.round(cosine(a, b), digits)

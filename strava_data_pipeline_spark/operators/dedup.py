@@ -1,0 +1,248 @@
+"""Deduplication operators over the documents corpus.
+
+Exact, MinHash+LSH, SimHash, and n-gram-Jaccard dedup — the core of a
+training-data pipeline. All candidate generation is blocked (hash
+buckets / LSH bands), never O(n²) over the corpus; the only pairwise
+work happens inside buckets, which is the property that survives a
+100 TB corpus. Everything is built-in-function DataFrame code — no
+Python UDFs anywhere in the hot path.
+
+Determinism contract: integer hashing uses functions/hashing.py's
+portable md5-prefix hash so the DuckDB oracles reproduce identical
+signatures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from strava_data_pipeline_spark.functions.hashing import (
+    MINHASH_PRIME,
+    md5_u32,
+    perm_params,
+)
+from strava_data_pipeline_spark.functions.text import char_ngrams, tokens, word_shingles
+
+N_PERMS = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_PERMS // N_BANDS
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: md5-hash groupBy; keep the minimum id as canonical.
+
+    One shuffle on the 128-bit content hash; at 100 TB the hash (16
+    bytes) shuffles instead of the document bodies.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).cast("bigint").alias("canonical_doc_id"),
+            F.count("*").cast("bigint").alias("n_copies"),
+        )
+        .where(F.col("n_copies") > 1)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_perms: int = N_PERMS
+) -> DataFrame:
+    """Per-document minhash signature (n_perms columns ``mh_j``).
+
+    shingle → portable 32-bit hash → universal-hash permutations →
+    min per permutation. Documents with fewer than 3 tokens produce no
+    shingles and drop out (same as the oracle's unnest).
+    """
+    params = perm_params(n_perms)
+    sh = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(tokens(F.col(text_col)))).alias("shingle"),
+    ).select(id_col, md5_u32(F.col("shingle")).alias("x"))
+    aggs = [
+        F.min((F.col("x") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"mh_{j}")
+        for j, (a, b) in enumerate(params)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    n_bands: int = N_BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """LSH banding: docs sharing any band key become candidate pairs;
+    est_jaccard = fraction of matching signature components.
+
+    The band join shuffles on (band, key) — collisions only, never the
+    cross product.
+    """
+    n_perms = n_bands * rows_per_band
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"mh_{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("bkey"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = sig.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
+    )
+    a, b_ = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sig.alias("sa")
+    sb = sig.alias("sb")
+    eq_sum = sum(
+        F.when(F.col(f"sa.mh_{j}") == F.col(f"sb.mh_{j}"), 1).otherwise(0)
+        for j in range(n_perms)
+    )
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col(f"sa.{id_col}"))
+        .join(sb, F.col("doc_b") == F.col(f"sb.{id_col}"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(eq_sum / F.lit(float(n_perms)), 4).alias("est_jaccard"),
+        )
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """32-bit SimHash: per-token hash bit votes, weighted by occurrence.
+
+    One explode + one groupBy; the 32 bit-vote sums are plain
+    conditional aggregates that stay in codegen.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    ).select(id_col, md5_u32(F.col("token")).alias("x"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("x"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"v_{i}")
+        for i in range(32)
+    ]
+    voted = tok.groupBy(id_col).agg(*votes)
+    sim = sum(
+        F.when(F.col(f"v_{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)) for i in range(32)
+    )
+    return voted.select(F.col(id_col), sim.cast("bigint").alias("simhash"))
+
+
+def simhash_pairs(
+    sh: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 32 bits into 4 bytes — any
+    pair within hamming ≤ 3 shares at least one byte band (pigeonhole),
+    so the band join finds all of them without a cross product."""
+    bands = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), 8 * b)
+                        .bitwiseAND(F.lit(255))
+                        .alias("bkey"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "simhash", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Character-3-gram Jaccard near-dup pairs, blocked by
+    (lang, length-bucket) so the pairwise work is per-block only."""
+    g = df.select(
+        F.col(id_col),
+        F.col("lang"),
+        F.floor(F.col("n_chars") / F.lit(64)).cast("int").alias("len_bucket"),
+        char_ngrams(F.col(text_col)).alias("grams"),
+    )
+    a, b = g.alias("a"), g.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.round(inter / union, 4).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def doc_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5
+) -> DataFrame:
+    """Bottom-k fingerprint sketch: the k smallest shingle hashes per
+    document — a compact content signature for fast containment checks."""
+    sh = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(tokens(F.col(text_col)))).alias("shingle"),
+    ).select(id_col, md5_u32(F.col("shingle")).alias("fp"))
+    w = Window.partitionBy(id_col).orderBy(F.col("fp").asc())
+    return (
+        sh.distinct()
+        .withColumn("fp_rank", F.row_number().over(w))
+        .where(F.col("fp_rank") <= k)
+        .select(id_col, F.col("fp_rank").cast("int"), F.col("fp"))
+    )

@@ -1,0 +1,131 @@
+"""Similarity search over the embeddings table (array<float> columns).
+
+Brute-force cosine top-k (the exact baseline: broadcast the small query
+set, scan the corpus once) and a random-hyperplane LSH-bucketed
+variant (the scale path: shuffle on bucket ids instead of the cross
+product). All vector math is higher-order-function based (see
+functions/vectors.py) — JVM-side, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from strava_data_pipeline_spark.functions.hashing import MINHASH_PRIME
+from strava_data_pipeline_spark.functions import vectors as V
+
+DIM = 64
+N_PLANES = 8
+
+
+def _plane_component(j: int, d: int) -> float:
+    """Deterministic pseudo-random hyperplane component in [-1, 1],
+    derived from md5 so the DuckDB oracle regenerates the same planes."""
+    import hashlib
+
+    h = int(hashlib.md5(f"plane:{j}:{d}".encode()).hexdigest()[:8], 16)
+    return ((h % 2001) - 1000) / 1000.0
+
+
+def plane_literals(n_planes: int = N_PLANES, dim: int = DIM) -> list[list[float]]:
+    return [[_plane_component(j, d) for d in range(dim)] for j in range(n_planes)]
+
+
+def ann_topk_bruteforce(
+    corpus: DataFrame, queries: DataFrame, k: int = 10
+) -> DataFrame:
+    """Exact cosine top-k: corpus ⨯ broadcast(queries), ranked per query.
+
+    The corpus is scanned once; ranking is a per-query-key window over
+    |queries|·|corpus| scored rows. Ordering key is the *rounded* score
+    (+ id tiebreak) so ranks are reproducible cross-engine.
+    """
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), V.as_double(F.col("embedding")).alias("qv")
+    )
+    c = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        V.as_double(F.col("embedding")).alias("cv"),
+    )
+    scored = c.crossJoin(F.broadcast(q)).where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = scored.select(
+        "query_id",
+        "neighbor_id",
+        V.cosine_rounded(F.col("qv"), F.col("cv")).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", F.col("rank").cast("int"))
+    )
+
+
+def _bucket_expr(vec_col: str) -> F.Column:
+    """8-bit random-hyperplane bucket id for a double-array column."""
+    planes = plane_literals()
+    bit_terms = []
+    for j, plane in enumerate(planes):
+        lits = F.array(*[F.lit(x) for x in plane])
+        d = V.dot(F.col(vec_col), lits)
+        bit_terms.append(F.when(d >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    return sum(bit_terms).cast("int")
+
+
+def ann_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's
+    hyperplane bucket. At 100 TB the corpus is pre-bucketed (partitioned
+    by bucket id at write), so a query touches 1/256th of the data."""
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), V.as_double(F.col("embedding")).alias("qv")
+    ).withColumn("bucket", _bucket_expr("qv"))
+    c = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        V.as_double(F.col("embedding")).alias("cv"),
+    ).withColumn("bucket", _bucket_expr("cv"))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            V.cosine_rounded(F.col("qv"), F.col("cv")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", F.col("rank").cast("int"))
+    )
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame, threshold: float = 0.98
+) -> DataFrame:
+    """Near-duplicate vector pairs (cosine ≥ threshold), blocked by the
+    ``label`` cluster column so the pairwise work is per-block."""
+    e = embeddings.select(
+        "vec_id", "label", V.as_double(F.col("embedding")).alias("v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            V.cosine_rounded(F.col("a.v"), F.col("b.v")).alias("score"),
+        )
+        .where(F.col("score") >= threshold)
+    )

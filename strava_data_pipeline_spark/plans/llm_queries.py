@@ -1,0 +1,477 @@
+"""LLM-data-pipeline queries (SURVEY.md §2c): dedup, similarity search,
+text analysis, multimodal plumbing over documents/embeddings.
+
+Each Spark builder delegates to operators/functions modules; each
+oracle is an independently-written DuckDB SQL twin. The determinism
+contract (portable md5-prefix hashing, fixed permutation literals,
+agreed rounding) lives in functions/hashing.py and is embedded into
+both sides from the same constant tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from strava_data_pipeline_spark.functions import text as T
+from strava_data_pipeline_spark.functions.hashing import (
+    MINHASH_PRIME,
+    md5_u32,
+    md5_u32_duckdb,
+    perm_params,
+)
+from strava_data_pipeline_spark.operators import dedup as D
+from strava_data_pipeline_spark.operators import similarity as S
+from strava_data_pipeline_spark.plans.registry import register
+from strava_data_pipeline_spark.sources.catalog import load_table
+
+# ---------------------------------------------------------------------------
+# Shared DuckDB fragments (the oracle-side twins of functions/text.py)
+# ---------------------------------------------------------------------------
+_DUCK_TOKENS = r"string_split_regex(lower(trim(text)), '\s+')"
+_DUCK_SHINGLES = (
+    r"list_distinct([array_to_string(t[i:i+2], ' ') "
+    r"FOR i IN range(1, greatest(len(t) - 2, 0) + 1)])"
+)
+_DUCK_CHAR_GRAMS = (
+    r"list_distinct([substr(lower(text), i, 3) "
+    r"FOR i IN range(1, greatest(length(lower(text)) - 2, 0) + 1)])"
+)
+
+
+# --------------------------------------------------------------------------
+# 21. dedup_exact
+# --------------------------------------------------------------------------
+_EXACT_ORACLE = """
+SELECT md5(text) AS text_hash,
+       CAST(min(doc_id) AS BIGINT) AS canonical_doc_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+@register("dedup_exact", oracle=_EXACT_ORACLE, tags=("llm", "dedup"))
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup by md5 hash-groupBy."""
+    return D.dedup_exact(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# 22. dedup_minhash — MinHash + LSH banding
+# --------------------------------------------------------------------------
+def _minhash_oracle() -> str:
+    params = perm_params(D.N_PERMS)
+    mh_cols = ",\n        ".join(
+        f"min((x * {a} + {b}) % {MINHASH_PRIME}) AS mh_{j}"
+        for j, (a, b) in enumerate(params)
+    )
+    bands = "\n    UNION ALL\n".join(
+        "    SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS bkey FROM sig".format(
+            b=b,
+            cols=", ".join(
+                f"mh_{b * D.ROWS_PER_BAND + r}" for r in range(D.ROWS_PER_BAND)
+            ),
+        )
+        for b in range(D.N_BANDS)
+    )
+    eq = " + ".join(
+        f"(CASE WHEN sa.mh_{j} = sb.mh_{j} THEN 1 ELSE 0 END)"
+        for j in range(D.N_PERMS)
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents
+), sh AS (
+    SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle FROM toks
+), hx AS (
+    SELECT doc_id, {md5_u32_duckdb('shingle')} AS x FROM sh
+), sig AS (
+    SELECT doc_id,
+        {mh_cols}
+    FROM hx GROUP BY doc_id
+), bands AS (
+{bands}
+), pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+)
+SELECT p.doc_a, p.doc_b, round(({eq}) / {float(D.N_PERMS)}, 4) AS est_jaccard
+FROM pairs p
+JOIN sig sa ON sa.doc_id = p.doc_a
+JOIN sig sb ON sb.doc_id = p.doc_b
+"""
+
+
+@register("dedup_minhash", oracle=_minhash_oracle(), tags=("llm", "dedup", "bench"))
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16 perms) + LSH(4 bands × 4 rows) candidate pairs with
+    estimated jaccard."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = D.minhash_signatures(docs)
+    return D.minhash_lsh_pairs(sig)
+
+
+# --------------------------------------------------------------------------
+# 23. dedup_simhash
+# --------------------------------------------------------------------------
+def _simhash_oracle() -> str:
+    votes = ",\n        ".join(
+        f"sum(CASE WHEN (x >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{i}"
+        for i in range(32)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN v_{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(32)
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents
+), tok AS (
+    SELECT doc_id, unnest(t) AS token FROM toks
+), hx AS (
+    SELECT doc_id, {md5_u32_duckdb('token')} AS x FROM tok
+), votes AS (
+    SELECT doc_id,
+        {votes}
+    FROM hx GROUP BY doc_id
+), sh AS (
+    SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM votes
+), bands AS (
+    SELECT doc_id, simhash, u.band, (simhash >> (8 * u.band)) & 255 AS bkey
+    FROM sh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) u
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+@register("dedup_simhash", oracle=_simhash_oracle(), tags=("llm", "dedup"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(32-bit) near-dup pairs within hamming ≤ 3 via byte-band
+    pigeonhole blocking."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.simhash(docs)
+    return D.simhash_pairs(sh).withColumn("hamming", F.col("hamming").cast("int"))
+
+
+# --------------------------------------------------------------------------
+# 24. dedup_ngram_jaccard
+# --------------------------------------------------------------------------
+_JACCARD_ORACLE = f"""
+WITH g AS (
+    SELECT doc_id, lang,
+           CAST(floor(n_chars / 64.0) AS INT) AS len_bucket,
+           {_DUCK_CHAR_GRAMS} AS grams
+    FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.grams, b.grams)) * 1.0 /
+             len(list_distinct(list_concat(a.grams, b.grams))), 4) AS jaccard
+FROM g a JOIN g b
+  ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.grams, b.grams)) * 1.0 /
+      len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE, tags=("llm", "dedup"))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-3-gram Jaccard pairs ≥ 0.5, blocked by (lang, length
+    bucket)."""
+    return D.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# 25. dedup_embedding — cosine near-dup pairs
+# --------------------------------------------------------------------------
+_EMB_DEDUP_ORACLE = """
+WITH e AS (
+    SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+), scored AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(
+             list_sum([a.v[i] * b.v[i] FOR i IN range(1, 65)]) /
+             (sqrt(list_sum([a.v[i] * a.v[i] FOR i IN range(1, 65)])) *
+              sqrt(list_sum([b.v[i] * b.v[i] FOR i IN range(1, 65)]))), 6) AS score
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, score FROM scored WHERE score >= 0.98
+"""
+
+
+@register("dedup_embedding", oracle=_EMB_DEDUP_ORACLE, tags=("llm", "dedup"))
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine ≥ 0.98), label-blocked."""
+    return S.embedding_neardup_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
+# --------------------------------------------------------------------------
+# 26. ann_topk — brute-force cosine top-k
+# --------------------------------------------------------------------------
+_ANN_ORACLE = """
+WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+), q AS (
+    SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8
+), scored AS (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           round(
+             list_sum([q.qv[i] * c.v[i] FOR i IN range(1, 65)]) /
+             (sqrt(list_sum([q.qv[i] * q.qv[i] FOR i IN range(1, 65)])) *
+              sqrt(list_sum([c.v[i] * c.v[i] FOR i IN range(1, 65)]))), 6) AS score
+    FROM e c CROSS JOIN q WHERE q.query_id != c.vec_id
+), ranked AS (
+    SELECT query_id, neighbor_id, score,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id ASC) AS INT) AS rank
+    FROM scored
+)
+SELECT * FROM ranked WHERE rank <= 10
+"""
+
+
+@register("ann_topk", oracle=_ANN_ORACLE, tags=("llm", "similarity", "bench"))
+def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for query vectors vec_id < 8 (broadcast
+    queries, single corpus scan)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ann_topk_bruteforce(emb, emb.where(F.col("vec_id") < 8), k=10)
+
+
+# --------------------------------------------------------------------------
+# 27. ann_lsh — hyperplane-bucketed approximate top-k
+# --------------------------------------------------------------------------
+def _duck_dot(vec_a: str, vec_b: str) -> str:
+    return f"list_sum([{vec_a}[i] * {vec_b}[i] FOR i IN range(1, 65)])"
+
+
+def _ann_lsh_oracle() -> str:
+    planes = S.plane_literals()
+    # bucket bit j: sequential left-to-right dot with the plane literals,
+    # mirroring the Spark fold order exactly.
+    bucket_terms = []
+    for j, plane in enumerate(planes):
+        dot = " + ".join(f"v[{d + 1}] * ({plane[d]!r})" for d in range(S.DIM))
+        bucket_terms.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << j} ELSE 0 END)")
+    bucket = " + ".join(bucket_terms)
+    return f"""
+WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+), bucketed AS (
+    SELECT vec_id, v, CAST({bucket} AS INT) AS bucket FROM e
+), q AS (
+    SELECT vec_id AS query_id, v AS qv, bucket FROM bucketed WHERE vec_id < 8
+), scored AS (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           round(
+             {_duck_dot('q.qv', 'c.v')} /
+             (sqrt({_duck_dot('q.qv', 'q.qv')}) * sqrt({_duck_dot('c.v', 'c.v')})), 6) AS score
+    FROM bucketed c JOIN q USING (bucket) WHERE q.query_id != c.vec_id
+), ranked AS (
+    SELECT query_id, neighbor_id, score,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id ASC) AS INT) AS rank
+    FROM scored
+)
+SELECT * FROM ranked WHERE rank <= 5
+"""
+
+
+@register("ann_lsh", oracle=_ann_lsh_oracle(), tags=("llm", "similarity"))
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via 8-hyperplane LSH buckets — the 100 TB path:
+    candidates come only from the query's bucket."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ann_topk_lsh(emb, emb.where(F.col("vec_id") < 8), k=5)
+
+
+# --------------------------------------------------------------------------
+# 28. lang_id — heuristic language identification
+# --------------------------------------------------------------------------
+def _lang_id_oracle() -> str:
+    vote_cols = ",\n        ".join(
+        "len(list_filter(t, x -> x IN ({vals}))) AS v_{lang}".format(
+            vals=", ".join(f"'{m}'" for m in T.LANG_MARKERS[lang]), lang=lang
+        )
+        for lang in T.LANG_MARKERS
+    )
+    best = "greatest(" + ", ".join(f"v_{lang}" for lang in T.LANG_MARKERS) + ")"
+    cases = "\n           ".join(
+        f"WHEN v_{lang} = {best} THEN '{lang}'" for lang in T.LANG_MARKERS
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id, lang, {_DUCK_TOKENS} AS t FROM documents
+), votes AS (
+    SELECT doc_id, lang,
+        {vote_cols}
+    FROM toks
+)
+SELECT doc_id, lang AS labeled_lang,
+       CASE WHEN {best} = 0 THEN 'und'
+           {cases}
+           ELSE 'und' END AS predicted_lang
+FROM votes
+"""
+
+
+@register("lang_id", oracle=_lang_id_oracle(), tags=("llm", "text"))
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-stopword language-ID vote per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        T.predict_lang(toks).alias("predicted_lang"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 29. text_quality
+# --------------------------------------------------------------------------
+_ALL_MARKERS = sorted({m for ms in T.LANG_MARKERS.values() for m in ms})
+_QUALITY_ORACLE = f"""
+WITH base AS (
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_calc,
+           CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tokens,
+           CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS BIGINT) AS n_punct,
+           CAST(len(list_filter({_DUCK_TOKENS}, x -> x IN ({", ".join(f"'{m}'" for m in _ALL_MARKERS)}))) AS BIGINT) AS n_stop
+    FROM documents
+)
+SELECT doc_id, n_chars_calc, n_tokens,
+       round(n_chars_calc * 1.0 / n_tokens, 4) AS avg_token_len,
+       round(n_punct * 1.0 / n_chars_calc, 4) AS punct_ratio,
+       round(n_stop * 1.0 / n_tokens, 4) AS stopword_ratio,
+       round(least(1.0, n_tokens / 100.0) * (1.0 - n_punct * 1.0 / n_chars_calc) *
+             (0.5 + 0.5 * least(n_stop * 5.0 / n_tokens, 1.0)), 4) AS quality_score
+FROM base
+"""
+
+
+@register("text_quality", oracle=_QUALITY_ORACLE, tags=("llm", "text"))
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length/punctuation/stopword quality features + composite score."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    markers = F.array(*[F.lit(m) for m in _ALL_MARKERS])
+    base = docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars_calc"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.length(F.regexp_replace("text", "[A-Za-z0-9\\s]", ""))
+        .cast("bigint")
+        .alias("n_punct"),
+        F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+        .cast("bigint")
+        .alias("n_stop"),
+    )
+    return base.select(
+        "doc_id",
+        "n_chars_calc",
+        "n_tokens",
+        F.round(F.col("n_chars_calc") / F.col("n_tokens"), 4).alias("avg_token_len"),
+        F.round(F.col("n_punct") / F.col("n_chars_calc"), 4).alias("punct_ratio"),
+        F.round(F.col("n_stop") / F.col("n_tokens"), 4).alias("stopword_ratio"),
+        F.round(
+            F.least(F.lit(1.0), F.col("n_tokens") / 100.0)
+            * (F.lit(1.0) - F.col("n_punct") / F.col("n_chars_calc"))
+            * (
+                F.lit(0.5)
+                + F.lit(0.5) * F.least(F.col("n_stop") * 5.0 / F.col("n_tokens"), F.lit(1.0))
+            ),
+            4,
+        ).alias("quality_score"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 30. token_count
+# --------------------------------------------------------------------------
+_TOKEN_ORACLE = rf"""
+SELECT doc_id,
+       CAST(len({_DUCK_TOKENS}) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '{T.BPE_TOKEN_RE}')) AS BIGINT) AS bpe_tokens
+FROM documents
+"""
+
+
+@register("token_count", oracle=_TOKEN_ORACLE, tags=("llm", "text"))
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-style pre-tokenizer token counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.ws_token_count(F.col("text")).alias("ws_tokens"),
+        T.bpe_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 31. doc_fingerprint — bottom-k sketch
+# --------------------------------------------------------------------------
+_FP_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents
+), sh AS (
+    SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle FROM toks
+), hx AS (
+    SELECT DISTINCT doc_id, {md5_u32_duckdb('shingle')} AS fp FROM sh
+), ranked AS (
+    SELECT doc_id, fp,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY fp ASC) AS INT) AS fp_rank
+    FROM hx
+)
+SELECT doc_id, fp_rank, fp FROM ranked WHERE fp_rank <= 5
+"""
+
+
+@register("doc_fingerprint", oracle=_FP_ORACLE, tags=("llm", "text"))
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-5 shingle-hash fingerprint sketch per document."""
+    return D.doc_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# 32. multimodal_meta — binary payload plumbing
+# --------------------------------------------------------------------------
+_MM_ORACLE = """
+WITH h AS (
+    SELECT doc_id, text,
+           CAST(('0x' || substr(md5(text), 1, 8))::UBIGINT AS BIGINT) AS x
+    FROM documents
+)
+SELECT doc_id,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       sha256(text) AS payload_sha256,
+       CAST(64 + x % 1857 AS INT) AS width,
+       CAST(64 + (x // 7) % 1017 AS INT) AS height,
+       CAST(1 + x % 30 AS INT) AS n_frames
+FROM h
+"""
+
+
+@register("multimodal_meta", oracle=_MM_ORACLE, tags=("llm", "multimodal"))
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload metadata plumbing: the documents' text bytes stand
+    in for an opaque media blob (see operators/multimodal.py for the
+    decode pipeline; real codecs are stubbed per environment)."""
+    docs = load_table(spark, sf_dir, "documents")
+    x = md5_u32(F.col("text"))
+    payload = F.col("text").cast("binary")
+    return docs.select(
+        "doc_id",
+        F.octet_length("text").cast("bigint").alias("n_bytes"),
+        F.sha2(payload, 256).alias("payload_sha256"),
+        (F.lit(64) + x % 1857).cast("int").alias("width"),
+        (F.lit(64) + F.floor(x / 7) % 1017).cast("int").alias("height"),
+        (F.lit(1) + x % 30).cast("int").alias("n_frames"),
+    )

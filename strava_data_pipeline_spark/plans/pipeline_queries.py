@@ -1,0 +1,414 @@
+"""Reference-derived pipeline queries (SURVEY.md §2a).
+
+The ``events`` table plays the role of the reference's ``activities``
+fact (event_id=activity id, user_id=athlete_id, ts=start_date,
+event_type=type, value=distance); ``customer`` plays ``users``. Each
+query is the Spark-first re-expression of a capability in
+/root/reference (cited per function), paired with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from strava_data_pipeline_spark.operators.pagination import page_offset
+from strava_data_pipeline_spark.operators.sessionize import sessionize
+from strava_data_pipeline_spark.operators.upsert import merge_latest_wins
+from strava_data_pipeline_spark.plans.registry import register
+from strava_data_pipeline_spark.sources.catalog import load_table
+
+EVENT_COLS = ["event_id", "ts", "user_id", "event_type", "value"]
+
+
+# --------------------------------------------------------------------------
+# 1. ingest_upsert — ON CONFLICT (id) DO UPDATE (activities.go:99)
+# --------------------------------------------------------------------------
+_UPSERT_ORACLE = """
+WITH updates AS (
+    SELECT event_id, ts + INTERVAL 1 HOUR AS ts, user_id, event_type,
+           value + 1000.0 AS value
+    FROM events WHERE event_id % 10 = 0
+), tagged AS (
+    SELECT event_id, ts, user_id, event_type, value, 0 AS _src FROM events
+    UNION ALL
+    SELECT event_id, ts, user_id, event_type, value, 1 AS _src FROM updates
+), ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY event_id ORDER BY ts DESC, _src DESC) AS _rn
+    FROM tagged
+)
+SELECT event_id, ts, user_id, event_type, value FROM ranked WHERE _rn = 1
+"""
+
+
+@register("ingest_upsert", oracle=_UPSERT_ORACLE, tags=("pipeline",))
+def ingest_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-ingest a simulated refreshed batch (every 10th activity, newer
+    ts, changed value) and merge latest-wins — the set-based equivalent of
+    the reference's row-at-a-time Postgres upsert."""
+    events = load_table(spark, sf_dir, "events").select(*EVENT_COLS)
+    updates = (
+        events.where(F.col("event_id") % 10 == 0)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+        .withColumn("value", F.col("value") + F.lit(1000.0))
+    )
+    return merge_latest_wins(events, updates, keys=["event_id"], order_by=["ts"])
+
+
+# --------------------------------------------------------------------------
+# 2. activity_by_id — GetActivityByID (activities.go:187)
+# --------------------------------------------------------------------------
+_BY_ID_ORACLE = "SELECT event_id, ts, user_id, event_type, value FROM events WHERE event_id = 42"
+
+
+@register("activity_by_id", oracle=_BY_ID_ORACLE, tags=("pipeline",))
+def activity_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup; the id predicate reaches the parquet scan
+    (PushedFilters) so only matching row groups are read."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .select(*EVENT_COLS)
+        .where(F.col("event_id") == 42)
+    )
+
+
+# --------------------------------------------------------------------------
+# 3. recent_activities — GetLastActivities (activities.go:202)
+# --------------------------------------------------------------------------
+_RECENT_ORACLE = """
+SELECT event_id, ts, user_id, event_type, value
+FROM events ORDER BY ts DESC, event_id DESC LIMIT 20
+"""
+
+
+@register("recent_activities", oracle=_RECENT_ORACLE, tags=("pipeline",))
+def recent_activities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-20 by start time. orderBy+limit plans as
+    TakeOrderedAndProject: per-partition heaps, no global sort."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .select(*EVENT_COLS)
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# 4. activities_page — list limit/offset (api.go:206)
+# --------------------------------------------------------------------------
+_PAGE_ORACLE = """
+WITH numbered AS (
+    SELECT event_id, ts, user_id, event_type, value,
+           row_number() OVER (ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+)
+SELECT * FROM numbered WHERE rn > 40 AND rn <= 60
+"""
+
+
+@register("activities_page", oracle=_PAGE_ORACLE, tags=("pipeline",))
+def activities_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page 3 (limit 20, offset 40) of the activity list — reference API
+    parity. See operators/pagination.py for the keyset scale path."""
+    events = load_table(spark, sf_dir, "events").select(*EVENT_COLS)
+    return page_offset(events, [("ts", True), ("event_id", True)], limit=20, offset=40)
+
+
+# --------------------------------------------------------------------------
+# 5. sync_window — FetchActivities(after) (strava.go:48, api.go:331)
+# --------------------------------------------------------------------------
+_SYNC_WINDOW_ORACLE = """
+SELECT event_id, ts, user_id, event_type, value
+FROM events
+WHERE ts >= (SELECT max(ts) - INTERVAL 7 DAY FROM events)
+"""
+
+
+@register("sync_window", oracle=_SYNC_WINDOW_ORACLE, tags=("pipeline",))
+def sync_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental sync window: activities in the trailing 7 days of the
+    table's high-water mark. The scalar max is broadcast, not collected."""
+    events = load_table(spark, sf_dir, "events").select(*EVENT_COLS)
+    hwm = events.agg(F.max("ts").alias("_max_ts"))
+    return (
+        events.crossJoin(F.broadcast(hwm))
+        .where(F.col("ts") >= F.col("_max_ts") - F.expr("INTERVAL 7 DAY"))
+        .drop("_max_ts")
+    )
+
+
+# --------------------------------------------------------------------------
+# 6. sync_daily_counts — StartSyncJob ticker stats (strava.go:261)
+# --------------------------------------------------------------------------
+_DAILY_ORACLE = """
+SELECT CAST(ts AS DATE) AS sync_day, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+@register("sync_daily_counts", oracle=_DAILY_ORACLE, tags=("pipeline",))
+def sync_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day/type ingestion stats — the monitoring query behind the
+    reference's daily sync job. Partial aggregation map-side, one shuffle."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.to_date("ts").alias("sync_day"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 7. api_key_validate — ValidateAPIKey (user_api_keys.go:36)
+# --------------------------------------------------------------------------
+# The testdata has no api_keys table; both engines derive the same
+# deterministic key dim from customer, then apply the reference's
+# validity rule: is_active AND (no expiry OR expiry in the future).
+_KEY_DIM_SPARK = """
+SELECT c_custkey AS user_id,
+       md5(c_name) AS api_key,
+       c_acctbal > 0 AS is_active,
+       timestamp '2024-01-01 00:00:00' + make_interval(0, 0, 0, CAST(c_custkey % 400 AS INT), 0, 0, 0) AS expires_at
+FROM customer
+"""
+_KEY_DIM_DUCK = """
+SELECT c_custkey AS user_id,
+       md5(c_name) AS api_key,
+       c_acctbal > 0 AS is_active,
+       TIMESTAMP '2024-01-01 00:00:00' + to_days(CAST(c_custkey % 400 AS INT)) AS expires_at
+FROM customer
+"""
+_VALIDATE_ORACLE = f"""
+WITH api_keys AS ({_KEY_DIM_DUCK})
+SELECT user_id, api_key, expires_at
+FROM api_keys
+WHERE is_active AND expires_at > TIMESTAMP '2024-06-01 00:00:00'
+"""
+
+
+@register("api_key_validate", oracle=_VALIDATE_ORACLE, tags=("pipeline",))
+def api_key_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key validation as a vectorized filter over the key dim (the
+    reference checks one key per request; at scale validation is a
+    broadcast semi-join against exactly this filtered dim)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    keys = spark.sql(_KEY_DIM_SPARK)
+    return keys.where(
+        F.col("is_active") & (F.col("expires_at") > F.lit("2024-06-01 00:00:00").cast("timestamp"))
+    ).select("user_id", "api_key", "expires_at")
+
+
+# --------------------------------------------------------------------------
+# 8. keys_per_user — ReadApiKeyByUserID / dashboard (user_api_keys.go:174)
+# --------------------------------------------------------------------------
+_KEYS_PER_USER_ORACLE = f"""
+WITH api_keys AS ({_KEY_DIM_DUCK})
+SELECT c.c_custkey AS user_id, c.c_name AS user_name,
+       CAST(count(k.api_key) AS BIGINT) AS n_keys,
+       CAST(sum(CASE WHEN k.is_active THEN 1 ELSE 0 END) AS BIGINT) AS n_active
+FROM customer c LEFT JOIN api_keys k ON k.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
+@register("keys_per_user", oracle=_KEYS_PER_USER_ORACLE, tags=("pipeline",))
+def keys_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user key inventory: broadcast left join of the key dim onto
+    users, then a grouped count."""
+    customer = load_table(spark, sf_dir, "customer")
+    customer.createOrReplaceTempView("customer")
+    keys = spark.sql(_KEY_DIM_SPARK)
+    return (
+        customer.join(
+            F.broadcast(keys), keys["user_id"] == customer["c_custkey"], "left"
+        )
+        .groupBy(
+            F.col("c_custkey").alias("user_id"), F.col("c_name").alias("user_name")
+        )
+        .agg(
+            F.count("api_key").cast("bigint").alias("n_keys"),
+            F.sum(F.when(F.col("is_active"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_active"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 9. user_activity_join — dashboard user + activities (api.go:107)
+# --------------------------------------------------------------------------
+_USER_ACT_ORACLE = """
+SELECT c.c_custkey AS user_id, c.c_name AS user_name,
+       CAST(count(e.event_id) AS BIGINT) AS n_activities,
+       round(sum(e.value), 2) AS total_value
+FROM customer c JOIN events e ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
+@register("user_activity_join", oracle=_USER_ACT_ORACLE, tags=("pipeline",))
+def user_activity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users ⋈ activities with per-user rollup. The user dim is broadcast
+    so the fact table never shuffles for the join — only the final
+    aggregation exchanges (partial aggs map-side)."""
+    customer = load_table(spark, sf_dir, "customer")
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.join(F.broadcast(customer), events["user_id"] == customer["c_custkey"])
+        .groupBy(
+            F.col("c_custkey").alias("user_id"), F.col("c_name").alias("user_name")
+        )
+        .agg(
+            F.count("event_id").cast("bigint").alias("n_activities"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 10. athlete_weekly_summary — downstream analytics of synced activities
+# --------------------------------------------------------------------------
+_WEEKLY_ORACLE = """
+SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week_start,
+       CAST(count(*) AS BIGINT) AS n_activities,
+       round(sum(value), 2) AS total_value,
+       round(round(sum(value), 2) / count(*), 4) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+# avg is derived from the ROUNDED sum so both engines divide an
+# identical double — raw avg(x) can straddle a rounding boundary when
+# the two engines accumulate in different orders.
+
+
+@register("athlete_weekly_summary", oracle=_WEEKLY_ORACLE, tags=("pipeline",))
+def athlete_weekly_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly training rollup per athlete (count/total/avg)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("week_start")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_activities"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.round(F.sum("value"), 2) / F.count("*"), 4).alias("avg_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 11. athlete_type_stats — per-type rollup
+# --------------------------------------------------------------------------
+_TYPE_STATS_ORACLE = """
+SELECT user_id, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS total_value,
+       round(max(value), 2) AS max_value,
+       round(min(value), 2) AS min_value
+FROM events GROUP BY 1, 2
+"""
+
+
+@register("athlete_type_stats", oracle=_TYPE_STATS_ORACLE, tags=("pipeline",))
+def athlete_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-athlete, per-activity-type stats."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.max("value"), 2).alias("max_value"),
+            F.round(F.min("value"), 2).alias("min_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 12. json_flatten — activityToMap JSON→map (strava.go:86)
+# --------------------------------------------------------------------------
+_JSON_ORACLE = """
+SELECT event_id, event_type,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+FROM events
+"""
+
+
+@register("json_flatten", oracle=_JSON_ORACLE, tags=("pipeline",))
+def json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read flatten of the JSON props payload — the set-based
+    version of the reference's per-row json.Unmarshal to a map."""
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("bigint").alias("prop_k"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 19. events_sessionize — gap sessionization (SURVEY §2b)
+# --------------------------------------------------------------------------
+_SESSION_ORACLE = """
+WITH flagged AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+    SELECT user_id, ts,
+           CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+    FROM flagged
+)
+SELECT user_id, session_seq,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM sess GROUP BY 1, 2
+"""
+
+
+@register("events_sessionize", oracle=_SESSION_ORACLE, tags=("analytics",))
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessions per user, rolled up."""
+    events = load_table(spark, sf_dir, "events")
+    s = sessionize(events, gap_minutes=30)
+    return s.groupBy("user_id", "session_seq").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 20. events_running_total — cumulative window per user (SURVEY §2b)
+# --------------------------------------------------------------------------
+_RUNNING_ORACLE = """
+SELECT event_id, user_id, ts,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING), 2) AS running_value
+FROM events
+"""
+
+
+@register("events_running_total", oracle=_RUNNING_ORACLE, tags=("analytics",))
+def events_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative value per user over time (training-load curve)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+    )

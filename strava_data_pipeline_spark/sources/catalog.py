@@ -1,0 +1,69 @@
+"""Table catalog: parquet tables → DataFrames / temp views.
+
+The reference keeps its data in Postgres tables (``activities``,
+``users``, ``api_keys`` — /root/reference/internal/db/db.go:47). Here the
+storage layer is columnar parquet read declaratively so Catalyst gets
+predicate pushdown + column pruning on every query; at cluster scale the
+same loader points at partitioned table roots instead of single files.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Columns that are logically timestamps. Some testdata files store them as
+# parquet TIMESTAMP(NANOS), which Spark refuses outright; with
+# ``nanosAsLong`` they surface as BIGINT nanos and we convert to
+# microsecond timestamps (truncation — matching DuckDB's ns→µs cast).
+_TIMESTAMP_COLS: dict[str, tuple[str, ...]] = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one table. Parquet keeps scans pruned and push-down friendly."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # immutable in this runtime; plain read below may still work
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in _TIMESTAMP_COLS.get(name, ()):
+        field = df.schema[col]
+        if field.dataType.typeName() in ("long", "bigint"):
+            # integer `div`, NOT `/`: float division loses precision at
+            # nanosecond magnitudes (~1.7e18 exceeds double's 53-bit mantissa)
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every table as a temp view (for spark.sql paths) and
+    return the DataFrame handles (for the declarative paths)."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
