@@ -1,0 +1,93 @@
+"""Operator-semantics tests (mirrors the reference's CRUD round-trip
+test style — internal/db/activities_test.go)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from strava_data_pipeline_spark.operators.pagination import page_keyset, page_offset
+from strava_data_pipeline_spark.operators.sessionize import sessionize
+from strava_data_pipeline_spark.operators.upsert import merge_latest_wins
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, value double"
+    )
+
+
+class TestUpsert:
+    def test_update_wins_on_newer_ts(self, spark):
+        base = _events(spark, [(1, datetime(2024, 1, 1), 10, 1.0)])
+        upd = _events(spark, [(1, datetime(2024, 1, 2), 10, 2.0)])
+        out = merge_latest_wins(base, upd, ["event_id"], ["ts"]).collect()
+        assert len(out) == 1 and out[0]["value"] == 2.0
+
+    def test_stale_update_loses(self, spark):
+        base = _events(spark, [(1, datetime(2024, 1, 5), 10, 1.0)])
+        upd = _events(spark, [(1, datetime(2024, 1, 2), 10, 2.0)])
+        out = merge_latest_wins(base, upd, ["event_id"], ["ts"]).collect()
+        assert out[0]["value"] == 1.0
+
+    def test_tie_goes_to_update(self, spark):
+        """Same version ts: incoming row replaces stored (ON CONFLICT
+        semantics — the reference always overwrites on conflict)."""
+        base = _events(spark, [(1, datetime(2024, 1, 1), 10, 1.0)])
+        upd = _events(spark, [(1, datetime(2024, 1, 1), 10, 2.0)])
+        out = merge_latest_wins(base, upd, ["event_id"], ["ts"]).collect()
+        assert out[0]["value"] == 2.0
+
+    def test_insert_new_key(self, spark):
+        base = _events(spark, [(1, datetime(2024, 1, 1), 10, 1.0)])
+        upd = _events(spark, [(2, datetime(2024, 1, 1), 10, 2.0)])
+        out = merge_latest_wins(base, upd, ["event_id"], ["ts"])
+        assert out.count() == 2
+
+
+class TestPagination:
+    def _df(self, spark):
+        return _events(
+            spark,
+            [(i, datetime(2024, 1, 1 + i), 1, float(i)) for i in range(10)],
+        )
+
+    def test_offset_page(self, spark):
+        out = page_offset(
+            self._df(spark), [("ts", True), ("event_id", True)], limit=3, offset=2
+        ).collect()
+        assert [r["event_id"] for r in out] == [7, 6, 5]
+
+    def test_offset_past_end_empty(self, spark):
+        out = page_offset(
+            self._df(spark), [("ts", True), ("event_id", True)], limit=5, offset=100
+        )
+        assert out.count() == 0
+
+    def test_keyset_matches_offset(self, spark):
+        df = self._df(spark)
+        first = page_keyset(df, [("ts", True), ("event_id", True)], None, 3).collect()
+        assert [r["event_id"] for r in first] == [9, 8, 7]
+        cursor = F.col("ts") < F.lit(first[-1]["ts"])
+        second = page_keyset(df, [("ts", True), ("event_id", True)], cursor, 3).collect()
+        assert [r["event_id"] for r in second] == [6, 5, 4]
+
+
+class TestSessionize:
+    def test_gap_splits_sessions(self, spark):
+        rows = [
+            (1, datetime(2024, 1, 1, 10, 0), 7, 1.0),
+            (2, datetime(2024, 1, 1, 10, 10), 7, 1.0),
+            (3, datetime(2024, 1, 1, 12, 0), 7, 1.0),  # > 30 min gap
+        ]
+        out = sessionize(_events(spark, rows)).orderBy("event_id").collect()
+        assert [r["session_seq"] for r in out] == [0, 0, 1]
+
+    def test_users_independent(self, spark):
+        rows = [
+            (1, datetime(2024, 1, 1, 10, 0), 7, 1.0),
+            (2, datetime(2024, 1, 1, 18, 0), 8, 1.0),
+        ]
+        out = sessionize(_events(spark, rows)).collect()
+        assert all(r["session_seq"] == 0 for r in out)

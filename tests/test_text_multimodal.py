@@ -1,0 +1,113 @@
+"""Text functions, multimodal plumbing, API-key semantics."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from strava_data_pipeline_spark.api.service import PipelineService
+from strava_data_pipeline_spark.functions import text as T
+from strava_data_pipeline_spark.operators import multimodal as M
+
+
+@pytest.fixture(scope="module")
+def tdf(spark):
+    rows = [
+        (1, "the cat and the dog", "en"),
+        (2, "der hund und die katze", "de"),
+        (3, "xyzzy plugh qwertz", "xx"),
+        (4, "a b! c, d. e?", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+
+
+def test_token_counts(spark, tdf):
+    out = {r["doc_id"]: r for r in tdf.select(
+        "doc_id",
+        T.ws_token_count(F.col("text")).alias("ws"),
+        T.bpe_token_count(F.col("text")).alias("bpe"),
+    ).collect()}
+    assert out[1]["ws"] == 5
+    assert out[4]["ws"] == 5
+    assert out[4]["bpe"] == 9  # 5 letters + 4 punct
+
+
+def test_predict_lang_markers(spark, tdf):
+    out = {r["doc_id"]: r["pred"] for r in tdf.select(
+        "doc_id", T.predict_lang(T.tokens(F.col("text"))).alias("pred")
+    ).collect()}
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "und"
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",)], "text string")
+    out = df.select(T.word_shingles(T.tokens(F.col("text"))).alias("s")).collect()
+    assert out[0]["s"] == ["a b c", "b c d"]
+
+
+def test_char_ngrams_distinct(spark):
+    df = spark.createDataFrame([("aaaa",)], "text string")
+    out = df.select(T.char_ngrams(F.col("text")).alias("g")).collect()
+    assert out[0]["g"] == ["aaa"]
+
+
+class TestMultimodal:
+    def test_payload_roundtrip(self, spark, tdf):
+        media = M.attach_payload(tdf)
+        row = media.where(F.col("doc_id") == 1).collect()[0]
+        assert bytes(row["payload"]).decode() == "the cat and the dog"
+        assert 64 <= row["width"] < 64 + 1857
+        assert 1 <= row["n_frames"] <= 30
+
+    def test_extract_features_mapinpandas(self, spark, tdf):
+        media = M.attach_payload(tdf)
+        feats = {r["doc_id"]: r for r in M.extract_features(media).collect()}
+        assert feats[1]["n_bytes"] == len("the cat and the dog")
+        ref = M.fake_decode(b"the cat and the dog")
+        assert feats[1]["mean_byte"] == ref["mean_byte"]
+        assert feats[1]["hist_1"] == ref["hist"][1]
+
+    def test_codec_stubs_raise(self):
+        with pytest.raises(NotImplementedError):
+            M.decode_image(b"x")
+        with pytest.raises(NotImplementedError):
+            M.resize_image(b"x", 2, 2)
+        with pytest.raises(NotImplementedError):
+            M.sample_frames(b"x", 2)
+
+
+class TestApiKeys:
+    """Validation semantics parity: user_api_keys_test.go."""
+
+    def test_valid_key(self, spark, sf_dir):
+        svc = PipelineService(spark, sf_dir)
+        key = svc.create_api_key("test", expiry_days=30, user_id=7)
+        assert svc.validate_api_key(key)
+
+    def test_unknown_key_invalid(self, spark, sf_dir):
+        svc = PipelineService(spark, sf_dir)
+        assert not svc.validate_api_key("nope")
+
+    def test_expired_key_invalid(self, spark, sf_dir):
+        svc = PipelineService(spark, sf_dir)
+        key = svc.create_api_key("test", expiry_days=1, user_id=7)
+        future = datetime.utcnow() + timedelta(days=2)
+        assert not svc.validate_api_key(key, now=future)
+
+    def test_never_expires(self, spark, sf_dir):
+        svc = PipelineService(spark, sf_dir)
+        key = svc.create_api_key("test", expiry_days=0, user_id=7)
+        far = datetime.utcnow() + timedelta(days=3650)
+        assert svc.validate_api_key(key, now=far)
+
+    def test_keys_for_user(self, spark, sf_dir):
+        svc = PipelineService(spark, sf_dir)
+        svc.create_api_key("a", 10, user_id=1)
+        svc.create_api_key("b", 10, user_id=1)
+        svc.create_api_key("c", 10, user_id=2)
+        assert svc.keys_for_user(1).count() == 2
