@@ -29,21 +29,28 @@ N_BANDS = 4
 ROWS_PER_BAND = N_PERMS // N_BANDS
 
 
-def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def dedup_exact(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    only_dups: bool = True,
+) -> DataFrame:
     """Exact dedup: md5-hash groupBy; keep the minimum id as canonical.
 
     One shuffle on the 128-bit content hash; at 100 TB the hash (16
-    bytes) shuffles instead of the document bodies.
+    bytes) shuffles instead of the document bodies. ``only_dups=False``
+    returns the full hash→canonical mapping (the keep-list a downstream
+    anti-join prunes against), not just the collision groups.
     """
-    return (
+    out = (
         df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
         .groupBy("text_hash")
         .agg(
             F.min(id_col).cast("bigint").alias("canonical_doc_id"),
             F.count("*").cast("bigint").alias("n_copies"),
         )
-        .where(F.col("n_copies") > 1)
     )
+    return out.where(F.col("n_copies") > 1) if only_dups else out
 
 
 def minhash_signatures(

@@ -28,7 +28,7 @@ SELECT l_returnflag, l_linestatus,
        round(round(sum(l_discount), 4) / count(*), 4) AS avg_disc,
        CAST(count(*) AS BIGINT) AS count_order
 FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '2024-09-02 00:00:00'
+WHERE l_shipdate <= TIMESTAMP '2001-08-06 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 """
 
@@ -40,7 +40,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.where(F.col("l_shipdate") <= F.lit("2024-09-02 00:00:00").cast("timestamp"))
+        li.where(F.col("l_shipdate") <= F.lit("2001-08-06 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
@@ -70,8 +70,8 @@ FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 WHERE c.c_mktsegment = 'BUILDING'
-  AND o.o_orderdate < TIMESTAMP '2024-06-01 00:00:00'
-  AND l.l_shipdate > TIMESTAMP '2024-06-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1996-06-30 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1996-06-30 00:00:00'
 GROUP BY 1, 3, 4
 ORDER BY revenue DESC, orderkey ASC
 LIMIT 10
@@ -86,10 +86,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment") == "BUILDING"
     )
     o = load_table(spark, sf_dir, "orders").where(
-        F.col("o_orderdate") < F.lit("2024-06-01 00:00:00").cast("timestamp")
+        F.col("o_orderdate") < F.lit("1996-06-30 00:00:00").cast("timestamp")
     )
     l = load_table(spark, sf_dir, "lineitem").where(
-        F.col("l_shipdate") > F.lit("2024-06-01 00:00:00").cast("timestamp")
+        F.col("l_shipdate") > F.lit("1996-06-30 00:00:00").cast("timestamp")
     )
     return (
         l.join(F.broadcast(o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])),
@@ -211,10 +211,10 @@ def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q4_ORACLE = """
 SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
 FROM orders o
-WHERE o.o_orderdate >= TIMESTAMP '2024-04-01 00:00:00'
-  AND o.o_orderdate < TIMESTAMP '2024-07-01 00:00:00'
+WHERE o.o_orderdate >= TIMESTAMP '1996-04-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
   AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
-              AND l.l_shipdate > TIMESTAMP '2024-07-01 00:00:00')
+              AND l.l_shipdate > TIMESTAMP '1996-07-01 00:00:00')
 GROUP BY 1
 """
 
@@ -224,11 +224,11 @@ def order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Late-lineitem order counts via left_semi join (EXISTS), then a
     tiny agg."""
     o = load_table(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("2024-04-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("2024-07-01 00:00:00").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
     )
     l = load_table(spark, sf_dir, "lineitem").where(
-        F.col("l_shipdate") > F.lit("2024-07-01 00:00:00").cast("timestamp")
+        F.col("l_shipdate") > F.lit("1996-07-01 00:00:00").cast("timestamp")
     )
     return (
         o.join(l, o["o_orderkey"] == l["l_orderkey"], "left_semi")

@@ -46,14 +46,16 @@ _EXACT_ORACLE = """
 SELECT md5(text) AS text_hash,
        CAST(min(doc_id) AS BIGINT) AS canonical_doc_id,
        CAST(count(*) AS BIGINT) AS n_copies
-FROM documents GROUP BY 1 HAVING count(*) > 1
+FROM documents GROUP BY 1
 """
 
 
 @register("dedup_exact", oracle=_EXACT_ORACLE, tags=("llm", "dedup"))
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact content dedup by md5 hash-groupBy."""
-    return D.dedup_exact(load_table(spark, sf_dir, "documents"))
+    """Exact content dedup by md5 hash-groupBy: full hash→canonical
+    mapping (testdata plants no byte-identical dups, so the collision
+    subset alone would be a vacuous 0-row check)."""
+    return D.dedup_exact(load_table(spark, sf_dir, "documents"), only_dups=False)
 
 
 # --------------------------------------------------------------------------
@@ -200,14 +202,19 @@ WITH e AS (
               sqrt(list_sum([b.v[i] * b.v[i] FOR i IN range(1, 65)]))), 6) AS score
     FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
 )
-SELECT vec_a, vec_b, score FROM scored WHERE score >= 0.98
+SELECT vec_a, vec_b, score FROM scored WHERE score >= 0.35
 """
 
 
 @register("dedup_embedding", oracle=_EMB_DEDUP_ORACLE, tags=("llm", "dedup"))
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs (cosine ≥ 0.98), label-blocked."""
-    return S.embedding_neardup_pairs(load_table(spark, sf_dir, "embeddings"))
+    """Embedding near-dup pairs (cosine ≥ τ), label-blocked. τ=0.35 sits
+    at the top ~0.1% of the synthetic same-label cosine distribution
+    (max ≈ 0.47) — a production corpus with planted dups would use
+    0.95+; the operator takes the threshold as a parameter."""
+    return S.embedding_neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.35
+    )
 
 
 # --------------------------------------------------------------------------
