@@ -211,26 +211,76 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Character-3-gram Jaccard near-dup pairs, blocked by
-    (lang, length-bucket) so the pairwise work is per-block only."""
+    (lang, length-bucket), found via an exact prefix-filtered
+    similarity join (PPJoin-style).
+
+    Result is IDENTICAL to the naive all-blocked-pairs join, but the
+    candidate set comes from a rare-gram inverted index: order each
+    document's grams rarest-first (by corpus document frequency) and
+    index only the prefix of length |G| - ceil(t*|G|) + 1 — any pair
+    with jaccard >= t must share a prefix gram (prefix-filter lemma),
+    so nothing is missed. A block of B docs costs O(candidates)
+    instead of O(B^2); at 100 TB, candidates scale with the number of
+    genuinely-similar pairs plus rare-gram collisions, not the square
+    of the block size. A jaccard length filter (|Ga| >= t*|Gb|) prunes
+    further before verification.
+    """
     g = df.select(
-        F.col(id_col),
+        F.col(id_col).alias("doc"),
         F.col("lang"),
         F.floor(F.col("n_chars") / F.lit(64)).cast("int").alias("len_bucket"),
         char_ngrams(F.col(text_col)).alias("grams"),
     )
-    a, b = g.alias("a"), g.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
-    union = F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))
-    return (
+    exploded = g.select(
+        "doc", "lang", "len_bucket", F.explode("grams").alias("gram")
+    )
+    # grams are distinct per doc, so count(*) per gram == document frequency
+    dfreq = exploded.groupBy("gram").agg(F.count("*").alias("gram_df"))
+    ordered = (
+        exploded.join(dfreq, "gram")
+        .groupBy("doc", "lang", "len_bucket")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("gram_df", "gram"))),
+                lambda s: s["gram"],
+            ).alias("grams"),
+            F.count("*").alias("n_grams"),
+        )
+    )
+    prefix_len = (
+        F.col("n_grams") - F.ceil(F.lit(threshold) * F.col("n_grams")) + 1
+    ).cast("int")
+    inv = ordered.select(
+        "doc",
+        "lang",
+        "len_bucket",
+        "n_grams",
+        F.explode(F.slice("grams", 1, prefix_len)).alias("gram"),
+    )
+    a, b = inv.alias("a"), inv.alias("b")
+    cand = (
         a.join(
             b,
-            (F.col("a.lang") == F.col("b.lang"))
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.len_bucket") == F.col("b.len_bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col("a.doc") < F.col("b.doc"))
+            & (F.col("a.n_grams") >= threshold * F.col("b.n_grams"))
+            & (F.col("b.n_grams") >= threshold * F.col("a.n_grams")),
         )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    ga = ordered.select(F.col("doc").alias("doc_a"), F.col("grams").alias("grams_a"))
+    gb = ordered.select(F.col("doc").alias("doc_b"), F.col("grams").alias("grams_b"))
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    union = F.size(F.array_union("grams_a", "grams_b"))
+    return (
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
         .select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
+            "doc_a",
+            "doc_b",
             F.round(inter / union, 4).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
