@@ -26,6 +26,8 @@ BENCH_QUERIES = [
     "user_activity_join",
     "athlete_weekly_summary",
     "events_sessionize",
+    "events_asof_profile",
+    "type_streaks",
     "dedup_minhash",
     "dedup_ngram_jaccard",
     "ann_topk",

@@ -1,0 +1,267 @@
+"""Advanced temporal/statistical queries (SURVEY.md §2e).
+
+Generalizations past the reference's point/list lookups over
+time-stamped activities (/root/reference/internal/db/activities.go):
+as-of enrichment, interval (range) joins, keyset pagination at depth,
+exact distribution statistics, rollup cubes, and gaps-and-islands
+streaks. All declarative DataFrame ops; every query has a DuckDB
+oracle (the as-of oracle uses DuckDB's native ASOF JOIN — an
+independent implementation of the same semantics, not a transcription
+of ours).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from strava_data_pipeline_spark.operators.temporal import asof_join, interval_join
+from strava_data_pipeline_spark.plans.registry import register
+from strava_data_pipeline_spark.sources.catalog import load_table
+
+EVENT_COLS = ["event_id", "ts", "user_id", "event_type", "value"]
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").select(*EVENT_COLS)
+
+
+# --------------------------------------------------------------------------
+# 33. events_asof_profile — as-of join to a versioned user-profile dim
+# --------------------------------------------------------------------------
+_ASOF_ORACLE = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+p AS (
+    SELECT user_id, v,
+           TIMESTAMP '2024-01-01 00:00:00'
+             + to_days(CAST(v * 7 + user_id % 7 AS INT)) AS valid_from,
+           'T' || CAST((user_id + v) % 4 AS VARCHAR) AS tier
+    FROM u, (SELECT unnest([0, 1, 2, 3]) AS v)
+)
+SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value, p.tier
+FROM events e ASOF LEFT JOIN p
+  ON e.user_id = p.user_id AND e.ts >= p.valid_from
+"""
+
+
+@register("events_asof_profile", oracle=_ASOF_ORACLE, tags=("temporal", "bench"))
+def events_asof_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enrich each event with the profile tier valid at event time.
+
+    The profile dim is a derived 4-version SCD (weekly re-tiering,
+    staggered per user); the as-of join is the union+window plan —
+    one shuffle on user_id, no range cross-product. Events earlier
+    than a user's first version keep a NULL tier (left semantics)."""
+    ev = _events(spark, sf_dir)
+    profiles = (
+        ev.select("user_id")
+        .distinct()
+        .select("user_id", F.explode(F.array(*[F.lit(v) for v in range(4)])).alias("v"))
+        .select(
+            "user_id",
+            F.expr(
+                "timestamp'2024-01-01 00:00:00'"
+                " + make_interval(0, 0, 0, CAST(v * 7 + user_id % 7 AS INT), 0, 0, 0)"
+            ).alias("valid_from"),
+            F.concat(F.lit("T"), ((F.col("user_id") + F.col("v")) % 4).cast("string")).alias(
+                "tier"
+            ),
+        )
+    )
+    return asof_join(
+        ev, profiles, on=["user_id"], left_ts="ts", right_ts="valid_from", payload=["tier"]
+    ).select("event_id", "ts", "user_id", "event_type", "value", "tier")
+
+
+# --------------------------------------------------------------------------
+# 34. events_in_windows — interval (range) join to overlapping windows
+# --------------------------------------------------------------------------
+_RANGE_ORACLE = """
+WITH w AS (
+    SELECT n_nationkey AS win_id,
+           TIMESTAMP '2024-01-01 00:00:00'
+             + to_days(CAST(n_nationkey AS INT)) AS win_start,
+           TIMESTAMP '2024-01-01 00:00:00'
+             + to_days(CAST(n_nationkey AS INT)) + INTERVAL 36 HOUR AS win_end
+    FROM nation
+)
+SELECT w.win_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(e.value), 2) AS sum_value
+FROM w JOIN events e ON e.ts >= w.win_start AND e.ts < w.win_end
+GROUP BY 1
+"""
+
+
+@register("events_in_windows", oracle=_RANGE_ORACLE, tags=("temporal",))
+def events_in_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window event stats for 25 overlapping 36-hour windows
+    (derived from nation). Dimension-sized window side → broadcast
+    nested-loop range join, the right plan when one side is tiny."""
+    windows = (
+        load_table(spark, sf_dir, "nation")
+        .select(
+            F.col("n_nationkey").alias("win_id"),
+            F.expr(
+                "timestamp'2024-01-01 00:00:00'"
+                " + make_interval(0, 0, 0, CAST(n_nationkey AS INT), 0, 0, 0)"
+            ).alias("win_start"),
+        )
+        .withColumn("win_end", F.col("win_start") + F.expr("INTERVAL 36 HOURS"))
+    )
+    return (
+        interval_join(_events(spark, sf_dir), windows, ts_col="ts")
+        .groupBy("win_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 35. activities_keyset — keyset (cursor) pagination at depth
+# --------------------------------------------------------------------------
+_KEYSET_CURSOR_TS = "2024-01-15 12:00:00"
+_KEYSET_CURSOR_ID = 10**12
+
+_KEYSET_ORACLE = f"""
+SELECT event_id, ts, user_id, event_type, value
+FROM events
+WHERE ts < TIMESTAMP '{_KEYSET_CURSOR_TS}'
+   OR (ts = TIMESTAMP '{_KEYSET_CURSOR_TS}' AND event_id < {_KEYSET_CURSOR_ID})
+ORDER BY ts DESC, event_id DESC
+LIMIT 20
+"""
+
+
+@register("activities_keyset", oracle=_KEYSET_ORACLE, tags=("pipeline",))
+def activities_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page 'after cursor (ts, id)' — the deep-pagination companion to
+    activities_page (offset windows re-scan everything they skip; a
+    keyset page is a pushed-down range scan + TakeOrderedAndProject
+    regardless of depth). Cursor is (ts, id) so pagination is total
+    even with timestamp ties."""
+    ev = _events(spark, sf_dir)
+    cts = F.lit(_KEYSET_CURSOR_TS).cast("timestamp")
+    return (
+        # redundant ts <= cursor conjunct: Catalyst does not factor it
+        # out of the OR, and it is what reaches the parquet scan
+        ev.where(F.col("ts") <= cts)
+        .where(
+            (F.col("ts") < cts)
+            | ((F.col("ts") == cts) & (F.col("event_id") < F.lit(_KEYSET_CURSOR_ID)))
+        )
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# 36. percentile_stats — exact distribution statistics per type
+# --------------------------------------------------------------------------
+_PCTL_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       round(quantile_cont(value, 0.99), 4) AS p99,
+       round(min(value), 4) AS min_value,
+       round(max(value), 4) AS max_value
+FROM events GROUP BY 1
+"""
+
+
+@register("percentile_stats", oracle=_PCTL_ORACLE, tags=("analytics",))
+def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles of value per event type.
+    Spark's ``percentile`` matches DuckDB's ``quantile_cont``; at
+    100 TB the scale path swaps in ``percentile_approx`` (t-digest
+    sketch, mergeable map-side) — exact percentile must materialize
+    each group's values."""
+    pct = F.expr("percentile(value, array(0.5, 0.9, 0.99))")
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.element_at(pct, 1), 4).alias("p50"),
+            F.round(F.element_at(pct, 2), 4).alias("p90"),
+            F.round(F.element_at(pct, 3), 4).alias("p99"),
+            F.round(F.min("value"), 4).alias("min_value"),
+            F.round(F.max("value"), 4).alias("max_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 37. events_rollup — ROLLUP(type, day) cube
+# --------------------------------------------------------------------------
+_ROLLUP_ORACLE = """
+SELECT event_type, CAST(ts AS DATE) AS day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY ROLLUP(event_type, CAST(ts AS DATE))
+"""
+
+
+@register("events_rollup", oracle=_ROLLUP_ORACLE, tags=("analytics",))
+def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup: per (type, day), per type, and grand
+    total in one pass (Expand + single shuffle, not three scans)."""
+    return (
+        _events(spark, sf_dir)
+        .withColumn("day", F.to_date("ts"))
+        .rollup("event_type", "day")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 38. type_streaks — gaps-and-islands longest active-day streaks
+# --------------------------------------------------------------------------
+_STREAK_ORACLE = """
+WITH d AS (
+    SELECT DISTINCT user_id, event_type, CAST(ts AS DATE) AS day FROM events
+), r AS (
+    SELECT user_id, event_type, day,
+           row_number() OVER (PARTITION BY user_id, event_type ORDER BY day) AS rn
+    FROM d
+), s AS (
+    SELECT user_id, event_type, day - to_days(CAST(rn AS INT)) AS anchor FROM r
+), g AS (
+    SELECT user_id, event_type, anchor, count(*) AS len FROM s GROUP BY 1, 2, 3
+)
+SELECT user_id, event_type,
+       CAST(max(len) AS BIGINT) AS longest_streak,
+       CAST(sum(len) AS BIGINT) AS active_days
+FROM g GROUP BY 1, 2
+"""
+
+
+@register("type_streaks", oracle=_STREAK_ORACLE, tags=("analytics", "bench"))
+def type_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per (user, type):
+    classic gaps-and-islands — day minus dense row_number is constant
+    within a streak. All window + hash-agg, single partitioning by
+    (user, type) reused across both steps."""
+    d = (
+        _events(spark, sf_dir)
+        .select("user_id", "event_type", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("day")
+    streaks = (
+        d.withColumn("rn", F.row_number().over(w))
+        .withColumn("anchor", F.date_sub(F.col("day"), F.col("rn")))
+        .groupBy("user_id", "event_type", "anchor")
+        .agg(F.count("*").alias("len"))
+    )
+    return streaks.groupBy("user_id", "event_type").agg(
+        F.max("len").cast("bigint").alias("longest_streak"),
+        F.sum("len").cast("bigint").alias("active_days"),
+    )

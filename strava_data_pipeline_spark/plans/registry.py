@@ -62,6 +62,7 @@ def _load() -> None:
     if _LOADED:
         return
     from strava_data_pipeline_spark.plans import (  # noqa: F401
+        advanced_queries,
         analytics_queries,
         llm_queries,
         pipeline_queries,
