@@ -107,6 +107,73 @@ def ann_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame
     )
 
 
+def ann_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-style approximate top-k: partition the corpus into inverted
+    lists by nearest centroid; a query scores only the lists of its
+    ``n_probe`` closest centroids.
+
+    Centroids here are deterministic seeds (vec_id < n_centroids) so
+    the DuckDB oracle reproduces the index exactly; at cluster scale
+    the centroids come from an offline MLlib KMeans fit and the corpus
+    is written partitioned by ``centroid_id``, making each probe a
+    partition-pruned scan of ~1/n_centroids of the data. Assignment
+    ranks by the *rounded* cosine (+ centroid-id tiebreak) so list
+    membership is reproducible cross-engine.
+    """
+    c = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        V.as_double(F.col("embedding")).alias("cv"),
+    )
+    cent = c.where(F.col("neighbor_id") < n_centroids).select(
+        F.col("neighbor_id").alias("cid"), F.col("cv").alias("centv")
+    )
+
+    def assign(df: DataFrame, id_col: str, vec_col: str, top: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cent)).select(
+            id_col,
+            vec_col,
+            "cid",
+            V.cosine_rounded(F.col(vec_col), F.col("centv")).alias("ccos"),
+        )
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("ccos").desc(), F.col("cid").asc()
+        )
+        return (
+            scored.withColumn("crank", F.row_number().over(w))
+            .where(F.col("crank") <= top)
+            .drop("ccos", "crank")
+        )
+
+    corpus_lists = assign(c, "neighbor_id", "cv", 1)
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), V.as_double(F.col("embedding")).alias("qv")
+    )
+    probes = assign(q, "query_id", "qv", n_probe)
+    scored = (
+        corpus_lists.join(probes, "cid")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            V.cosine_rounded(F.col("qv"), F.col("cv")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", F.col("rank").cast("int"))
+    )
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame, threshold: float = 0.98
 ) -> DataFrame:

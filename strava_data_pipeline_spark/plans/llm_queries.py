@@ -291,6 +291,55 @@ SELECT * FROM ranked WHERE rank <= 5
 """
 
 
+def _duck_cos(a: str, b: str) -> str:
+    return (
+        f"round({_duck_dot(a, b)} / "
+        f"(sqrt({_duck_dot(a, a)}) * sqrt({_duck_dot(b, b)})), 6)"
+    )
+
+
+_ANN_IVF_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+), cent AS (
+    SELECT vec_id AS cid, v AS centv FROM e WHERE vec_id < 16
+), ca AS (
+    SELECT vec_id, v, cid,
+           row_number() OVER (PARTITION BY vec_id
+                ORDER BY ccos DESC, cid ASC) AS crank
+    FROM (
+        SELECT e.vec_id, e.v, c.cid, {_duck_cos('e.v', 'c.centv')} AS ccos
+        FROM e CROSS JOIN cent c
+    )
+), corpus_lists AS (
+    SELECT vec_id AS neighbor_id, v AS cv, cid FROM ca WHERE crank = 1
+), probes AS (
+    SELECT vec_id AS query_id, v AS qv, cid FROM ca WHERE vec_id < 8 AND crank <= 2
+), scored AS (
+    SELECT p.query_id, l.neighbor_id, {_duck_cos('p.qv', 'l.cv')} AS score
+    FROM corpus_lists l JOIN probes p USING (cid)
+    WHERE p.query_id != l.neighbor_id
+), ranked AS (
+    SELECT query_id, neighbor_id, score,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id ASC) AS INT) AS rank
+    FROM scored
+)
+SELECT * FROM ranked WHERE rank <= 10
+"""
+
+
+@register("ann_ivf", oracle=_ANN_IVF_ORACLE, tags=("llm", "similarity"))
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10: 16 inverted lists, 2 probes per query.
+    The scale path writes the corpus partitioned by centroid_id so a
+    probe is a partition-pruned scan; centroids are deterministic
+    seeds here so DuckDB rebuilds the identical index."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ann_topk_ivf(emb, emb.where(F.col("vec_id") < 8), k=10)
+
+
 @register("ann_lsh", oracle=_ann_lsh_oracle(), tags=("llm", "similarity"))
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via 8-hyperplane LSH buckets — the 100 TB path:
