@@ -80,8 +80,11 @@ LIMIT 10
 
 @register("q3_shipping_priority", oracle=_Q3_ORACLE, tags=("analytics", "bench"))
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unshipped-order revenue: customer filter broadcast into orders,
-    orders⋈lineitem on the fact key, top-10 via TakeOrderedAndProject."""
+    """Unshipped-order revenue: orders⋈customer then lineitem on the
+    fact key, top-10 via TakeOrderedAndProject. Join strategy is left
+    to Catalyst/AQE — both non-lineitem sides scale with SF, so a
+    forced broadcast would be a 100 TB bug; locally they fall under
+    the auto-threshold and broadcast anyway."""
     c = load_table(spark, sf_dir, "customer").where(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -92,7 +95,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1996-06-30 00:00:00").cast("timestamp")
     )
     return (
-        l.join(F.broadcast(o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])),
+        l.join(o.join(c, o["o_custkey"] == c["c_custkey"]),
                l["l_orderkey"] == o["o_orderkey"])
         .groupBy(
             F.col("l_orderkey").alias("orderkey"),
@@ -143,10 +146,10 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
     )
     return (
-        l.join(F.broadcast(dims), l["l_suppkey"] == dims["s_suppkey"])
+        l.join(dims, l["l_suppkey"] == dims["s_suppkey"])
         .join(o, l["l_orderkey"] == o["o_orderkey"])
         .join(
-            F.broadcast(c),
+            c,
             (c["c_custkey"] == o["o_custkey"])
             & (c["c_nationkey"] == dims["s_nationkey"]),
         )
@@ -186,7 +189,7 @@ def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     return (
         l.join(o, l["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), c["c_custkey"] == o["o_custkey"])
+        .join(c, c["c_custkey"] == o["o_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy(
             F.col("c_custkey").alias("custkey"),

@@ -222,14 +222,15 @@ GROUP BY 1, 2
 
 @register("keys_per_user", oracle=_KEYS_PER_USER_ORACLE, tags=("pipeline",))
 def keys_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user key inventory: broadcast left join of the key dim onto
-    users, then a grouped count."""
+    """Per-user key inventory: key dim left-joined onto users, then a
+    grouped count. No forced broadcast — the key dim scales with the
+    user count, so the auto-threshold/AQE picks the strategy."""
     customer = load_table(spark, sf_dir, "customer")
     customer.createOrReplaceTempView("customer")
     keys = spark.sql(_KEY_DIM_SPARK)
     return (
         customer.join(
-            F.broadcast(keys), keys["user_id"] == customer["c_custkey"], "left"
+            keys, keys["user_id"] == customer["c_custkey"], "left"
         )
         .groupBy(
             F.col("c_custkey").alias("user_id"), F.col("c_name").alias("user_name")
@@ -257,13 +258,14 @@ GROUP BY 1, 2
 
 @register("user_activity_join", oracle=_USER_ACT_ORACLE, tags=("pipeline",))
 def user_activity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Users ⋈ activities with per-user rollup. The user dim is broadcast
-    so the fact table never shuffles for the join — only the final
-    aggregation exchanges (partial aggs map-side)."""
+    """Users ⋈ activities with per-user rollup. The user dim broadcasts
+    under the auto-threshold locally (so the fact never shuffles for
+    the join); no forced hint — at 100 TB a billion-user dim must be
+    allowed to degrade to a shuffled join."""
     customer = load_table(spark, sf_dir, "customer")
     events = load_table(spark, sf_dir, "events")
     return (
-        events.join(F.broadcast(customer), events["user_id"] == customer["c_custkey"])
+        events.join(customer, events["user_id"] == customer["c_custkey"])
         .groupBy(
             F.col("c_custkey").alias("user_id"), F.col("c_name").alias("user_name")
         )
