@@ -86,6 +86,9 @@ def minhash_lsh_pairs(
     The band join shuffles on (band, key) — collisions only, never the
     cross product.
     """
+    # sig feeds the band explode and both est-jaccard joins; persist so
+    # the shingle→hash→16-way min pipeline runs once, not three times
+    sig = sig.persist()
     n_perms = n_bands * rows_per_band
     band_structs = F.array(
         *[
@@ -247,6 +250,12 @@ def ngram_jaccard_pairs(
             F.count("*").alias("n_grams"),
         )
     )
+    # `ordered` feeds three consumers (prefix index + both verify
+    # sides); without materialization Catalyst re-derives the whole
+    # scan→explode→df-count→sort lineage for each (16 scans observed).
+    # Persist is the same call a cluster job would make — MEMORY_AND_DISK
+    # so a 100 TB run spills instead of OOMing; evicted blocks recompute.
+    ordered = ordered.persist()
     prefix_len = (
         F.col("n_grams") - F.ceil(F.lit(threshold) * F.col("n_grams")) + 1
     ).cast("int")
