@@ -119,3 +119,31 @@ def test_stateful_sessions(spark, dirs):
     assert spark.sql("select * from sessions").columns == [
         "user_id", "n_events", "total_value", "session_start", "session_end",
     ]
+
+
+def test_stream_dedup_drops_redelivery(spark, dirs):
+    from strava_data_pipeline_spark.streaming.dedup import dedup_stream
+
+    landing, _, ckpt = dirs
+    _write_batch(
+        spark,
+        landing,
+        [
+            (1, datetime(2024, 1, 1, 10, 0), 7, "run", 5.0),
+            (1, datetime(2024, 1, 1, 10, 0), 7, "run", 5.0),   # exact redelivery
+            (1, datetime(2024, 1, 1, 10, 30), 7, "run", 5.0),  # within watermark
+            (2, datetime(2024, 1, 1, 10, 5), 8, "ride", 2.0),
+        ],
+    )
+    deduped = dedup_stream(read_event_stream(spark, landing), late_minutes=60)
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from dedup_out").collect()
+    assert sorted(r["event_id"] for r in rows) == [1, 2]
