@@ -29,6 +29,24 @@ N_BANDS = 4
 ROWS_PER_BAND = N_PERMS // N_BANDS
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure the doc frame has at least core-count partitions before
+    the explode-heavy hashing stages.
+
+    Parallelism before the first shuffle follows input splits; a small
+    corpus file arrives as ONE split, so the 50×-amplifying shingle
+    explode + md5 would run on one task (observed: 6s single-threaded
+    at sf0.1). On a real cluster the scan already has ≥cores splits
+    and this is a no-op — the repartition only fires on the
+    pathological small-file case, so it never adds a full-corpus
+    shuffle at 100 TB.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min(target, 32):
+        return df.repartition(min(target, 32))
+    return df
+
+
 def dedup_exact(
     df: DataFrame,
     text_col: str = "text",
@@ -63,7 +81,7 @@ def minhash_signatures(
     shingles and drop out (same as the oracle's unnest).
     """
     params = perm_params(n_perms)
-    sh = df.select(
+    sh = _spread(df).select(
         F.col(id_col),
         F.explode(word_shingles(tokens(F.col(text_col)))).alias("shingle"),
     ).select(id_col, md5_u32(F.col("shingle")).alias("x"))
@@ -146,7 +164,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     One explode + one groupBy; the 32 bit-vote sums are plain
     conditional aggregates that stay in codegen.
     """
-    tok = df.select(
+    tok = _spread(df).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
     ).select(id_col, md5_u32(F.col("token")).alias("x"))
     votes = [
@@ -228,7 +246,7 @@ def ngram_jaccard_pairs(
     of the block size. A jaccard length filter (|Ga| >= t*|Gb|) prunes
     further before verification.
     """
-    g = df.select(
+    g = _spread(df).select(
         F.col(id_col).alias("doc"),
         F.col("lang"),
         F.floor(F.col("n_chars") / F.lit(64)).cast("int").alias("len_bucket"),
@@ -301,7 +319,7 @@ def doc_fingerprints(
 ) -> DataFrame:
     """Bottom-k fingerprint sketch: the k smallest shingle hashes per
     document — a compact content signature for fast containment checks."""
-    sh = df.select(
+    sh = _spread(df).select(
         F.col(id_col),
         F.explode(word_shingles(tokens(F.col(text_col)))).alias("shingle"),
     ).select(id_col, md5_u32(F.col("shingle")).alias("fp"))
