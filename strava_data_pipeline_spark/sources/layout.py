@@ -1,0 +1,62 @@
+"""Table layout for scale: partitioned writes + pruning verification.
+
+SURVEY §4 commits to date-partitioned fact layout; this module is that
+commitment as code. ``write_partitioned`` lands a fact table as
+``<root>/<col>=<value>/part-*.parquet`` so any query filtering on the
+partition column scans only matching directories (PartitionFilters in
+the physical plan — verified by tests, not assumed), and
+``write_bucketed`` saves a pre-shuffled copy so equi-joins/aggs on the
+bucket keys skip their exchange entirely.
+
+At 100 TB: events partition by day (~3 years ≈ 1000 partitions of
+~100 GB — each still split into ~800 tasks by maxPartitionBytes);
+lineitem by ship-month. Avoid over-partitioning (a partition per user
+would make 10M tiny dirs — use bucketing for high-cardinality keys).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_partitioned_by_day(
+    df: DataFrame, path: str, ts_col: str = "ts", mode: str = "overwrite"
+) -> None:
+    """Land a timestamped fact partitioned by calendar day."""
+    (
+        df.withColumn("p_day", F.to_date(F.col(ts_col)))
+        .write.mode(mode)
+        .partitionBy("p_day")
+        .parquet(path)
+    )
+
+
+def read_day_range(
+    spark: SparkSession, path: str, start_day: str, end_day: str
+) -> DataFrame:
+    """Read only the partitions inside [start_day, end_day] — the
+    filter lands in PartitionFilters, so non-matching directories are
+    never listed into tasks."""
+    return spark.read.parquet(path).where(
+        (F.col("p_day") >= F.lit(start_day)) & (F.col("p_day") <= F.lit(end_day))
+    )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Save as a bucketed managed table: rows pre-shuffled into
+    ``n_buckets`` by hash(bucket_col), so joins and aggregations on
+    that key read co-located data and plan without an Exchange."""
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )

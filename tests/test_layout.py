@@ -1,0 +1,63 @@
+"""Layout tests: partition pruning and bucketed exchange elimination
+verified against the physical plan, not assumed."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from strava_data_pipeline_spark.sources.catalog import load_table
+from strava_data_pipeline_spark.sources.layout import (
+    read_day_range,
+    write_bucketed,
+    write_partitioned_by_day,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _explain(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_day_partition_pruning(spark, tmp_path):
+    events = load_table(spark, SF_DIR, "events")
+    root = str(tmp_path / "events_by_day")
+    write_partitioned_by_day(events, root)
+
+    narrow = read_day_range(spark, root, "2024-01-10", "2024-01-12")
+    plan = _explain(narrow)
+    assert "PartitionFilters" in plan and "p_day" in plan
+
+    expected = events.where(
+        (F.to_date("ts") >= "2024-01-10") & (F.to_date("ts") <= "2024-01-12")
+    ).count()
+    assert narrow.count() == expected
+    # pruned scan must touch only 3 of ~30 day directories
+    files = narrow.select(F.input_file_name()).distinct().collect()
+    days = {f[0].split("p_day=")[1].split("/")[0] for f in files}
+    assert days == {"2024-01-10", "2024-01-11", "2024-01-12"}
+
+
+def test_bucketed_agg_skips_exchange(spark, tmp_path):
+    # warehouse dir is a static conf; the managed table lands in the
+    # default ./spark-warehouse (gitignored) and is dropped after
+    events = load_table(spark, SF_DIR, "events")
+    write_bucketed(events.select("event_id", "user_id", "value"), "ev_bucketed", "user_id")
+    try:
+        agg = (
+            spark.table("ev_bucketed")
+            .groupBy("user_id")
+            .agg(F.sum("value").alias("total"))
+        )
+        plan = _explain(agg)
+        # bucketed layout satisfies the agg's distribution: no shuffle
+        assert "Exchange" not in plan
+        assert agg.count() == events.select("user_id").distinct().count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ev_bucketed")
