@@ -531,3 +531,62 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(64) + F.floor(x / 7) % 1017).cast("int").alias("height"),
         (F.lit(1) + x % 30).cast("int").alias("n_frames"),
     )
+
+
+# --------------------------------------------------------------------------
+# 40. corpus_dedup_keep — end-to-end dedup application (keep-list)
+# --------------------------------------------------------------------------
+def _dedup_keep_oracle() -> str:
+    return f"""
+WITH dropd AS (
+    SELECT DISTINCT doc_b FROM ({_minhash_oracle()}) WHERE est_jaccard >= 0.75
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d WHERE d.doc_id NOT IN (SELECT doc_b FROM dropd)
+"""
+
+
+@register("corpus_dedup_keep", oracle=_dedup_keep_oracle(), tags=("llm", "dedup"))
+def corpus_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline step the pair-finders feed: drop the higher-id doc
+    of every confident near-dup pair (est_jaccard >= 0.75) via a
+    left-anti join — the keep-list that downstream training reads.
+    The anti-join shuffles only doc_ids, never document bodies."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(D.minhash_signatures(docs))
+    drop = (
+        pairs.where(F.col("est_jaccard") >= 0.75)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return docs.join(drop, "doc_id", "left_anti").select("doc_id", "lang", "source")
+
+
+# --------------------------------------------------------------------------
+# 41. token_histogram — corpus token-budget planning
+# --------------------------------------------------------------------------
+_TOKEN_HIST_ORACLE = rf"""
+WITH tc AS (
+    SELECT CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n FROM documents
+)
+SELECT CAST(CASE WHEN n > 0 THEN floor(log2(n)) ELSE -1 END AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS total_tokens
+FROM tc GROUP BY 1
+"""
+
+
+@register("token_histogram", oracle=_TOKEN_HIST_ORACLE, tags=("llm", "text"))
+def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two histogram of per-doc token counts — the corpus
+    profile a training-data budget is planned from. One narrow scan,
+    one tiny agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    tc = docs.select(T.ws_token_count(F.col("text")).alias("n"))
+    bucket = (
+        F.when(F.col("n") > 0, F.floor(F.log2("n"))).otherwise(F.lit(-1)).cast("int")
+    )
+    return tc.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n").cast("bigint").alias("total_tokens"),
+    )
