@@ -1,0 +1,78 @@
+"""Physical-plan regression tests over the whole registry.
+
+Correctness is gated by the DuckDB oracle; these tests gate the
+*scale* properties — the plan shapes that decide whether a query
+survives 100 TB. They run against sf0.001 (plan shape, not data)."""
+
+from __future__ import annotations
+
+import pytest
+
+from strava_data_pipeline_spark.plans import registry
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# BroadcastNestedLoopJoin is acceptable ONLY where one side is bounded
+# by construction (range-join windows, ANN query set / centroids,
+# high-water mark).
+_BNLJ_OK = {"events_in_windows", "ann_topk", "ann_ivf", "sync_window"}
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    out = {}
+    for name, fn in registry.all_queries().items():
+        df = fn(spark, SF_DIR)
+        # execute on this exact QueryExecution: AQE only materializes
+        # the final plan (with codegen annotations) for an executed df
+        df.collect()
+        out[name] = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    return out
+
+
+def test_no_cartesian_products(plans):
+    offenders = [n for n, p in plans.items() if "CartesianProduct" in p]
+    assert offenders == [], f"unbounded cartesian products in: {offenders}"
+
+
+def test_nested_loop_joins_only_on_bounded_sides(plans):
+    offenders = [
+        n
+        for n, p in plans.items()
+        if "BroadcastNestedLoopJoin" in p and n not in _BNLJ_OK
+    ]
+    assert offenders == [], f"range/theta join on unbounded sides in: {offenders}"
+
+
+def test_no_python_row_eval_in_query_paths(plans):
+    # every registry query must stay JVM-side; pandas/arrow appears only
+    # in the (non-registry) multimodal decode path
+    offenders = [
+        n
+        for n, p in plans.items()
+        if "BatchEvalPython" in p or "ArrowEvalPython" in p or "MapInPandas" in p
+    ]
+    assert offenders == [], f"Python in the hot path of: {offenders}"
+
+
+def test_topn_queries_avoid_global_sort(plans):
+    for name in ("recent_activities", "activities_keyset", "q3_shipping_priority",
+                 "top_customers_by_revenue"):
+        assert "TakeOrderedAndProject" in plans[name], name
+
+
+def test_point_lookup_pushes_filter_to_scan(plans):
+    assert "PushedFilters: [" in plans["activity_by_id"]
+    assert "EqualTo(event_id" in plans["activity_by_id"]
+
+
+def test_whole_stage_codegen_present(plans):
+    # every query should have at least one codegen span ("(codegen
+    # id : N)" in the final adaptive plan); a plan with none has
+    # fallen entirely out of Tungsten
+    offenders = [n for n, p in plans.items() if "codegen id" not in p]
+    assert offenders == [], f"no codegen span in: {offenders}"
