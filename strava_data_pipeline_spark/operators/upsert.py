@@ -44,3 +44,37 @@ def merge_latest_wins(
         .where(F.col("_rn") == 1)
         .drop("_rn", "_src")
     )
+
+
+def merge_cdc(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a change feed with upserts AND deletes (the reference's
+    DeleteActivity — /root/reference/internal/db/activities.go:247 —
+    batched): ``changes`` carries ``op_col`` ∈ {'U','D'}.
+
+    Same single-shuffle window merge as ``merge_latest_wins``; after
+    ranking, a key whose newest change is a delete drops out entirely.
+    Delete tombstones must carry the key + order_by columns; other
+    columns may be NULL.
+    """
+    cols = base.columns
+    tagged = base.select(*cols).withColumn("_op", F.lit("U")).withColumn(
+        "_src", F.lit(0)
+    ).unionByName(
+        changes.select(*cols, F.col(op_col).alias("_op")).withColumn(
+            "_src", F.lit(1)
+        )
+    )
+    w = Window.partitionBy(*keys).orderBy(
+        *[F.col(c).desc() for c in order_by], F.col("_src").desc()
+    )
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") == 1) & (F.col("_op") != "D"))
+        .drop("_rn", "_src", "_op")
+    )

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from strava_data_pipeline_spark.operators.pagination import page_offset
 from strava_data_pipeline_spark.operators.sessionize import sessionize
-from strava_data_pipeline_spark.operators.upsert import merge_latest_wins
+from strava_data_pipeline_spark.operators.upsert import merge_cdc, merge_latest_wins
 from strava_data_pipeline_spark.plans.registry import register
 from strava_data_pipeline_spark.sources.catalog import load_table
 
@@ -413,4 +413,58 @@ def events_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         F.round(F.sum("value").over(w), 2).alias("running_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 42. cdc_merge — change feed with upserts AND deletes (activities.go:247)
+# --------------------------------------------------------------------------
+_CDC_ORACLE = """
+WITH changes AS (
+    SELECT event_id, ts + INTERVAL 1 HOUR AS ts, user_id, event_type,
+           value + 500.0 AS value, 'U' AS op
+    FROM events WHERE event_id % 10 = 1
+    UNION ALL
+    SELECT event_id, ts + INTERVAL 1 HOUR AS ts, user_id, event_type,
+           value, 'D' AS op
+    FROM events WHERE event_id % 10 = 2
+), tagged AS (
+    SELECT event_id, ts, user_id, event_type, value, 'U' AS op, 0 AS _src
+    FROM events
+    UNION ALL
+    SELECT event_id, ts, user_id, event_type, value, op, 1 FROM changes
+), ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY event_id ORDER BY ts DESC, _src DESC) AS _rn
+    FROM tagged
+)
+SELECT event_id, ts, user_id, event_type, value
+FROM ranked WHERE _rn = 1 AND op != 'D'
+"""
+
+
+@register("cdc_merge", oracle=_CDC_ORACLE, tags=("pipeline",))
+def cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched change-data-capture merge: the reference's
+    UpdateActivity + DeleteActivity as one set-based pass. A synthetic
+    feed updates every id ending in 1 and tombstones every id ending
+    in 2; the merge is the same single key-shuffle as ingest_upsert,
+    with delete-wins-if-newest semantics."""
+    events = load_table(spark, sf_dir, "events").select(*EVENT_COLS)
+    updates = (
+        events.where(F.col("event_id") % 10 == 1)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+        .withColumn("value", F.col("value") + 500.0)
+        .withColumn("op", F.lit("U"))
+    )
+    deletes = (
+        events.where(F.col("event_id") % 10 == 2)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+        .withColumn("op", F.lit("D"))
+    )
+    return merge_cdc(
+        events,
+        updates.unionByName(deletes),
+        keys=["event_id"],
+        order_by=["ts"],
     )

@@ -91,3 +91,32 @@ class TestSessionize:
         ]
         out = sessionize(_events(spark, rows)).collect()
         assert all(r["session_seq"] == 0 for r in out)
+
+
+def test_cdc_merge_applies_deletes_and_updates(spark):
+    from datetime import datetime
+
+    from strava_data_pipeline_spark.operators.upsert import merge_cdc
+
+    base = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 10), 5.0),
+            (2, datetime(2024, 1, 1, 10), 6.0),
+            (3, datetime(2024, 1, 1, 10), 7.0),
+        ],
+        "id bigint, ts timestamp, value double",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 2, 10), 50.0, "U"),   # update wins (newer)
+            (2, datetime(2024, 1, 2, 10), None, "D"),   # delete wins (newer)
+            (3, datetime(2023, 12, 1, 10), 0.0, "D"),   # stale delete loses
+            (4, datetime(2024, 1, 1, 10), 9.0, "U"),    # brand-new insert
+        ],
+        "id bigint, ts timestamp, value double, op string",
+    )
+    out = {
+        r["id"]: r["value"]
+        for r in merge_cdc(base, changes, keys=["id"], order_by=["ts"]).collect()
+    }
+    assert out == {1: 50.0, 3: 7.0, 4: 9.0}
