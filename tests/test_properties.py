@@ -1,0 +1,110 @@
+"""Property-based tests (hypothesis): merge-operator laws and
+pure-function contracts."""
+
+from __future__ import annotations
+
+import re
+import string
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from strava_data_pipeline_spark.functions.hashing import MINHASH_PRIME, perm_params
+from strava_data_pipeline_spark.functions.text import BPE_TOKEN_RE
+from strava_data_pipeline_spark.operators.multimodal import fake_decode
+from strava_data_pipeline_spark.operators.similarity import plane_literals
+from strava_data_pipeline_spark.operators.upsert import merge_latest_wins
+
+# ---------------------------------------------------------------------------
+# pure functions — cheap, many examples
+# ---------------------------------------------------------------------------
+
+
+def test_perm_params_deterministic_odd_in_range():
+    p1, p2 = perm_params(64), perm_params(64)
+    assert p1 == p2 and len(set(p1)) == 64
+    for a, b in p1:
+        assert a % 2 == 1  # odd multiplier → permutation mod 2^31-1
+        assert 0 < a < MINHASH_PRIME and 0 <= b < MINHASH_PRIME
+
+
+def test_plane_literals_deterministic_bounded():
+    pls = plane_literals()
+    assert pls == plane_literals()
+    assert all(-1.0 <= x <= 1.0 for row in pls for x in row)
+
+
+@given(st.binary(max_size=4096))
+@settings(max_examples=200)
+def test_fake_decode_histogram_partitions_bytes(payload):
+    d = fake_decode(payload)
+    assert d["n_bytes"] == len(payload)
+    assert sum(d["hist"]) == len(payload)
+    if payload:
+        assert 0 <= d["mean_byte"] <= 255
+
+
+# ---------------------------------------------------------------------------
+# merge laws — one Spark job per example, so few examples
+# ---------------------------------------------------------------------------
+
+_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),      # key (collisions likely)
+        st.integers(min_value=0, max_value=100),    # version
+        st.floats(allow_nan=False, allow_infinity=False, width=32),
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id bigint, ver bigint, value double") \
+        if rows else spark.createDataFrame([], "id bigint, ver bigint, value double")
+
+
+@given(base=_rows, upd=_rows)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_merge_latest_wins_laws(spark, base, upd):
+    b, u = _df(spark, base), _df(spark, upd)
+    merged = merge_latest_wins(b, u, keys=["id"], order_by=["ver"])
+    out = merged.collect()
+    # one row per key, and it carries the max version present for the key
+    by_key = {}
+    for r in out:
+        assert r["id"] not in by_key, "duplicate key survived merge"
+        by_key[r["id"]] = r
+    all_rows = base + upd
+    for key in {r[0] for r in all_rows}:
+        assert key in by_key
+        assert by_key[key]["ver"] == max(v for k, v, _ in all_rows if k == key)
+    # idempotence: re-applying the same updates changes nothing
+    again = merge_latest_wins(merged, u, keys=["id"], order_by=["ver"])
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, out))
+
+
+# ---------------------------------------------------------------------------
+# cross-engine tokenizer contract: Spark regexp_count == Python re
+# ---------------------------------------------------------------------------
+
+_texts = st.lists(
+    st.text(alphabet=string.ascii_letters + string.digits + " .,;!?-—äöüß", max_size=80),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(texts=_texts)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_bpe_token_count_matches_python_reference(spark, texts):
+    from pyspark.sql import functions as F
+
+    from strava_data_pipeline_spark.functions.text import bpe_token_count
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        r["n"] for r in df.select(bpe_token_count(F.col("text")).alias("n")).collect()
+    ]
+    want = [len(re.findall(BPE_TOKEN_RE, t)) for t in texts]
+    assert got == want
