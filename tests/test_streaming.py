@@ -147,3 +147,32 @@ def test_stream_dedup_drops_redelivery(spark, dirs):
     q.awaitTermination(120)
     rows = spark.sql("select * from dedup_out").collect()
     assert sorted(r["event_id"] for r in rows) == [1, 2]
+
+
+def test_stream_static_enrichment(spark, dirs):
+    from strava_data_pipeline_spark.streaming.enrich import enrich_with_users
+
+    landing, _, ckpt = dirs
+    _write_batch(
+        spark,
+        landing,
+        [
+            (1, datetime(2024, 1, 1, 10), 7, "run", 5.0),
+            (2, datetime(2024, 1, 1, 11), 99, "ride", 2.0),  # unknown athlete
+        ],
+    )
+    users = spark.createDataFrame(
+        [(7, "Alice"), (8, "Bob")], "c_custkey bigint, c_name string"
+    )
+    enriched = enrich_with_users(read_event_stream(spark, landing), users)
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["event_id"]: r["user_name"] for r in spark.sql("select * from enriched").collect()}
+    assert rows == {1: "Alice", 2: None}  # left semantics: unknown flows through
