@@ -468,3 +468,41 @@ def cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["event_id"],
         order_by=["ts"],
     )
+
+
+# --------------------------------------------------------------------------
+# 43. events_profile — per-column ingestion quality profile
+# --------------------------------------------------------------------------
+_PROFILE_ORACLE = """
+SELECT 'event_id' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct FROM events
+UNION ALL
+SELECT 'ts', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT ts) AS BIGINT) FROM events
+UNION ALL
+SELECT 'user_id', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+UNION ALL
+SELECT 'event_type', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT event_type) AS BIGINT) FROM events
+UNION ALL
+SELECT 'value', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT value) AS BIGINT) FROM events
+"""
+
+
+@register("events_profile", oracle=_PROFILE_ORACLE, tags=("pipeline",))
+def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-column landing profile (rows / nulls / distinct) —
+    the post-sync sanity check. Exact distincts here; the 100 TB path
+    is exact=False (HLL sketch, no Expand)."""
+    from strava_data_pipeline_spark.operators.profiling import profile
+
+    return profile(
+        load_table(spark, sf_dir, "events").select(*EVENT_COLS), EVENT_COLS
+    )
