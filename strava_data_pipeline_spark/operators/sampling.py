@@ -1,0 +1,77 @@
+"""Deterministic sampling, splits, and mixture weighting for training
+corpora.
+
+Training-data pipelines need *reproducible* selection: re-running the
+pipeline (or re-sharding the cluster) must choose the same rows, and
+a document must land in the same train/val/test split forever —
+``df.sample``'s per-partition RNG guarantees neither. Everything here
+keys on the portable content/id hash (functions/hashing.py), so
+selection is a pure function of the row: embarrassingly parallel, no
+shuffle, no state, identical across engines (the DuckDB oracles run
+the same arithmetic).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from strava_data_pipeline_spark.functions.hashing import md5_u32
+
+_BUCKETS = 1000
+
+
+def hash_bucket(key: Column, salt: str = "") -> Column:
+    """Stable bucket in [0, 1000) from the portable md5 hash; ``salt``
+    decorrelates independent sampling decisions on the same key."""
+    return md5_u32(F.concat(key.cast("string"), F.lit(salt))) % _BUCKETS
+
+
+def sample_fraction(
+    df: DataFrame, rate: float, key: str = "doc_id", salt: str = ""
+) -> DataFrame:
+    """Keep a deterministic ~``rate`` fraction: hash(key) < rate·1000.
+    A narrow filter — pushes to the scan, no shuffle, reproducible
+    under retries and repartitioning."""
+    return df.where(hash_bucket(F.col(key), salt) < int(rate * _BUCKETS))
+
+
+def assign_split(
+    df: DataFrame,
+    key: str = "doc_id",
+    train: float = 0.8,
+    val: float = 0.1,
+    salt: str = "split",
+) -> DataFrame:
+    """Attach a stable train/val/test label. A document's split never
+    changes as the corpus grows — the property that prevents
+    train/test contamination across pipeline runs."""
+    b = hash_bucket(F.col(key), salt)
+    label = (
+        F.when(b < int(train * _BUCKETS), "train")
+        .when(b < int((train + val) * _BUCKETS), "val")
+        .otherwise("test")
+    )
+    return df.withColumn("split", label)
+
+
+def weighted_mixture(
+    df: DataFrame,
+    weights: Mapping[str, float],
+    group_col: str = "source",
+    key: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Down-sample each group to its mixture weight (keep-rate per
+    group). The standard way a training mix is rebalanced (e.g. keep
+    100% of books, 30% of crawl) — one CASE expression, no shuffle."""
+    rate = None
+    for g, w in sorted(weights.items()):
+        cond = F.when(F.col(group_col) == g, F.lit(int(w * _BUCKETS)))
+        rate = cond if rate is None else rate.when(
+            F.col(group_col) == g, F.lit(int(w * _BUCKETS))
+        )
+    rate = rate.otherwise(F.lit(_BUCKETS))  # unlisted groups kept whole
+    return df.where(hash_bucket(F.col(key), salt) < rate)

@@ -590,3 +590,72 @@ def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("n").cast("bigint").alias("total_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# 44. corpus_split_counts — deterministic train/val/test assignment
+# --------------------------------------------------------------------------
+def _bucket_duck(key_expr: str, salt: str) -> str:
+    inner = "concat(CAST(" + key_expr + " AS VARCHAR), '" + salt + "')"
+    return f"({md5_u32_duckdb(inner)}) % 1000"
+
+
+_SPLIT_ORACLE = f"""
+WITH labeled AS (
+    SELECT lang,
+           CASE WHEN {_bucket_duck('doc_id', 'split')} < 800 THEN 'train'
+                WHEN {_bucket_duck('doc_id', 'split')} < 900 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+)
+SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM labeled GROUP BY 1, 2
+"""
+
+
+@register("corpus_split_counts", oracle=_SPLIT_ORACLE, tags=("llm", "sampling"))
+def corpus_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable 80/10/10 train/val/test assignment keyed on the content
+    hash — a doc's split never changes as the corpus grows, the
+    property that prevents cross-run train/test contamination. Narrow
+    per-row expression, no shuffle before the count."""
+    from strava_data_pipeline_spark.operators.sampling import assign_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        assign_split(docs)
+        .groupBy("split", "lang")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+
+
+# --------------------------------------------------------------------------
+# 45. corpus_mixture — source-weighted down-sampling
+# --------------------------------------------------------------------------
+_MIX_WEIGHTS = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+
+_MIX_ORACLE = f"""
+WITH kept AS (
+    SELECT source FROM documents
+    WHERE {_bucket_duck('doc_id', 'mix')} <
+          CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 500
+                      WHEN 'src2' THEN 250 ELSE 1000 END
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_kept
+FROM kept GROUP BY 1
+"""
+
+
+@register("corpus_mixture", oracle=_MIX_ORACLE, tags=("llm", "sampling"))
+def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance the training mix: keep 100% of src0, 50% of src1,
+    25% of src2 (others whole) via deterministic per-row hash gates —
+    reproducible under retries, repartitioning, and engine swaps."""
+    from strava_data_pipeline_spark.operators.sampling import weighted_mixture
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        weighted_mixture(docs, _MIX_WEIGHTS)
+        .groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("n_kept"))
+    )
