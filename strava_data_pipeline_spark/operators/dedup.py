@@ -230,49 +230,62 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    order_by_rarity: bool = False,
 ) -> DataFrame:
     """Character-3-gram Jaccard near-dup pairs, blocked by
     (lang, length-bucket), found via an exact prefix-filtered
     similarity join (PPJoin-style).
 
-    Result is IDENTICAL to the naive all-blocked-pairs join, but the
-    candidate set comes from a rare-gram inverted index: order each
-    document's grams rarest-first (by corpus document frequency) and
-    index only the prefix of length |G| - ceil(t*|G|) + 1 — any pair
-    with jaccard >= t must share a prefix gram (prefix-filter lemma),
-    so nothing is missed. A block of B docs costs O(candidates)
-    instead of O(B^2); at 100 TB, candidates scale with the number of
-    genuinely-similar pairs plus rare-gram collisions, not the square
-    of the block size. A jaccard length filter (|Ga| >= t*|Gb|) prunes
-    further before verification.
+    Result is IDENTICAL to the naive all-blocked-pairs join: order each
+    document's grams under a global total order, index only the prefix
+    of length |G| - ceil(t*|G|) + 1 — any pair with jaccard >= t must
+    share a prefix gram (prefix-filter lemma), so nothing is missed.
+    A block of B docs costs O(candidates) instead of O(B^2). The
+    jaccard length filter (|Ga| >= t*|Gb|) prunes further before
+    verification.
+
+    The lemma holds for ANY total order. The default lexicographic
+    sort builds the index as a zero-shuffle narrow projection;
+    ``order_by_rarity`` switches to rarest-first ordering (by corpus
+    document frequency — costs a df-count shuffle + join back), which
+    shrinks the candidate set on high-vocabulary corpora with skewed
+    gram frequencies. On this synthetic corpus (only 377 distinct
+    grams) both orders produce a near-identical candidate count, so
+    the cheap order is the default.
     """
-    g = _spread(df).select(
+    base = _spread(df).select(
         F.col(id_col).alias("doc"),
         F.col("lang"),
         F.floor(F.col("n_chars") / F.lit(64)).cast("int").alias("len_bucket"),
         char_ngrams(F.col(text_col)).alias("grams"),
     )
-    exploded = g.select(
-        "doc", "lang", "len_bucket", F.explode("grams").alias("gram")
-    )
-    # grams are distinct per doc, so count(*) per gram == document frequency
-    dfreq = exploded.groupBy("gram").agg(F.count("*").alias("gram_df"))
-    ordered = (
-        exploded.join(dfreq, "gram")
-        .groupBy("doc", "lang", "len_bucket")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("gram_df", "gram"))),
-                lambda s: s["gram"],
-            ).alias("grams"),
-            F.count("*").alias("n_grams"),
+    if order_by_rarity:
+        exploded = base.select(
+            "doc", "lang", "len_bucket", F.explode("grams").alias("gram")
         )
-    )
+        # grams are distinct per doc → count(*) per gram == document freq
+        dfreq = exploded.groupBy("gram").agg(F.count("*").alias("gram_df"))
+        ordered = (
+            exploded.join(dfreq, "gram")
+            .groupBy("doc", "lang", "len_bucket")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("gram_df", "gram"))),
+                    lambda s: s["gram"],
+                ).alias("grams"),
+                F.count("*").alias("n_grams"),
+            )
+        )
+    else:
+        ordered = base.select(
+            "doc",
+            "lang",
+            "len_bucket",
+            F.array_sort("grams").alias("grams"),
+        ).withColumn("n_grams", F.size("grams").cast("long"))
     # `ordered` feeds three consumers (prefix index + both verify
-    # sides); without materialization Catalyst re-derives the whole
-    # scan→explode→df-count→sort lineage for each (16 scans observed).
-    # Persist is the same call a cluster job would make — MEMORY_AND_DISK
-    # so a 100 TB run spills instead of OOMing; evicted blocks recompute.
+    # sides); persist so the gram pipeline runs once, not three times.
+    # MEMORY_AND_DISK default: a 100 TB run spills instead of OOMing.
     ordered = ordered.persist()
     prefix_len = (
         F.col("n_grams") - F.ceil(F.lit(threshold) * F.col("n_grams")) + 1
