@@ -31,7 +31,12 @@ BENCH_QUERIES = [
     "dedup_minhash",
     "dedup_ngram_jaccard",
     "ann_topk",
+    "ann_ivf",
     "text_quality",
+    "cdc_merge",
+    "events_in_windows",
+    "percentile_stats",
+    "corpus_split_counts",
 ]
 
 
