@@ -33,24 +33,43 @@ def tokens(text: Column) -> Column:
 
 
 def word_shingles(toks: Column, n: int = 3) -> Column:
-    """Distinct n-word shingles: the unit for minhash/jaccard dedup."""
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        )
-    )
+    """Distinct n-word shingles: the unit for minhash/jaccard dedup.
+
+    Texts with fewer than ``n`` tokens yield an empty array (matching the
+    oracle's ``range`` semantics). The ``size >= n`` guard is required:
+    an unguarded ``sequence(1, size-n+1)`` on short input is
+    ``sequence(1, 0)`` which Spark evaluates with step -1 as ``[1, 0]``,
+    and the ``i = 0`` slice then aborts the job.
+    """
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def char_ngrams(text: Column, n: int = 3) -> Column:
-    """Distinct character n-grams of the lower-cased text."""
+    """Distinct character n-grams of the lower-cased text.
+
+    Texts shorter than ``n`` chars yield an empty array — same
+    ``sequence(1, 0)`` guard as :func:`word_shingles`, and it keeps the
+    cross-engine contract (DuckDB's ``range(1, len-n+2)`` is empty for
+    short strings, an unguarded Spark plan would emit a short gram).
+    """
     low = F.lower(text)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(low) - (n - 1), F.lit(0))),
-            lambda i: F.substring(low, i, n),
-        )
-    )
+    return F.when(
+        F.length(low) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(low) - (n - 1)),
+                lambda i: F.substring(low, i, n),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def marker_hits(toks: Column, lang: str) -> Column:

@@ -56,6 +56,28 @@ def test_char_ngrams_distinct(spark):
     assert out[0]["g"] == ["aaa"]
 
 
+def test_short_texts_yield_empty_shingles_and_grams(spark):
+    # Regression: sequence(1, 0) steps DOWN in Spark ([1, 0]) — an
+    # unguarded plan aborts on slice(toks, 0, 3) for <n-token docs and
+    # emits short grams (vs the oracle's empty range) for <n-char docs.
+    rows = [(1, ""), (2, "a"), (3, "ab"), (4, "one two"), (5, "  ")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            T.word_shingles(T.tokens(F.col("text"))).alias("s"),
+            T.char_ngrams(F.col("text")).alias("g"),
+        ).collect()
+    }
+    for i in rows:
+        assert out[i[0]]["s"] == []
+    assert out[1]["g"] == []
+    assert out[2]["g"] == []
+    assert out[3]["g"] == []
+    assert out[4]["g"] == ["one", "ne ", "e t", " tw", "two"]
+
+
 class TestMultimodal:
     def test_payload_roundtrip(self, spark, tdf):
         media = M.attach_payload(tdf)
