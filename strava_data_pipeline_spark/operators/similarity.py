@@ -66,15 +66,21 @@ def ann_topk_bruteforce(
     )
 
 
-def _bucket_expr(vec_col: str) -> F.Column:
-    """8-bit random-hyperplane bucket id for a double-array column."""
+def _band_bucket_expr(vec_col: str, band: int, bits: int) -> F.Column:
+    """Bucket id for one LSH band: ``bits`` consecutive hyperplane sign
+    bits starting at plane ``band * bits``."""
     planes = plane_literals()
     bit_terms = []
-    for j, plane in enumerate(planes):
-        lits = F.array(*[F.lit(x) for x in plane])
+    for j in range(bits):
+        lits = F.array(*[F.lit(x) for x in planes[band * bits + j]])
         d = V.dot(F.col(vec_col), lits)
         bit_terms.append(F.when(d >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
     return sum(bit_terms).cast("int")
+
+
+def _bucket_expr(vec_col: str) -> F.Column:
+    """8-bit random-hyperplane bucket id for a double-array column."""
+    return _band_bucket_expr(vec_col, 0, N_PLANES)
 
 
 def ann_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
@@ -175,24 +181,60 @@ def ann_topk_ivf(
 
 
 def embedding_neardup_pairs(
-    embeddings: DataFrame, threshold: float = 0.98
+    embeddings: DataFrame,
+    threshold: float = 0.98,
+    n_bands: int = 4,
+    bits_per_band: int = 2,
 ) -> DataFrame:
-    """Near-duplicate vector pairs (cosine ≥ threshold), blocked by the
-    ``label`` cluster column so the pairwise work is per-block."""
+    """Near-duplicate vector pairs (cosine ≥ threshold) via banded
+    random-hyperplane LSH inside ``label`` blocks.
+
+    Candidates are generated ONLY within (label, band, bucket) groups —
+    an equi-join shuffle on narrow keys, never all-pairs per label — so
+    a hot label cannot melt one reducer. A pair colliding in any of the
+    ``n_bands`` bucket tables becomes a candidate once (ids only,
+    de-duplicated), then a single verify join re-attaches the two
+    vectors and applies the cosine threshold, mirroring the minhash
+    verify structure (dedup.py). Recall for a pair at angle θ is
+    1 - (1 - (1-θ/π)^bits)^bands ≈ 0.85 at this corpus's τ=0.35; with
+    production near-dup thresholds (τ ≥ 0.9) raise ``bits_per_band`` to
+    8-16 so per-band buckets stay small at corpus scale.
+    """
     e = embeddings.select(
         "vec_id", "label", V.as_double(F.col("embedding")).alias("v")
     )
-    a, b = e.alias("a"), e.alias("b")
-    return (
+    bucketed = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.array(
+                *[_band_bucket_expr("v", b, bits_per_band) for b in range(n_bands)]
+            )
+        ).alias("band", "bucket"),
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    cand = (
         a.join(
             b,
             (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            V.cosine_rounded(F.col("a.v"), F.col("b.v")).alias("score"),
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    va = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    vb = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            V.cosine_rounded(F.col("va"), F.col("vb")).alias("score"),
         )
         .where(F.col("score") >= threshold)
     )

@@ -189,29 +189,64 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # 25. dedup_embedding — cosine near-dup pairs
 # --------------------------------------------------------------------------
-_EMB_DEDUP_ORACLE = """
+def _duck_dot(vec_a: str, vec_b: str) -> str:
+    return f"list_sum([{vec_a}[i] * {vec_b}[i] FOR i IN range(1, 65)])"
+
+
+def _duck_cos(a: str, b: str) -> str:
+    return (
+        f"round({_duck_dot(a, b)} / "
+        f"(sqrt({_duck_dot(a, a)}) * sqrt({_duck_dot(b, b)})), 6)"
+    )
+
+
+def _duck_band_bucket(band: int, bits: int) -> str:
+    """DuckDB twin of similarity._band_bucket_expr — same plane
+    literals, same sequential dot fold, same bit weights."""
+    planes = S.plane_literals()
+    terms = []
+    for j in range(bits):
+        plane = planes[band * bits + j]
+        dot = " + ".join(f"v[{d + 1}] * ({plane[d]!r})" for d in range(S.DIM))
+        terms.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << j} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS INT)"
+
+
+def _emb_dedup_oracle(n_bands: int = 4, bits: int = 2) -> str:
+    band_selects = "\n    UNION ALL\n    ".join(
+        f"SELECT vec_id, label, v, {b} AS band, {_duck_band_bucket(b, bits)} AS bucket FROM e"
+        for b in range(n_bands)
+    )
+    return f"""
 WITH e AS (
     SELECT vec_id, label,
            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
     FROM embeddings
+), bands AS (
+    {band_selects}
+), cand AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM bands a JOIN bands b
+      ON a.label = b.label AND a.band = b.band AND a.bucket = b.bucket
+     AND a.vec_id < b.vec_id
 ), scored AS (
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           round(
-             list_sum([a.v[i] * b.v[i] FOR i IN range(1, 65)]) /
-             (sqrt(list_sum([a.v[i] * a.v[i] FOR i IN range(1, 65)])) *
-              sqrt(list_sum([b.v[i] * b.v[i] FOR i IN range(1, 65)]))), 6) AS score
-    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    SELECT c.vec_a, c.vec_b, {_duck_cos('ea.v', 'eb.v')} AS score
+    FROM cand c
+    JOIN e ea ON ea.vec_id = c.vec_a
+    JOIN e eb ON eb.vec_id = c.vec_b
 )
 SELECT vec_a, vec_b, score FROM scored WHERE score >= 0.35
 """
 
 
-@register("dedup_embedding", oracle=_EMB_DEDUP_ORACLE, tags=("llm", "dedup"))
+@register("dedup_embedding", oracle=_emb_dedup_oracle(), tags=("llm", "dedup"))
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs (cosine ≥ τ), label-blocked. τ=0.35 sits
-    at the top ~0.1% of the synthetic same-label cosine distribution
-    (max ≈ 0.47) — a production corpus with planted dups would use
-    0.95+; the operator takes the threshold as a parameter."""
+    """Embedding near-dup pairs (cosine ≥ τ) via banded hyperplane LSH
+    within label blocks — candidates only inside (label, band, bucket)
+    groups, never all-pairs per label. τ=0.35 sits at the top ~0.1% of
+    the synthetic same-label cosine distribution (max ≈ 0.47) — a
+    production corpus with planted dups would use 0.95+; threshold,
+    band count, and bits per band are parameters."""
     return S.embedding_neardup_pairs(
         load_table(spark, sf_dir, "embeddings"), threshold=0.35
     )
@@ -254,10 +289,6 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # 27. ann_lsh — hyperplane-bucketed approximate top-k
 # --------------------------------------------------------------------------
-def _duck_dot(vec_a: str, vec_b: str) -> str:
-    return f"list_sum([{vec_a}[i] * {vec_b}[i] FOR i IN range(1, 65)])"
-
-
 def _ann_lsh_oracle() -> str:
     planes = S.plane_literals()
     # bucket bit j: sequential left-to-right dot with the plane literals,
@@ -289,13 +320,6 @@ WITH e AS (
 )
 SELECT * FROM ranked WHERE rank <= 5
 """
-
-
-def _duck_cos(a: str, b: str) -> str:
-    return (
-        f"round({_duck_dot(a, b)} / "
-        f"(sqrt({_duck_dot(a, a)}) * sqrt({_duck_dot(b, b)})), 6)"
-    )
 
 
 _ANN_IVF_ORACLE = f"""

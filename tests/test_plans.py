@@ -70,6 +70,18 @@ def test_point_lookup_pushes_filter_to_scan(plans):
     assert "EqualTo(event_id" in plans["activity_by_id"]
 
 
+def test_embedding_dedup_joins_on_lsh_bucket(plans):
+    # dedup_embedding must block on (label, band, bucket) — a
+    # SortMergeJoin/ShuffledHashJoin whose keys include the bucket —
+    # never all-pairs within label (the round-1 weak plan).
+    plan = plans["dedup_embedding"]
+    assert "bucket" in plan and "band" in plan, "LSH band keys missing from plan"
+    join_keys = [
+        line for line in plan.splitlines() if "keys" in line and "bucket" in line
+    ]
+    assert join_keys, "candidate join does not shuffle on the bucket key"
+
+
 def test_whole_stage_codegen_present(plans):
     # every query should have at least one codegen span ("(codegen
     # id : N)" in the final adaptive plan); a plan with none has
