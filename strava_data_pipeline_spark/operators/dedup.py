@@ -23,10 +23,17 @@ from strava_data_pipeline_spark.functions.hashing import (
     perm_params,
 )
 from strava_data_pipeline_spark.functions.text import char_ngrams, tokens, word_shingles
+from strava_data_pipeline_spark.operators.skew import cap_hot_buckets
 
 N_PERMS = 16
 N_BANDS = 4
 ROWS_PER_BAND = N_PERMS // N_BANDS
+
+# Per-bucket membership cap for LSH pair generation (see
+# skew.cap_hot_buckets): bounds the quadratic work a degenerate band
+# key can concentrate on one reducer. Mirrored verbatim in the DuckDB
+# oracles (QUALIFY count(*) OVER bucket <= cap).
+MAX_BUCKET = 500
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -39,11 +46,14 @@ def _spread(df: DataFrame) -> DataFrame:
     at sf0.1). On a real cluster the scan already has ≥cores splits
     and this is a no-op — the repartition only fires on the
     pathological small-file case, so it never adds a full-corpus
-    shuffle at 100 TB.
+    shuffle at 100 TB. The split estimate is ``inputFiles()`` (a
+    listing, no plan→RDD conversion — ``df.rdd`` would force one per
+    call); it undercounts multi-split files, which only matters below
+    ``target`` files where the extra shuffle is small by construction.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < min(target, 32):
-        return df.repartition(min(target, 32))
+    target = min(df.sparkSession.sparkContext.defaultParallelism, 32)
+    if len(df.inputFiles()) < target:
+        return df.repartition(target)
     return df
 
 
@@ -97,12 +107,16 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     n_bands: int = N_BANDS,
     rows_per_band: int = ROWS_PER_BAND,
+    max_bucket: int = MAX_BUCKET,
 ) -> DataFrame:
     """LSH banding: docs sharing any band key become candidate pairs;
     est_jaccard = fraction of matching signature components.
 
     The band join shuffles on (band, key) — collisions only, never the
-    cross product.
+    cross product. Band buckets larger than ``max_bucket`` docs are
+    dropped before the join (observed metric ``minhash_lsh_skew``) so a
+    degenerate band key can't re-create the quadratic blowup inside one
+    bucket.
     """
     # sig feeds the band explode and both est-jaccard joins; persist so
     # the shingle→hash→16-way min pipeline runs once, not three times
@@ -128,6 +142,7 @@ def minhash_lsh_pairs(
     bands = sig.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
         id_col, F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
     )
+    bands = cap_hot_buckets(bands, ["band", "bkey"], max_bucket, "minhash_lsh_skew")
     a, b_ = bands.alias("a"), bands.alias("b")
     pairs = (
         a.join(
@@ -183,11 +198,16 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
 
 
 def simhash_pairs(
-    sh: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket: int = MAX_BUCKET,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 32 bits into 4 bytes — any
     pair within hamming ≤ 3 shares at least one byte band (pigeonhole),
-    so the band join finds all of them without a cross product."""
+    so the band join finds all of them without a cross product. Byte
+    bands with more than ``max_bucket`` members are dropped before the
+    join (observed metric ``simhash_skew``) — the hot-bucket guard."""
     bands = sh.select(
         F.col(id_col),
         F.col("simhash"),
@@ -205,6 +225,7 @@ def simhash_pairs(
             )
         ).alias("bk"),
     ).select(id_col, "simhash", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    bands = cap_hot_buckets(bands, ["band", "bkey"], max_bucket, "simhash_skew")
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(

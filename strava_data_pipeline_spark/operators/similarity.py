@@ -14,9 +14,14 @@ from pyspark.sql import functions as F
 
 from strava_data_pipeline_spark.functions.hashing import MINHASH_PRIME
 from strava_data_pipeline_spark.functions import vectors as V
+from strava_data_pipeline_spark.operators.skew import cap_hot_buckets
 
 DIM = 64
 N_PLANES = 8
+
+# Hot-bucket guard for the LSH candidate join (see skew.cap_hot_buckets);
+# mirrored in the DuckDB oracle via QUALIFY.
+MAX_BUCKET = 500
 
 
 def _plane_component(j: int, d: int) -> float:
@@ -83,10 +88,16 @@ def _bucket_expr(vec_col: str) -> F.Column:
     return _band_bucket_expr(vec_col, 0, N_PLANES)
 
 
-def ann_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
+def ann_topk_lsh(
+    corpus: DataFrame, queries: DataFrame, k: int = 5, max_bucket: int = MAX_BUCKET
+) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's
     hyperplane bucket. At 100 TB the corpus is pre-bucketed (partitioned
-    by bucket id at write), so a query touches 1/256th of the data."""
+    by bucket id at write), so a query touches 1/256th of the data.
+    Corpus buckets larger than ``max_bucket`` vectors are dropped before
+    the candidate join (observed metric ``ann_lsh_skew``) — a degenerate
+    bucket (e.g. a mass of near-zero vectors landing on one sign
+    pattern) would otherwise multiply against every query probing it."""
     q = queries.select(
         F.col("vec_id").alias("query_id"), V.as_double(F.col("embedding")).alias("qv")
     ).withColumn("bucket", _bucket_expr("qv"))
@@ -94,6 +105,7 @@ def ann_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame
         F.col("vec_id").alias("neighbor_id"),
         V.as_double(F.col("embedding")).alias("cv"),
     ).withColumn("bucket", _bucket_expr("cv"))
+    c = cap_hot_buckets(c, ["bucket"], max_bucket, "ann_lsh_skew")
     scored = (
         c.join(F.broadcast(q), "bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
@@ -185,6 +197,7 @@ def embedding_neardup_pairs(
     threshold: float = 0.98,
     n_bands: int = 4,
     bits_per_band: int = 2,
+    max_bucket: int = MAX_BUCKET,
 ) -> DataFrame:
     """Near-duplicate vector pairs (cosine ≥ threshold) via banded
     random-hyperplane LSH inside ``label`` blocks.
@@ -211,6 +224,9 @@ def embedding_neardup_pairs(
                 *[_band_bucket_expr("v", b, bits_per_band) for b in range(n_bands)]
             )
         ).alias("band", "bucket"),
+    )
+    bucketed = cap_hot_buckets(
+        bucketed, ["label", "band", "bucket"], max_bucket, "emb_dedup_skew"
     )
     a, b = bucketed.alias("a"), bucketed.alias("b")
     cand = (

@@ -17,10 +17,28 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _SALT = "__salt"
+
+# Join types whose output is row-identical to the unsalted join: every
+# left row carries exactly ONE salt value, so left-preserving semantics
+# survive; the right side is replicated n_salts×, so any join type that
+# emits unmatched RIGHT rows (right/full outer) would duplicate them
+# once per salt.
+_SALTABLE_HOW = {
+    "inner",
+    "left",
+    "left_outer",
+    "leftouter",
+    "left_semi",
+    "leftsemi",
+    "semi",
+    "left_anti",
+    "leftanti",
+    "anti",
+}
 
 
 def salted_join(
@@ -41,6 +59,12 @@ def salted_join(
     ``right``; a dimension-sized right should be broadcast instead —
     no salting needed).
     """
+    if how.lower().replace(" ", "") not in _SALTABLE_HOW:
+        raise ValueError(
+            f"salted_join supports left-preserving join types {sorted(_SALTABLE_HOW)}; "
+            f"got {how!r} — a right/full outer join would emit each unmatched "
+            f"right row once per salt ({n_salts}×)."
+        )
     on = list(on)
     l = left.withColumn(
         _SALT, F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(n_salts))
@@ -49,3 +73,35 @@ def salted_join(
         _SALT, F.explode(F.array(*[F.lit(s) for s in range(n_salts)]))
     )
     return l.join(r, on + [_SALT], how).drop(_SALT)
+
+
+def cap_hot_buckets(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    cap: int,
+    metric: str | None = None,
+) -> DataFrame:
+    """Drop blocking/LSH buckets with more than ``cap`` member rows
+    before pair generation.
+
+    A degenerate bucket key (a boilerplate-heavy shard collapsing to
+    one band value) re-creates the quadratic blowup inside a single
+    reducer: B members → B²/2 candidate pairs. Capping bounds per-bucket
+    work at cap²/2; the dropped buckets are near-uniform boilerplate
+    whose members pairwise-match trivially — the standard trade in
+    corpus dedup. The bucket count is a window count over ``key_cols``,
+    shuffling on the same key the following pair join uses. When
+    ``metric`` is set, an ``observe`` node records
+    ``rows_in_dropped_buckets`` for QueryExecutionListener /
+    ``Observation`` consumers at no extra action cost.
+    """
+    w = Window.partitionBy(*[F.col(c) for c in key_cols])
+    sized = df.withColumn("_bucket_size", F.count(F.lit(1)).over(w))
+    if metric is not None:
+        sized = sized.observe(
+            metric,
+            F.sum(F.when(F.col("_bucket_size") > cap, 1).otherwise(0)).alias(
+                "rows_in_dropped_buckets"
+            ),
+        )
+    return sized.where(F.col("_bucket_size") <= cap).drop("_bucket_size")

@@ -93,9 +93,13 @@ WITH toks AS (
     FROM hx GROUP BY doc_id
 ), bands AS (
 {bands}
+), capped AS (
+    -- hot-bucket guard: mirrors operators/skew.cap_hot_buckets
+    SELECT * FROM bands
+    QUALIFY count(*) OVER (PARTITION BY band, bkey) <= {D.MAX_BUCKET}
 ), pairs AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
+    FROM capped a JOIN capped b
       ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
 )
 SELECT p.doc_a, p.doc_b, round(({eq}) / {float(D.N_PERMS)}, 4) AS est_jaccard
@@ -141,10 +145,14 @@ WITH toks AS (
 ), bands AS (
     SELECT doc_id, simhash, u.band, (simhash >> (8 * u.band)) & 255 AS bkey
     FROM sh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) u
+), capped AS (
+    -- hot-bucket guard: mirrors operators/skew.cap_hot_buckets
+    SELECT * FROM bands
+    QUALIFY count(*) OVER (PARTITION BY band, bkey) <= {D.MAX_BUCKET}
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-FROM bands a JOIN bands b
+FROM capped a JOIN capped b
   ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
@@ -224,9 +232,13 @@ WITH e AS (
     FROM embeddings
 ), bands AS (
     {band_selects}
+), capped AS (
+    -- hot-bucket guard: mirrors operators/skew.cap_hot_buckets
+    SELECT * FROM bands
+    QUALIFY count(*) OVER (PARTITION BY label, band, bucket) <= {S.MAX_BUCKET}
 ), cand AS (
     SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-    FROM bands a JOIN bands b
+    FROM capped a JOIN capped b
       ON a.label = b.label AND a.band = b.band AND a.bucket = b.bucket
      AND a.vec_id < b.vec_id
 ), scored AS (
@@ -306,12 +318,16 @@ WITH e AS (
     SELECT vec_id, v, CAST({bucket} AS INT) AS bucket FROM e
 ), q AS (
     SELECT vec_id AS query_id, v AS qv, bucket FROM bucketed WHERE vec_id < 8
+), capped AS (
+    -- hot-bucket guard on the corpus side: mirrors skew.cap_hot_buckets
+    SELECT * FROM bucketed
+    QUALIFY count(*) OVER (PARTITION BY bucket) <= {S.MAX_BUCKET}
 ), scored AS (
     SELECT q.query_id, c.vec_id AS neighbor_id,
            round(
              {_duck_dot('q.qv', 'c.v')} /
              (sqrt({_duck_dot('q.qv', 'q.qv')}) * sqrt({_duck_dot('c.v', 'c.v')})), 6) AS score
-    FROM bucketed c JOIN q USING (bucket) WHERE q.query_id != c.vec_id
+    FROM capped c JOIN q USING (bucket) WHERE q.query_id != c.vec_id
 ), ranked AS (
     SELECT query_id, neighbor_id, score,
            CAST(row_number() OVER (PARTITION BY query_id

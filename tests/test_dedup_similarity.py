@@ -107,3 +107,50 @@ def test_embedding_neardup_pairs(spark, vectors):
     pairs = S.embedding_neardup_pairs(vectors, threshold=0.999).collect()
     assert pairs, "identical vectors within a label must pair"
     assert all(r["score"] >= 0.999 for r in pairs)
+
+
+# ---------------------------------------------------------------------------
+# Hot-bucket skew caps: a degenerate band key must NOT produce B²/2 pairs
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def hot_docs(spark):
+    # 40 byte-identical docs: every minhash band key and every simhash
+    # byte band collapses to ONE bucket of 40 members.
+    rows = [(i, DOC, "en") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    return df.withColumn("n_chars", F.length("text").cast("bigint"))
+
+
+def test_minhash_hot_bucket_capped(spark, hot_docs):
+    sig = D.minhash_signatures(hot_docs)
+    uncapped = D.minhash_lsh_pairs(sig, max_bucket=1000).count()
+    assert uncapped == 40 * 39 // 2  # quadratic blowup without the guard
+    assert D.minhash_lsh_pairs(sig, max_bucket=10).count() == 0
+
+
+def test_simhash_hot_bucket_capped(spark, hot_docs):
+    sh = D.simhash(hot_docs)
+    assert D.simhash_pairs(sh, max_bucket=1000).count() == 40 * 39 // 2
+    assert D.simhash_pairs(sh, max_bucket=10).count() == 0
+
+
+def test_ann_lsh_hot_bucket_capped(spark, vectors):
+    # every vector with the same seed (label) shares a bucket; capping at 1
+    # removes all multi-member corpus buckets ⇒ no candidates survive
+    q = vectors.where(F.col("vec_id") == 0)
+    assert S.ann_topk_lsh(vectors, q, k=5, max_bucket=1).count() == 0
+
+
+def test_embedding_neardup_hot_bucket_capped(spark, vectors):
+    assert (
+        S.embedding_neardup_pairs(vectors, threshold=0.999, max_bucket=1).count() == 0
+    )
+
+
+def test_salted_join_rejects_right_outer(spark, docs):
+    from strava_data_pipeline_spark.operators.skew import salted_join
+
+    with pytest.raises(ValueError, match="left-preserving"):
+        salted_join(docs, docs, ["doc_id"], how="right")
+    with pytest.raises(ValueError, match="left-preserving"):
+        salted_join(docs, docs, ["doc_id"], how="full_outer")
