@@ -3,17 +3,32 @@
 The reference syncs by polling the Strava API on a ticker and upserting
 row-at-a-time (/root/reference/internal/strava/strava.go:261). The
 Spark-native shape is a file-source stream: each micro-batch of newly
-landed activity files is merged latest-wins into the target table via
-``foreachBatch`` — idempotent, incremental, and restartable from the
-checkpoint. ``Trigger.AvailableNow`` gives the same "catch up then
-stop" semantics as the reference's manual `/admin/sync`.
+landed activity files is merged latest-wins into a DAY-PARTITIONED
+parquet target via ``foreachBatch`` — idempotent, incremental, and
+restartable from the checkpoint. ``Trigger.AvailableNow`` gives the
+same "catch up then stop" semantics as the reference's manual
+`/admin/sync`.
+
+Scale shape: a micro-batch only ever touches the day partitions its
+events fall in, so the merge reads O(batch-days), not O(table), and the
+write replaces ONLY those partitions (``partitionOverwriteMode=dynamic``
+set per-write, never leaked into the session). Untouched day
+directories are not listed, read, or rewritten — per-batch I/O is
+proportional to the batch, which is what survives a 100 TB target.
+Dynamic overwrite also removes the round-1 stage-then-swap: the whole
+table is never deleted mid-write (per-partition commit via the file
+committer). For transactional multi-partition atomicity and
+cross-day key moves, the cluster path is a Delta/Iceberg MERGE sink —
+this parquet-dir sink documents the constraint that a correction
+record keeps its event's calendar day (the day is derived from the
+event time that identifies it); a stale copy in an untouched day would
+otherwise need a compaction pass.
 """
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -49,30 +64,60 @@ def read_event_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
     )
 
 
+def _hadoop_path_exists(spark: SparkSession, path: str) -> bool:
+    """Existence check through the Hadoop FileSystem API, so the sink
+    works on any supported filesystem (HDFS/S3A/local), not just the
+    driver's local disk as ``os.path`` would."""
+    hpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
 def start_incremental_sync(
     stream: DataFrame,
     target_dir: str,
     checkpoint_dir: str,
 ):
-    """Merge each micro-batch into the parquet target, latest-wins.
+    """Merge each micro-batch into the day-partitioned parquet target,
+    latest-wins, touching only the partitions present in the batch.
 
     foreachBatch gets a *batch* DataFrame, so the merge reuses the exact
     batch operator (operators/upsert.py) — one code path for batch and
     streaming ingestion.
     """
-    spark = stream.sparkSession
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
-        if os.path.exists(target_dir):
-            base = batch.sparkSession.read.schema(EVENT_SCHEMA).parquet(target_dir)
-            merged = merge_latest_wins(base, batch, keys=["event_id"], order_by=["ts"])
+        sess = batch.sparkSession
+        data_cols = [f.name for f in EVENT_SCHEMA.fields]
+        b = batch.select(
+            *data_cols, F.to_date(F.col("ts")).alias("p_day")
+        )
+        days = [r["p_day"] for r in b.select("p_day").distinct().collect()]
+        if not days:
+            return
+        if _hadoop_path_exists(sess, target_dir):
+            # partition-pruned read: only the days this batch touches
+            base = (
+                sess.read.parquet(target_dir)
+                .where(F.col("p_day").isin(days))
+                .select(*data_cols, "p_day")
+            )
+            # eager localCheckpoint materializes the (batch-bounded)
+            # merge result and cuts lineage to the target path — Spark
+            # refuses to overwrite a path its plan still reads from. On
+            # a multi-node cluster use a reliable checkpoint dir (or a
+            # Delta/Iceberg MERGE sink) instead of executor-local blocks.
+            merged = merge_latest_wins(
+                base, b, keys=["event_id"], order_by=["ts"]
+            ).localCheckpoint(eager=True)
         else:
-            merged = batch
-        # overwrite into a staging dir then swap would be the cluster
-        # pattern; local filesystem overwrite suffices here
-        merged.write.mode("overwrite").parquet(target_dir + "_stage")
-        stage = batch.sparkSession.read.parquet(target_dir + "_stage")
-        stage.write.mode("overwrite").parquet(target_dir)
+            merged = b
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("p_day")
+            .parquet(target_dir)
+        )
 
     return (
         stream.writeStream.foreachBatch(merge_batch)

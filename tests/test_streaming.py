@@ -32,6 +32,17 @@ def dirs(tmp_path):
     return landing, target, ckpt
 
 
+def _partition_state(target: str, day: str) -> dict[str, bytes]:
+    """File name → raw bytes of one day partition directory."""
+    pdir = os.path.join(target, f"p_day={day}")
+    out = {}
+    for name in sorted(os.listdir(pdir)):
+        if name.startswith("part-"):
+            with open(os.path.join(pdir, name), "rb") as f:
+                out[name] = f.read()
+    return out
+
+
 def test_incremental_sync_upserts(spark, dirs):
     landing, target, ckpt = dirs
     _write_batch(
@@ -40,14 +51,17 @@ def test_incremental_sync_upserts(spark, dirs):
         [
             (1, datetime(2024, 1, 1, 10), 7, "run", 5.0),
             (2, datetime(2024, 1, 1, 11), 7, "ride", 20.0),
+            (9, datetime(2024, 1, 5, 9), 9, "hike", 3.0),
         ],
     )
     q = start_incremental_sync(read_event_stream(spark, landing), target, ckpt)
     q.awaitTermination(120)
     out = {r["event_id"]: r for r in spark.read.parquet(target).collect()}
-    assert set(out) == {1, 2}
+    assert set(out) == {1, 2, 9}
+    untouched_before = _partition_state(target, "2024-01-05")
 
-    # second batch: update event 1 (newer ts) + new event 3
+    # second batch touches ONLY Jan 1/Jan 2: update event 1 (newer ts,
+    # moved to Jan 2) + new event 3 on Jan 1
     _write_batch(
         spark,
         landing,
@@ -59,8 +73,12 @@ def test_incremental_sync_upserts(spark, dirs):
     q = start_incremental_sync(read_event_stream(spark, landing), target, ckpt)
     q.awaitTermination(120)
     out = {r["event_id"]: r for r in spark.read.parquet(target).collect()}
-    assert set(out) == {1, 2, 3}
+    assert set(out) == {1, 2, 3, 9}
     assert out[1]["value"] == 7.5
+    assert str(out[1]["p_day"]) == "2024-01-02"
+    # the Jan 5 partition was not listed, read, or rewritten: its files
+    # are byte-identical — the O(batch) not O(table) property
+    assert _partition_state(target, "2024-01-05") == untouched_before
 
 
 def test_windowed_counts(spark, dirs):
