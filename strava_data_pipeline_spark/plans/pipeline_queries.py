@@ -471,6 +471,183 @@ def cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 46. user_upsert — CreateUser/UpdateUser as a set-based merge (user.go:34,110)
+# --------------------------------------------------------------------------
+# The testdata has no users table; both engines derive the same users dim
+# from customer (id, username, athlete_id, updated_at — the reference's
+# users schema minus OAuth token columns, which are request-time state).
+_USERS_DIM_SPARK = """
+SELECT c_custkey AS id,
+       lower(c_name) AS username,
+       c_custkey + 100000 AS athlete_id,
+       timestamp '2024-01-01 00:00:00' + make_interval(0, 0, 0, CAST(c_custkey % 365 AS INT), 0, 0, 0) AS updated_at
+FROM customer
+"""
+_USERS_DIM_DUCK = """
+SELECT c_custkey AS id,
+       lower(c_name) AS username,
+       c_custkey + 100000 AS athlete_id,
+       TIMESTAMP '2024-01-01 00:00:00' + to_days(CAST(c_custkey % 365 AS INT)) AS updated_at
+FROM customer
+"""
+
+_USER_UPSERT_ORACLE = f"""
+WITH users AS ({_USERS_DIM_DUCK}),
+updates AS (
+    SELECT id, username || '_renamed' AS username, athlete_id,
+           updated_at + INTERVAL 90 DAY AS updated_at
+    FROM users WHERE id % 7 = 0
+    UNION ALL
+    SELECT id + 1000000, 'new_user_' || CAST(id AS VARCHAR), id + 2000000,
+           TIMESTAMP '2024-12-01 00:00:00'
+    FROM users WHERE id % 100 = 0
+), tagged AS (
+    SELECT id, username, athlete_id, updated_at, 0 AS _src FROM users
+    UNION ALL
+    SELECT id, username, athlete_id, updated_at, 1 FROM updates
+), ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY id ORDER BY updated_at DESC, _src DESC) AS _rn
+    FROM tagged
+)
+SELECT id, username, athlete_id, updated_at FROM ranked WHERE _rn = 1
+"""
+
+
+@register("user_upsert", oracle=_USER_UPSERT_ORACLE, tags=("pipeline",))
+def user_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users-dim maintenance: the reference's CreateUser (user.go:34)
+    and UpdateUser (user.go:110) as ONE set-based latest-wins merge —
+    a rename batch (id % 7) plus a new-signup batch (id % 100, shifted
+    key space) against the derived users dim. Same single key-shuffle
+    plan as ingest_upsert."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    users = spark.sql(_USERS_DIM_SPARK)
+    renames = (
+        users.where(F.col("id") % 7 == 0)
+        .withColumn("username", F.concat(F.col("username"), F.lit("_renamed")))
+        .withColumn("updated_at", F.col("updated_at") + F.expr("INTERVAL 90 DAY"))
+    )
+    signups = users.where(F.col("id") % 100 == 0).select(
+        (F.col("id") + 1000000).alias("id"),
+        F.concat(F.lit("new_user_"), F.col("id").cast("string")).alias("username"),
+        (F.col("id") + 2000000).alias("athlete_id"),
+        F.lit("2024-12-01 00:00:00").cast("timestamp").alias("updated_at"),
+    )
+    return merge_latest_wins(
+        users, renames.unionByName(signups), keys=["id"], order_by=["updated_at"]
+    )
+
+
+# --------------------------------------------------------------------------
+# 47. user_lookup — GetUserByUsername / GetUserByAthleteID (user.go:74,92)
+# --------------------------------------------------------------------------
+_USER_LOOKUP_ORACLE = f"""
+WITH users AS ({_USERS_DIM_DUCK})
+SELECT id, username, athlete_id, updated_at
+FROM users
+WHERE username = 'customer#000000042' OR athlete_id = 100077
+"""
+
+
+@register("user_lookup", oracle=_USER_LOOKUP_ORACLE, tags=("pipeline",))
+def user_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookups on the users dim by username and by athlete id
+    (reference user.go:74, :92). The OR of two selective predicates
+    stays a single scan; on a stored users table both columns would be
+    bucketed/z-ordered so either predicate prunes."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    users = spark.sql(_USERS_DIM_SPARK)
+    return users.where(
+        (F.col("username") == "customer#000000042")
+        | (F.col("athlete_id") == 100077)
+    )
+
+
+# --------------------------------------------------------------------------
+# 48. key_lifecycle — API-key create/deactivate/delete as CDC
+#     (user_api_keys.go:64 CreateAPIKey, :111 UpdateAPIKey, :135 DeleteAPIKey)
+# --------------------------------------------------------------------------
+_KEY_LIFECYCLE_ORACLE = f"""
+WITH base AS (
+    SELECT user_id, api_key, is_active, expires_at,
+           TIMESTAMP '2024-01-01 00:00:00' AS updated_at
+    FROM ({_KEY_DIM_DUCK})
+), changes AS (
+    SELECT user_id, md5(api_key || ':v2') AS api_key, TRUE AS is_active,
+           TIMESTAMP '2025-06-01 00:00:00' AS expires_at,
+           TIMESTAMP '2024-07-01 00:00:00' AS updated_at, 'U' AS op
+    FROM base WHERE user_id % 10 = 3
+    UNION ALL
+    SELECT user_id, api_key, FALSE, expires_at,
+           TIMESTAMP '2024-07-01 00:00:00', 'U'
+    FROM base WHERE user_id % 10 = 4
+    UNION ALL
+    SELECT user_id, api_key, is_active, expires_at,
+           TIMESTAMP '2024-07-01 00:00:00', 'D'
+    FROM base WHERE user_id % 10 = 5
+), tagged AS (
+    SELECT user_id, api_key, is_active, expires_at, updated_at,
+           'U' AS op, 0 AS _src
+    FROM base
+    UNION ALL
+    SELECT user_id, api_key, is_active, expires_at, updated_at, op, 1
+    FROM changes
+), ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY api_key ORDER BY updated_at DESC, _src DESC) AS _rn
+    FROM tagged
+)
+SELECT user_id, api_key, is_active, expires_at, updated_at
+FROM ranked WHERE _rn = 1 AND op != 'D'
+"""
+
+
+@register("key_lifecycle", oracle=_KEY_LIFECYCLE_ORACLE, tags=("pipeline",))
+def key_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """API-key dim mutation as one CDC merge: a create batch (new key
+    per user id ending 3), a deactivation batch (id ending 4 — the key
+    row survives with is_active=false, so api_key_validate rejects it),
+    and a delete batch (id ending 5 — tombstoned out). One key-shuffle
+    via merge_cdc, reference user_api_keys.go:64/:111/:135."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    base = spark.sql(_KEY_DIM_SPARK).withColumn(
+        "updated_at", F.lit("2024-01-01 00:00:00").cast("timestamp")
+    )
+    ts7 = F.lit("2024-07-01 00:00:00").cast("timestamp")
+    creates = base.where(F.col("user_id") % 10 == 3).select(
+        "user_id",
+        F.md5(F.concat(F.col("api_key"), F.lit(":v2"))).alias("api_key"),
+        F.lit(True).alias("is_active"),
+        F.lit("2025-06-01 00:00:00").cast("timestamp").alias("expires_at"),
+        ts7.alias("updated_at"),
+        F.lit("U").alias("op"),
+    )
+    deactivates = base.where(F.col("user_id") % 10 == 4).select(
+        "user_id",
+        "api_key",
+        F.lit(False).alias("is_active"),
+        "expires_at",
+        ts7.alias("updated_at"),
+        F.lit("U").alias("op"),
+    )
+    deletes = base.where(F.col("user_id") % 10 == 5).select(
+        "user_id",
+        "api_key",
+        "is_active",
+        "expires_at",
+        ts7.alias("updated_at"),
+        F.lit("D").alias("op"),
+    )
+    return merge_cdc(
+        base,
+        creates.unionByName(deactivates).unionByName(deletes),
+        keys=["api_key"],
+        order_by=["updated_at"],
+    )
+
+
+# --------------------------------------------------------------------------
 # 43. events_profile — per-column ingestion quality profile
 # --------------------------------------------------------------------------
 _PROFILE_ORACLE = """

@@ -40,6 +40,29 @@ def test_query_runs(spark, sf_dir, name, queries):
     assert df.count() >= 0
 
 
+def test_key_lifecycle_semantics(spark, sf_dir, queries):
+    # planted-fixture contract: deactivated keys (user id ending 4)
+    # survive with is_active=false — so validation rejects them;
+    # deleted keys (id ending 5) are gone; created keys (id ending 3)
+    # coexist with the user's original key.
+    rows = queries["key_lifecycle"](spark, sf_dir).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"] % 10, []).append(r)
+    assert all(not r["is_active"] for r in by_user[4])
+    assert 5 not in by_user, "deleted keys must be tombstoned out"
+    n_with_new_key = len(by_user[3])
+    n_baseline = len(by_user[1])
+    assert n_with_new_key == 2 * n_baseline, "create batch adds a second key"
+
+
+def test_user_upsert_semantics(spark, sf_dir, queries):
+    rows = {r["id"]: r for r in queries["user_upsert"](spark, sf_dir).collect()}
+    assert rows[7]["username"].endswith("_renamed")
+    assert not rows[8]["username"].endswith("_renamed")
+    assert 1000100 in rows and rows[1000100]["username"] == "new_user_100"
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
