@@ -246,6 +246,102 @@ def simhash_pairs(
     )
 
 
+def simhash64(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash as TWO portable 32-bit halves (``simhash_lo``,
+    ``simhash_hi``), each from an independent md5-derived token hash
+    (the hi half salts the token with a fixed ``h2:`` prefix).
+
+    Why two halves instead of one 64-bit hash: every bit-vote and
+    shift stays inside the exact BIGINT arithmetic BOTH engines share —
+    and 64 fingerprint bits fix the 32-bit variant's birthday ceiling
+    (random 32-bit fingerprints start colliding at ~80k docs, turning
+    hamming≤3 "near-dups" into noise at corpus scale; 2^32× lower odds
+    at 64 bits). Same single explode + groupBy plan as 32-bit, just
+    64 conditional aggregates.
+    """
+    tok = _spread(df).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    ).select(
+        id_col,
+        md5_u32(F.col("token")).alias("x_lo"),
+        md5_u32(F.concat(F.lit("h2:"), F.col("token"))).alias("x_hi"),
+    )
+    votes = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col(f"x_{half}"), i).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"v_{half}_{i}")
+        for half in ("lo", "hi")
+        for i in range(32)
+    ]
+    voted = tok.groupBy(id_col).agg(*votes)
+    halves = [
+        sum(
+            F.when(F.col(f"v_{half}_{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            for i in range(32)
+        ).cast("bigint").alias(f"simhash_{half}")
+        for half in ("lo", "hi")
+    ]
+    return voted.select(F.col(id_col), *halves)
+
+
+def simhash64_pairs(
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 7,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """Near-dup pairs by 64-bit SimHash: 8 byte-bands (4 per half) —
+    a pair within hamming ≤ 7 leaves at least one of its 8 bands
+    untouched (pigeonhole), so the band join finds every such pair
+    without a cross product. Hot bands capped (``simhash64_skew``)."""
+    band_structs = [
+        F.struct(
+            F.lit(4 * h + b).alias("band"),
+            F.shiftright(F.col(f"simhash_{half}"), 8 * b)
+            .bitwiseAND(F.lit(255))
+            .alias("bkey"),
+        )
+        for h, half in enumerate(("lo", "hi"))
+        for b in range(4)
+    ]
+    bands = sh.select(
+        F.col(id_col),
+        "simhash_lo",
+        "simhash_hi",
+        F.explode(F.array(*band_structs)).alias("bk"),
+    ).select(
+        id_col,
+        "simhash_lo",
+        "simhash_hi",
+        F.col("bk.band").alias("band"),
+        F.col("bk.bkey").alias("bkey"),
+    )
+    bands = cap_hot_buckets(bands, ["band", "bkey"], max_bucket, "simhash64_skew")
+    a, b = bands.alias("a"), bands.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash_lo").bitwiseXOR(F.col("b.simhash_lo"))
+    ) + F.bit_count(F.col("a.simhash_hi").bitwiseXOR(F.col("b.simhash_hi")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

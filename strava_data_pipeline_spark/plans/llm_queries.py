@@ -168,6 +168,72 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 49. dedup_simhash64 — the corpus-scale fingerprint width
+# --------------------------------------------------------------------------
+def _simhash64_oracle() -> str:
+    votes = ",\n        ".join(
+        f"sum(CASE WHEN (x_{half} >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{half}_{i}"
+        for half in ("lo", "hi")
+        for i in range(32)
+    )
+    halves = ",\n        ".join(
+        "CAST("
+        + " + ".join(
+            f"(CASE WHEN v_{half}_{i} > 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(32)
+        )
+        + f" AS BIGINT) AS simhash_{half}"
+        for half in ("lo", "hi")
+    )
+    ham = (
+        "bit_count(xor(a.simhash_lo, b.simhash_lo)) + "
+        "bit_count(xor(a.simhash_hi, b.simhash_hi))"
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents
+), tok AS (
+    SELECT doc_id, unnest(t) AS token FROM toks
+), hx AS (
+    SELECT doc_id, {md5_u32_duckdb('token')} AS x_lo,
+           {md5_u32_duckdb("'h2:' || token")} AS x_hi
+    FROM tok
+), votes AS (
+    SELECT doc_id,
+        {votes}
+    FROM hx GROUP BY doc_id
+), sh AS (
+    SELECT doc_id,
+        {halves}
+    FROM votes
+), bands AS (
+    SELECT doc_id, simhash_lo, simhash_hi, u.band,
+           CASE WHEN u.band < 4 THEN (simhash_lo >> (8 * u.band)) & 255
+                ELSE (simhash_hi >> (8 * (u.band - 4))) & 255 END AS bkey
+    FROM sh CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS band) u
+), capped AS (
+    -- hot-bucket guard: mirrors operators/skew.cap_hot_buckets
+    SELECT * FROM bands
+    QUALIFY count(*) OVER (PARTITION BY band, bkey) <= {D.MAX_BUCKET}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST({ham} AS INT) AS hamming
+FROM capped a JOIN capped b
+  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+WHERE {ham} <= 7
+"""
+
+
+@register("dedup_simhash64", oracle=_simhash64_oracle(), tags=("llm", "dedup"))
+def dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(64-bit, two portable 32-bit halves) near-dup pairs within
+    hamming ≤ 7 via 8 byte-band pigeonhole blocking — the corpus-scale
+    fingerprint width (32-bit birthday-collides from ~80k docs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash64_pairs(D.simhash64(docs))
+
+
+# --------------------------------------------------------------------------
 # 24. dedup_ngram_jaccard
 # --------------------------------------------------------------------------
 _JACCARD_ORACLE = f"""

@@ -48,6 +48,23 @@ def test_simhash_near_dup(spark, docs):
     assert (1, 4) not in pairs
 
 
+def test_simhash64_near_dup(spark, docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in D.simhash64_pairs(D.simhash64(docs)).collect()
+    }
+    assert pairs[(1, 2)] == 0  # identical docs: identical 64-bit fingerprint
+    assert (1, 4) not in pairs  # unrelated doc stays outside hamming<=7
+
+
+def test_simhash64_hot_bucket_capped(spark):
+    rows = [(i, DOC, "en") for i in range(40)]
+    hot = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    sh = D.simhash64(hot)
+    assert D.simhash64_pairs(sh, max_bucket=1000).count() == 40 * 39 // 2
+    assert D.simhash64_pairs(sh, max_bucket=10).count() == 0
+
+
 def test_ngram_jaccard(spark, docs):
     pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in D.ngram_jaccard_pairs(docs).collect()}
     assert pairs[(1, 2)] == 1.0
