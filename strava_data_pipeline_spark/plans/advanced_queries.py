@@ -195,6 +195,32 @@ def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 50. percentile_stats_approx — the sketch path percentile_stats documents
+# --------------------------------------------------------------------------
+@register("percentile_stats_approx", oracle=None, tags=("analytics", "approx"))
+def percentile_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch percentiles (``percentile_approx``, accuracy 10000) — the
+    100 TB path: mergeable map-side partials, no per-group value
+    materialization. Registered WITHOUT a DuckDB oracle: quantile
+    sketches are implementation-defined (Spark's GK vs DuckDB's), so
+    the driver records a rows-only check; the tolerance band against
+    the exact operator is pytest-gated (tests/test_operators.py)."""
+    pct = F.expr("percentile_approx(value, array(0.5, 0.9, 0.99), 10000)")
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.element_at(pct, 1), 4).alias("p50"),
+            F.round(F.element_at(pct, 2), 4).alias("p90"),
+            F.round(F.element_at(pct, 3), 4).alias("p99"),
+            F.round(F.min("value"), 4).alias("min_value"),
+            F.round(F.max("value"), 4).alias("max_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # 37. events_rollup — ROLLUP(type, day) cube
 # --------------------------------------------------------------------------
 _ROLLUP_ORACLE = """

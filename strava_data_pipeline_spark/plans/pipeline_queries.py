@@ -683,3 +683,22 @@ def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile(
         load_table(spark, sf_dir, "events").select(*EVENT_COLS), EVENT_COLS
     )
+
+
+# --------------------------------------------------------------------------
+# 51. events_profile_approx — the HLL path events_profile documents
+# --------------------------------------------------------------------------
+@register("events_profile_approx", oracle=None, tags=("pipeline", "approx"))
+def events_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile with HyperLogLog distincts
+    (``approx_count_distinct``) — the 100 TB path: single pass, no
+    Expand, sketches merge map-side. No DuckDB oracle (HLL estimates
+    are implementation-defined); rows-only driver check + pytest
+    tolerance band vs the exact profile."""
+    from strava_data_pipeline_spark.operators.profiling import profile
+
+    return profile(
+        load_table(spark, sf_dir, "events").select(*EVENT_COLS),
+        EVENT_COLS,
+        exact=False,
+    )

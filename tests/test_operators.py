@@ -120,3 +120,59 @@ def test_cdc_merge_applies_deletes_and_updates(spark):
         for r in merge_cdc(base, changes, keys=["id"], order_by=["ts"]).collect()
     }
     assert out == {1: 50.0, 3: 7.0, 4: 9.0}
+
+
+def test_approx_paths_within_tolerance(spark, sf_dir):
+    # The approx registrations have no DuckDB oracle (sketches are
+    # implementation-defined) — this IS their accuracy gate: HLL
+    # distincts within 10% of exact, sketch percentiles within 5% of
+    # exact (or an absolute epsilon where the exact value is tiny).
+    from strava_data_pipeline_spark.plans import registry
+
+    qs = registry.all_queries()
+    exact_prof = {
+        r["column_name"]: r for r in qs["events_profile"](spark, sf_dir).collect()
+    }
+    approx_prof = {
+        r["column_name"]: r
+        for r in qs["events_profile_approx"](spark, sf_dir).collect()
+    }
+    assert set(exact_prof) == set(approx_prof)
+    for col, ex in exact_prof.items():
+        ap = approx_prof[col]
+        assert ap["n_rows"] == ex["n_rows"] and ap["n_nulls"] == ex["n_nulls"]
+        assert abs(ap["n_distinct"] - ex["n_distinct"]) <= max(
+            0.10 * ex["n_distinct"], 2
+        ), col
+
+    exact_pct = {
+        r["event_type"]: r for r in qs["percentile_stats"](spark, sf_dir).collect()
+    }
+    approx_pct = {
+        r["event_type"]: r
+        for r in qs["percentile_stats_approx"](spark, sf_dir).collect()
+    }
+    assert set(exact_pct) == set(approx_pct)
+    # Sketches guarantee RANK error, not value error (a tail quantile of
+    # a heavy-tailed column can sit between widely-spaced data points),
+    # so assert each approx value lies between the exact quantiles at
+    # q ± 0.05 rank.
+    from strava_data_pipeline_spark.sources.catalog import load_table
+
+    band_expr = F.expr(
+        "percentile(value, array(0.45, 0.55, 0.85, 0.95, 0.94, 1.0))"
+    )
+    bands = {
+        r["event_type"]: r["b"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(band_expr.alias("b"))
+        .collect()
+    }
+    for et, ex in exact_pct.items():
+        ap = approx_pct[et]
+        assert ap["n"] == ex["n"] and ap["min_value"] == ex["min_value"]
+        assert ap["max_value"] == ex["max_value"]
+        b = bands[et]
+        for q, (lo, hi) in (("p50", (b[0], b[1])), ("p90", (b[2], b[3])), ("p99", (b[4], b[5]))):
+            assert lo - 1e-9 <= ap[q] <= hi + 1e-9, (et, q)

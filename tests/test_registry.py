@@ -29,8 +29,13 @@ def test_inventory_complete(queries):
 
 
 def test_every_query_has_oracle(queries):
+    # sketch-based approx paths are the only sanctioned no-oracle
+    # registrations (estimates are implementation-defined across
+    # engines; their accuracy gate is test_operators.py's tolerance
+    # band, the driver records rows-only)
+    no_oracle_ok = {"events_profile_approx", "percentile_stats_approx"}
     oracles = registry.all_oracles()
-    assert set(oracles) == set(queries)
+    assert set(oracles) == set(queries) - no_oracle_ok
 
 
 @pytest.mark.parametrize("name", sorted(registry.all_queries()))
