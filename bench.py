@@ -58,6 +58,10 @@ def main() -> None:
         df = queries[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        # operators persist intermediates (minhash signatures, jaccard
+        # gram index) for their own multi-consumer plans; drop them so
+        # cached partitions don't accumulate across the 19+ queries
+        spark.catalog.clearCache()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

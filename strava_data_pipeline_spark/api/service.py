@@ -54,7 +54,16 @@ class PipelineService:
     def __init__(self, spark: SparkSession, sf_dir: str):
         self.spark = spark
         self.sf_dir = sf_dir
-        self._keys = spark.createDataFrame([], KEY_SCHEMA)
+        # Admin-created keys are a driver-scale dim; kept as local rows
+        # and rebuilt as a literal DataFrame per query, so a long-lived
+        # service never accumulates an unbounded unionByName lineage.
+        # A production deployment stores keys in a table and mutates it
+        # via merge_cdc (see the key_lifecycle registry query).
+        self._key_rows: list[tuple] = []
+
+    @property
+    def _keys(self) -> DataFrame:
+        return self.spark.createDataFrame(self._key_rows, KEY_SCHEMA)
 
     # -- activities (api.go:206, api.go:239) ------------------------------
     def list_activities(self, limit: int = 20, offset: int = 0) -> DataFrame:
@@ -95,10 +104,7 @@ class PipelineService:
         now = datetime.utcnow()
         key = hashlib.sha256(f"{description}:{now.isoformat()}".encode()).hexdigest()
         expires = now + timedelta(days=expiry_days) if expiry_days > 0 else None
-        row = [(key, description, now, expires, True, user_id)]
-        self._keys = self._keys.unionByName(
-            self.spark.createDataFrame(row, KEY_SCHEMA)
-        )
+        self._key_rows.append((key, description, now, expires, True, user_id))
         return key
 
     def validate_api_key(self, key: str, now: datetime | None = None) -> bool:

@@ -84,6 +84,10 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {ex}")
             failures.append(name)
             continue
+        finally:
+            # operators persist intermediates for their own plans; don't
+            # let cached partitions accumulate across the full registry
+            spark.catalog.clearCache()
         if name not in oracles:
             print(f"ok?   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
             continue
