@@ -64,17 +64,34 @@ def main() -> None:
         spark.catalog.clearCache()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+    # Second tier (opt-in: SPARK_GRAFT_BENCH_ALL=1): EVERY registry
+    # query at sf0.01 — catches a regression in any operator the
+    # headline set doesn't cover. Same single-JSON-line contract.
+    if os.environ.get("SPARK_GRAFT_BENCH_ALL"):
+        tier2_dir = os.environ.get(
+            "SPARK_GRAFT_TIER2_DIR", "/root/testdata/sf0.01"
         )
-    )
+        tier2: dict[str, float] = {}
+        for name in sorted(queries):
+            t0 = time.time()
+            queries[name](spark, tier2_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            tier2[name] = round(time.time() - t0, 3)
+            spark.catalog.clearCache()
+        out["tier2_sf"] = 0.01
+        out["tier2_total"] = round(sum(tier2.values()), 3)
+        out["tier2_queries"] = tier2
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
