@@ -26,10 +26,23 @@ def _order(order_by: Sequence[tuple[str, bool]]) -> list[Column]:
 def page_offset(
     df: DataFrame, order_by: Sequence[tuple[str, bool]], limit: int, offset: int
 ) -> DataFrame:
-    """OFFSET-style page as a row_number window (reference parity)."""
+    """OFFSET-style page (reference parity), planned scale-safely.
+
+    The naive shape — row_number over a global Window — funnels the
+    ENTIRE table through one partition. Instead the global order is
+    truncated first to its top ``offset+limit`` rows with
+    ``orderBy().limit()``, which plans as TakeOrderedAndProject
+    (per-partition heaps of size offset+limit, no global sort, no
+    single-partition shuffle of the table); the row_number window then
+    ranks only that offset+limit-row frame. Requires ``order_by`` to be
+    a TOTAL order (include a unique tiebreak column) so the truncation
+    is deterministic. Deep pagination should still use ``page_keyset``
+    — per-partition heap size grows with offset here.
+    """
+    top = df.orderBy(*_order(order_by)).limit(offset + limit)
     w = Window.orderBy(*_order(order_by))
     return (
-        df.withColumn("rn", F.row_number().over(w))
+        top.withColumn("rn", F.row_number().over(w))
         .where((F.col("rn") > offset) & (F.col("rn") <= offset + limit))
     )
 

@@ -565,6 +565,58 @@ def user_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 52. user_token_state — GetUserByID user+token map join (strava.go:196)
+# --------------------------------------------------------------------------
+# saveAthlete (strava.go:156) upserts OAuth token columns onto the user
+# row; GetUserByID (strava.go:196) reads them back joined with profile
+# fields, and the client refreshes when token_expires_at has passed.
+# Set-based re-expression: users dim ⋈ derived token dim + the expiry
+# flag computed for the whole population at once.
+_TOKEN_STATE_ORACLE = f"""
+WITH users AS ({_USERS_DIM_DUCK}),
+tokens AS (
+    SELECT id AS user_id,
+           md5(username || ':access') AS access_token,
+           TIMESTAMP '2024-01-01 00:00:00' + to_days(CAST(id % 180 AS INT)) AS token_expires_at
+    FROM users
+)
+SELECT u.id, u.username, u.athlete_id, t.access_token, t.token_expires_at,
+       t.token_expires_at <= TIMESTAMP '2024-04-01 00:00:00' AS needs_refresh
+FROM users u JOIN tokens t ON t.user_id = u.id
+"""
+
+
+@register("user_token_state", oracle=_TOKEN_STATE_ORACLE, tags=("pipeline",))
+def user_token_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User ⋈ OAuth-token state with a vectorized needs-refresh flag
+    (reference strava.go:156 saveAthlete, :196 GetUserByID; the
+    per-request expiry check becomes one broadcast-joined column). The
+    token dim is keyed by user id, so at scale this is a co-partitioned
+    (or broadcast) equi-join, never a shuffle of the fact side."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    users = spark.sql(_USERS_DIM_SPARK)
+    tokens = users.select(
+        F.col("id").alias("user_id"),
+        F.md5(F.concat(F.col("username"), F.lit(":access"))).alias("access_token"),
+        (
+            F.lit("2024-01-01 00:00:00").cast("timestamp")
+            + F.make_interval(days=(F.col("id") % 180).cast("int"))
+        ).alias("token_expires_at"),
+    )
+    return users.join(tokens, users["id"] == tokens["user_id"]).select(
+        "id",
+        "username",
+        "athlete_id",
+        "access_token",
+        "token_expires_at",
+        (
+            F.col("token_expires_at")
+            <= F.lit("2024-04-01 00:00:00").cast("timestamp")
+        ).alias("needs_refresh"),
+    )
+
+
+# --------------------------------------------------------------------------
 # 48. key_lifecycle — API-key create/deactivate/delete as CDC
 #     (user_api_keys.go:64 CreateAPIKey, :111 UpdateAPIKey, :135 DeleteAPIKey)
 # --------------------------------------------------------------------------

@@ -65,6 +65,13 @@ def test_topn_queries_avoid_global_sort(plans):
         assert "TakeOrderedAndProject" in plans[name], name
 
 
+def test_offset_page_truncates_before_window(plans):
+    # page_offset must NOT funnel the whole table through the global
+    # row_number window: the TakeOrderedAndProject truncation to
+    # offset+limit rows has to appear below the window.
+    assert "TakeOrderedAndProject" in plans["activities_page"]
+
+
 def test_point_lookup_pushes_filter_to_scan(plans):
     assert "PushedFilters: [" in plans["activity_by_id"]
     assert "EqualTo(event_id" in plans["activity_by_id"]
