@@ -37,6 +37,14 @@ BENCH_QUERIES = [
     "events_in_windows",
     "percentile_stats",
     "corpus_split_counts",
+    # round-2 additions
+    "dedup_simhash64",
+    "dedup_embedding",
+    "ann_lsh",
+    "user_upsert",
+    "key_lifecycle",
+    "user_token_state",
+    "multimodal_features",
 ]
 
 

@@ -640,6 +640,47 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 53. multimodal_features — the Arrow/mapInPandas decode path, end to end
+# --------------------------------------------------------------------------
+# fake_decode (the declared codec stand-in) computes deterministic byte
+# stats, and the corpus is pure ASCII (verified: octet_length == length
+# for every document), so code points == payload bytes and DuckDB can
+# replay the "decode" exactly — giving the Pandas-UDF plumbing a full
+# value-hash oracle instead of a rows-only check.
+_MM_FEATURES_ORACLE = """
+WITH chars AS (
+    SELECT doc_id, length(text) AS n,
+           [ord(substr(text, i, 1)) FOR i IN range(1, length(text) + 1)] AS codes
+    FROM documents
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_bytes,
+       CAST(CASE WHEN n = 0 THEN 0 ELSE floor(list_sum(codes) / n) END AS INT) AS mean_byte,
+       CAST(len(list_filter(codes, c -> c // 64 = 0)) AS BIGINT) AS hist_0,
+       CAST(len(list_filter(codes, c -> c // 64 = 1)) AS BIGINT) AS hist_1,
+       CAST(len(list_filter(codes, c -> c // 64 = 2)) AS BIGINT) AS hist_2,
+       CAST(len(list_filter(codes, c -> c // 64 = 3)) AS BIGINT) AS hist_3
+FROM chars
+"""
+
+
+@register(
+    "multimodal_features", oracle=_MM_FEATURES_ORACLE, tags=("llm", "multimodal")
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal decode path end to end: attach_payload (built-in
+    metadata) → extract_features (Arrow-batched mapInPandas over binary
+    payloads — operators/multimodal.py:107). The ONE registry query
+    allowed to run Python: codec decode is the sanctioned Pandas-UDF
+    slow path, and this entry keeps its batch plumbing under the
+    driver's cross-engine gate, not just pytest."""
+    from strava_data_pipeline_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents")
+    return M.extract_features(M.attach_payload(docs))
+
+
+# --------------------------------------------------------------------------
 # 40. corpus_dedup_keep — end-to-end dedup application (keep-list)
 # --------------------------------------------------------------------------
 def _dedup_keep_oracle() -> str:

@@ -49,14 +49,19 @@ def test_nested_loop_joins_only_on_bounded_sides(plans):
 
 
 def test_no_python_row_eval_in_query_paths(plans):
-    # every registry query must stay JVM-side; pandas/arrow appears only
-    # in the (non-registry) multimodal decode path
+    # every registry query must stay JVM-side — EXCEPT the multimodal
+    # decode entry, whose whole point is the sanctioned Arrow-batched
+    # Pandas path (codecs can't be expressed in built-ins); even there,
+    # row-at-a-time BatchEvalPython is banned.
     offenders = [
         n
         for n, p in plans.items()
-        if "BatchEvalPython" in p or "ArrowEvalPython" in p or "MapInPandas" in p
+        if "BatchEvalPython" in p
+        or "ArrowEvalPython" in p
+        or ("MapInPandas" in p and n != "multimodal_features")
     ]
     assert offenders == [], f"Python in the hot path of: {offenders}"
+    assert "MapInPandas" in plans["multimodal_features"]
 
 
 def test_topn_queries_avoid_global_sort(plans):
