@@ -428,17 +428,28 @@ def ngram_jaccard_pairs(
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
-    ga = ordered.select(F.col("doc").alias("doc_a"), F.col("grams").alias("grams_a"))
-    gb = ordered.select(F.col("doc").alias("doc_b"), F.col("grams").alias("grams_b"))
+    ga = ordered.select(
+        F.col("doc").alias("doc_a"),
+        F.col("grams").alias("grams_a"),
+        F.col("n_grams").alias("n_a"),
+    )
+    gb = ordered.select(
+        F.col("doc").alias("doc_b"),
+        F.col("grams").alias("grams_b"),
+        F.col("n_grams").alias("n_b"),
+    )
+    # grams are DISTINCT per doc, so |union| = n_a + n_b - |intersect|:
+    # one array scan per candidate instead of two (array_union dropped)
     inter = F.size(F.array_intersect("grams_a", "grams_b"))
-    union = F.size(F.array_union("grams_a", "grams_b"))
     return (
         cand.join(ga, "doc_a")
         .join(gb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            F.round(inter / union, 4).alias("jaccard"),
+            F.round(inter / (F.col("n_a") + F.col("n_b") - inter), 4).alias(
+                "jaccard"
+            ),
         )
         .where(F.col("jaccard") >= threshold)
     )
