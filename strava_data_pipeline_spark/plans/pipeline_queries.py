@@ -638,6 +638,10 @@ WITH base AS (
     SELECT user_id, api_key, is_active, expires_at,
            TIMESTAMP '2024-07-01 00:00:00', 'D'
     FROM base WHERE user_id % 10 = 5
+    UNION ALL
+    SELECT user_id + 100000, api_key, is_active, expires_at,
+           TIMESTAMP '2024-07-01 00:00:00', 'U'
+    FROM base WHERE user_id % 10 = 6
 ), tagged AS (
     SELECT user_id, api_key, is_active, expires_at, updated_at,
            'U' AS op, 0 AS _src
@@ -660,8 +664,10 @@ def key_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """API-key dim mutation as one CDC merge: a create batch (new key
     per user id ending 3), a deactivation batch (id ending 4 — the key
     row survives with is_active=false, so api_key_validate rejects it),
-    and a delete batch (id ending 5 — tombstoned out). One key-shuffle
-    via merge_cdc, reference user_api_keys.go:64/:111/:135."""
+    a delete batch (id ending 5 — tombstoned out), and a re-association
+    batch (id ending 6 — the key moves to another user, the
+    AssociateAPIKeyWithUser update). One key-shuffle via merge_cdc,
+    reference user_api_keys.go:64/:111/:135/:161."""
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     base = spark.sql(_KEY_DIM_SPARK).withColumn(
         "updated_at", F.lit("2024-01-01 00:00:00").cast("timestamp")
@@ -691,12 +697,44 @@ def key_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts7.alias("updated_at"),
         F.lit("D").alias("op"),
     )
+    associates = base.where(F.col("user_id") % 10 == 6).select(
+        (F.col("user_id") + 100000).alias("user_id"),
+        "api_key",
+        "is_active",
+        "expires_at",
+        ts7.alias("updated_at"),
+        F.lit("U").alias("op"),
+    )
     return merge_cdc(
         base,
-        creates.unionByName(deactivates).unionByName(deletes),
+        creates.unionByName(deactivates)
+        .unionByName(deletes)
+        .unionByName(associates),
         keys=["api_key"],
         order_by=["updated_at"],
     )
+
+
+# --------------------------------------------------------------------------
+# 54. key_lookup — ReadAPIKeyByID point read (user_api_keys.go:94)
+# --------------------------------------------------------------------------
+_KEY_LOOKUP_ORACLE = f"""
+WITH api_keys AS ({_KEY_DIM_DUCK})
+SELECT user_id, api_key, is_active, expires_at
+FROM api_keys
+WHERE api_key = md5('Customer#000000042')
+"""
+
+
+@register("key_lookup", oracle=_KEY_LOOKUP_ORACLE, tags=("pipeline",))
+def key_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-key point read on the key dim (reference
+    user_api_keys.go:94 ReadAPIKeyByID). On a stored key table the
+    equality predicate reaches the scan; here the dim is derived, so
+    the filter folds into the projection pipeline."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    keys = spark.sql(_KEY_DIM_SPARK)
+    return keys.where(F.col("api_key") == F.md5(F.lit("Customer#000000042")))
 
 
 # --------------------------------------------------------------------------
