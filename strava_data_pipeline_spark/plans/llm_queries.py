@@ -10,7 +10,7 @@ both sides from the same constant tables.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from strava_data_pipeline_spark.functions import text as T
@@ -805,4 +805,119 @@ def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         weighted_mixture(docs, _MIX_WEIGHTS)
         .groupBy("source")
         .agg(F.count("*").cast("bigint").alias("n_kept"))
+    )
+
+
+# --------------------------------------------------------------------------
+# 55. corpus_pack_bins — sharded sequence packing for training batches
+# --------------------------------------------------------------------------
+_PACK_BUDGET = 2048
+_PACK_SHARDS = 16
+
+_PACK_ORACLE = f"""
+WITH tc AS (
+    SELECT doc_id,
+           CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tokens,
+           CAST({md5_u32_duckdb("concat(CAST(doc_id AS VARCHAR), 'pack')")} % {_PACK_SHARDS} AS INT) AS shard,
+           {md5_u32_duckdb("concat('order:', CAST(doc_id AS VARCHAR))")} AS sort_key
+    FROM documents
+), packed AS (
+    SELECT doc_id, n_tokens, shard,
+           sum(n_tokens) OVER (PARTITION BY shard ORDER BY sort_key, doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+    FROM tc
+)
+SELECT doc_id, shard, n_tokens,
+       CAST(floor((cum - n_tokens) / {_PACK_BUDGET}) AS BIGINT) AS bin
+FROM packed
+"""
+
+
+@register("corpus_pack_bins", oracle=_PACK_ORACLE, tags=("llm", "sampling"))
+def corpus_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: assign each doc to a
+    (shard, bin) so a bin's docs concatenate to ~2048 tokens.
+
+    Scale shape: docs hash into 16 shards and the running token sum is
+    a window WITHIN each shard — never a global single-partition
+    cumsum. A doc's bin is where its first token lands
+    (floor(start_offset / budget)), the standard approximate-packing
+    rule; the hash order is stable, so packing is reproducible across
+    runs, retries, and engines. At 100 TB, shard count scales with the
+    cluster and each shard's window stays an independent task chain.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tc = docs.select(
+        "doc_id",
+        T.ws_token_count(F.col("text")).alias("n_tokens"),
+        (
+            md5_u32(F.concat(F.col("doc_id").cast("string"), F.lit("pack")))
+            % _PACK_SHARDS
+        )
+        .cast("int")
+        .alias("shard"),
+        md5_u32(F.concat(F.lit("order:"), F.col("doc_id").cast("string"))).alias(
+            "sort_key"
+        ),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("sort_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return tc.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / _PACK_BUDGET)
+        .cast("bigint")
+        .alias("bin"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 56. embedding_quantize — int8 scalar quantization of the vector column
+# --------------------------------------------------------------------------
+# floor(x + 0.5) instead of round(): identical symmetric behavior in
+# both engines (round() half-way rules differ), and the scale factor is
+# derived from the vector's own max-abs so the math is elementwise IEEE
+# double on both sides.
+_QUANT_ORACLE = """
+WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+), scaled AS (
+    SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS max_abs
+    FROM e
+)
+SELECT vec_id,
+       round(max_abs, 6) AS max_abs,
+       list_transform(v, x -> CAST(floor(x * (127.0 / max_abs) + 0.5) AS INT)) AS q
+FROM scaled
+"""
+
+
+@register("embedding_quantize", oracle=_QUANT_ORACLE, tags=("llm", "similarity"))
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization (symmetric, max-abs scale):
+    4× smaller than float32 on disk and in shuffle — the standard
+    storage form for a 100 TB embedding corpus; search scores int8
+    dot products and rescales by max_abs/127 per vector. Elementwise
+    higher-order functions, zero UDFs, no shuffle at all."""
+    from strava_data_pipeline_spark.functions import vectors as V
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", V.as_double(F.col("embedding")).alias("v")
+    )
+    max_abs = F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
+    scaled = e.select("vec_id", "v", max_abs.alias("max_abs"))
+    return scaled.select(
+        "vec_id",
+        F.round(F.col("max_abs"), 6).alias("max_abs"),
+        F.transform(
+            F.col("v"),
+            lambda x: F.floor(x * (F.lit(127.0) / F.col("max_abs")) + F.lit(0.5)).cast(
+                "int"
+            ),
+        ).alias("q"),
     )

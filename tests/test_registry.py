@@ -68,6 +68,30 @@ def test_user_upsert_semantics(spark, sf_dir, queries):
     assert 1000100 in rows and rows[1000100]["username"] == "new_user_100"
 
 
+def test_corpus_pack_bins_property(spark, sf_dir, queries):
+    # every (shard, bin)'s token sum stays under budget + the max doc
+    # length (start-offset binning: only the straddling doc overflows),
+    # and bins are contiguous from 0 within each shard
+    rows = queries["corpus_pack_bins"](spark, sf_dir).collect()
+    budget = 2048
+    max_doc = max(r["n_tokens"] for r in rows)
+    sums: dict[tuple, int] = {}
+    shard_bins: dict[int, set] = {}
+    for r in rows:
+        sums[(r["shard"], r["bin"])] = sums.get((r["shard"], r["bin"]), 0) + r["n_tokens"]
+        shard_bins.setdefault(r["shard"], set()).add(r["bin"])
+    assert all(s <= budget + max_doc for s in sums.values())
+    for bins in shard_bins.values():
+        assert bins == set(range(len(bins)))
+
+
+def test_embedding_quantize_roundtrip(spark, sf_dir, queries):
+    rows = queries["embedding_quantize"](spark, sf_dir).collect()
+    for r in rows[:50]:
+        assert max(abs(q) for q in r["q"]) == 127  # max-abs maps to ±127
+        assert all(-127 <= q <= 127 for q in r["q"])
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
