@@ -14,8 +14,14 @@ SF_DIR = "/root/testdata/sf0.001"
 
 # BroadcastNestedLoopJoin is acceptable ONLY where one side is bounded
 # by construction (range-join windows, ANN query set / centroids,
-# high-water mark).
-_BNLJ_OK = {"events_in_windows", "ann_topk", "ann_ivf", "sync_window"}
+# high-water mark, 1-row scalar thresholds).
+_BNLJ_OK = {
+    "events_in_windows",
+    "ann_topk",
+    "ann_ivf",
+    "sync_window",
+    "q22_dormant_customers",  # 1-row avg-acctbal threshold broadcast
+}
 
 
 @pytest.fixture(scope="module")
@@ -66,7 +72,7 @@ def test_no_python_row_eval_in_query_paths(plans):
 
 def test_topn_queries_avoid_global_sort(plans):
     for name in ("recent_activities", "activities_keyset", "q3_shipping_priority",
-                 "top_customers_by_revenue"):
+                 "top_customers_by_revenue", "q18_large_orders"):
         assert "TakeOrderedAndProject" in plans[name], name
 
 
