@@ -921,3 +921,60 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("q"),
     )
+
+
+# --------------------------------------------------------------------------
+# 65. dedup_clusters — connected components over near-dup pairs
+# --------------------------------------------------------------------------
+def _clusters_oracle() -> str:
+    # Transitive closure via recursive CTE is exponential-free here
+    # because UNION dedups and components are tiny; the Spark side is
+    # the scale path (O(log d) label-propagation rounds).
+    return f"""
+WITH RECURSIVE
+prs AS (
+    SELECT doc_a, doc_b FROM ({_minhash_oracle()}) WHERE est_jaccard >= 0.75
+),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM prs
+    UNION
+    SELECT doc_b AS a, doc_a AS b FROM prs
+),
+reach(a, b) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+labels AS (
+    SELECT a AS doc_id, least(a, min(b)) AS comp FROM reach GROUP BY a
+)
+SELECT d.doc_id,
+       CAST(coalesce(l.comp, d.doc_id) AS BIGINT) AS cluster_id,
+       coalesce(l.comp, d.doc_id) = d.doc_id AS is_canonical
+FROM documents d LEFT JOIN labels l USING (doc_id)
+"""
+
+
+@register("dedup_clusters", oracle=_clusters_oracle(), tags=("llm", "dedup", "graph"))
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS, not just pairs: transitive closure of the
+    confident minhash pairs (est_jaccard >= 0.75) via iterative
+    label propagation with pointer jumping (operators/graph.py), so
+    chained duplicates A~B~C collapse to one canonical doc even when
+    A~C was never emitted as a pair. Every doc maps to a cluster
+    (singletons to themselves); is_canonical marks the survivor the
+    keep-list retains."""
+    from strava_data_pipeline_spark.operators import graph as G
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(D.minhash_signatures(docs)).where(
+        F.col("est_jaccard") >= 0.75
+    )
+    asg = G.cluster_assignments(
+        docs.select("doc_id"), pairs, "doc_id", src="doc_a", dst="doc_b"
+    )
+    return asg.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("cluster_id") == F.col("doc_id")).alias("is_canonical"),
+    )
