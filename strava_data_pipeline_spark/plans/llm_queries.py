@@ -978,3 +978,125 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         (F.col("cluster_id") == F.col("doc_id")).alias("is_canonical"),
     )
+
+
+# --------------------------------------------------------------------------
+# 66. decontaminate — benchmark n-gram overlap flagging
+# --------------------------------------------------------------------------
+# The eval set every training corpus must be scrubbed against, stood in
+# for by a deterministic pseudo-benchmark (doc_id % 97 == 0). Overlap
+# unit = the same distinct word-3-shingles the minhash dedup uses.
+_DECONTAM_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents
+), sh AS (
+    SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle FROM toks
+), bench AS (
+    SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0
+), overlap AS (
+    SELECT s.doc_id, CAST(count(DISTINCT s.shingle) AS BIGINT) AS n_shared
+    FROM sh s JOIN bench b USING (shingle)
+    WHERE s.doc_id % 97 <> 0
+    GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(o.n_shared, 0) AS BIGINT) AS n_shared,
+       coalesce(o.n_shared, 0) >= 2 AS contaminated
+FROM documents d LEFT JOIN overlap o USING (doc_id)
+WHERE d.doc_id % 97 <> 0
+"""
+
+
+@register("decontaminate", oracle=_DECONTAM_ORACLE, tags=("llm", "text"))
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: count distinct word-3-shingles each
+    training doc shares with the benchmark set and flag docs at >= 2
+    shared shingles. The benchmark shingle set is tiny by nature (eval
+    suites, not corpora) so it BROADCASTS — the 100 TB training side
+    never shuffles, it streams through an explode + broadcast-hash
+    probe + per-doc count. Every training doc is emitted (zeros kept)
+    so the scrub is auditable."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = docs.select(
+        "doc_id", F.explode(T.word_shingles(T.tokens(F.col("text")))).alias("shingle")
+    )
+    bench = (
+        shingled.where(F.col("doc_id") % 97 == 0).select("shingle").distinct()
+    )
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    overlap = (
+        shingled.where(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shingle").cast("bigint").alias("n_shared"))
+    )
+    return (
+        train.select("doc_id")
+        .join(overlap, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared", F.lit(0)).cast("bigint").alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0)) >= 2).alias("contaminated"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 67. quality_filter — Gopher-style rule gate
+# --------------------------------------------------------------------------
+# Rule bounds sit inside the observed corpus ranges (tokens 10..99,
+# distinct-ratio 0.28..1.0, avg token length 4.7..6.2) so every rule
+# rejects SOME docs — a non-vacuous gate, unlike textbook bounds that
+# would pass or fail the whole synthetic corpus.
+_QFILTER_ORACLE = f"""
+WITH base AS (
+    SELECT doc_id,
+           CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct({_DUCK_TOKENS})) AS BIGINT) AS n_distinct,
+           CAST(length(text) AS BIGINT) AS n_chars_calc
+    FROM documents
+)
+SELECT doc_id, n_tokens,
+       round(n_distinct * 1.0 / n_tokens, 4) AS distinct_ratio,
+       round(n_chars_calc * 1.0 / n_tokens, 4) AS avg_token_len,
+       n_tokens BETWEEN 20 AND 80 AS pass_length,
+       n_distinct * 1.0 / n_tokens >= 0.35 AS pass_repetition,
+       n_chars_calc * 1.0 / n_tokens BETWEEN 3.0 AND 6.0 AS pass_word_len,
+       (n_tokens BETWEEN 20 AND 80)
+         AND n_distinct * 1.0 / n_tokens >= 0.35
+         AND n_chars_calc * 1.0 / n_tokens BETWEEN 3.0 AND 6.0 AS keep
+FROM base
+"""
+
+
+@register("quality_filter", oracle=_QFILTER_ORACLE, tags=("llm", "text"))
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality gate (Rae et al. 2021 §A1.1 re-expressed
+    over this corpus): token-count bounds, distinct-token repetition
+    ratio, mean word length — each rule a codegen-resident boolean, keep
+    = AND of all. Ratios are exact rationals of bigints so the rule
+    booleans are deterministic across engines; one scan, zero shuffles,
+    zero UDFs."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+        F.length("text").cast("bigint").alias("n_chars_calc"),
+    )
+    d_ratio = F.col("n_distinct") / F.col("n_tokens")
+    a_len = F.col("n_chars_calc") / F.col("n_tokens")
+    p_len = F.col("n_tokens").between(20, 80)
+    p_rep = d_ratio >= 0.35
+    p_wl = a_len.between(3.0, 6.0)
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        F.round(d_ratio, 4).alias("distinct_ratio"),
+        F.round(a_len, 4).alias("avg_token_len"),
+        p_len.alias("pass_length"),
+        p_rep.alias("pass_repetition"),
+        p_wl.alias("pass_word_len"),
+        (p_len & p_rep & p_wl).alias("keep"),
+    )
