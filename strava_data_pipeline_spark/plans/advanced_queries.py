@@ -291,3 +291,110 @@ def type_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("len").cast("bigint").alias("longest_streak"),
         F.sum("len").cast("bigint").alias("active_days"),
     )
+
+
+# --------------------------------------------------------------------------
+# 69. events_funnel — ordered multi-step conversion
+# --------------------------------------------------------------------------
+_FUNNEL_ORACLE = """
+WITH u AS (
+    SELECT DISTINCT user_id FROM events
+), v AS (
+    SELECT user_id, min(ts) AS t_view FROM events
+    WHERE event_type = 'view' GROUP BY 1
+), c AS (
+    SELECT e.user_id, min(e.ts) AS t_click
+    FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+    WHERE e.event_type = 'click' GROUP BY 1
+), p AS (
+    SELECT e.user_id, min(e.ts) AS t_purchase
+    FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+    WHERE e.event_type = 'purchase' GROUP BY 1
+)
+SELECT u.user_id, v.t_view, c.t_click, p.t_purchase,
+       p.t_purchase IS NOT NULL AS converted
+FROM u
+LEFT JOIN v USING (user_id)
+LEFT JOIN c USING (user_id)
+LEFT JOIN p USING (user_id)
+"""
+
+
+@register("events_funnel", oracle=_FUNNEL_ORACLE, tags=("advanced",))
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered view→click→purchase funnel per user: each stage
+    is one conditional aggregate joined back on user_id, so the three
+    stages cost three co-partitioned shuffles on the SAME key (one
+    exchange reused at scale) — never a per-event self-join. Nulls
+    propagate: a user with no post-view click can't convert on a later
+    purchase."""
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        users.join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            F.col("t_purchase").isNotNull().alias("converted"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 70. retention_cohorts — first-day cohort × activity-day offset
+# --------------------------------------------------------------------------
+_RETENTION_ORACLE = """
+WITH first_day AS (
+    SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day FROM events GROUP BY 1
+), active AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_day FROM events
+)
+SELECT f.cohort_day,
+       CAST(a.active_day - f.cohort_day AS BIGINT) AS day_offset,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM active a JOIN first_day f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+@register("retention_cohorts", oracle=_RETENTION_ORACLE, tags=("advanced",))
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention triangle: users cohorted by first-seen day,
+    counted on each later active day offset. The cohort dim aggregates
+    to one row per user before the join, and both sides hash on
+    user_id — the (cohort_day, offset) agg is the only other shuffle.
+    The events table never self-joins row-to-row."""
+    ev = load_table(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(F.to_date(F.min("ts")).alias("cohort_day"))
+    active = ev.select("user_id", F.to_date("ts").alias("active_day")).distinct()
+    return (
+        active.join(first_day, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("active_day", "cohort_day").cast("bigint").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+    )

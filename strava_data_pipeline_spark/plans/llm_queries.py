@@ -1100,3 +1100,66 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         p_wl.alias("pass_word_len"),
         (p_len & p_rep & p_wl).alias("keep"),
     )
+
+
+# --------------------------------------------------------------------------
+# 68. tfidf_top_terms — per-source characteristic terms
+# --------------------------------------------------------------------------
+_TFIDF_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, source, unnest({_DUCK_TOKENS}) AS term FROM documents
+), tf AS (
+    SELECT source, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2
+), df AS (
+    SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY 1
+), n AS (
+    SELECT count(*) AS n_docs FROM documents
+), scored AS (
+    SELECT tf.source, tf.term, tf.tf, df.df,
+           round(tf.tf * ln(n.n_docs * 1.0 / df.df), 6) AS score
+    FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT source, term, tf, df, score,
+       CAST(row_number() OVER (PARTITION BY source
+                               ORDER BY score DESC, term ASC) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
+@register("tfidf_top_terms", oracle=_TFIDF_ORACLE, tags=("llm", "text"))
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per source by tf-idf. One explode of
+    the token stream feeds BOTH aggregates: per-(source,term) tf and
+    per-term document frequency; the df side is vocabulary-sized
+    (zipf-bounded, shuffles (term, count) pairs only) and joins back on
+    the hashed term. Ranking keys on the ROUNDED score in both engines
+    (term as tiebreak) so an ulp of ln() can't reorder ranks. Top-5 per
+    source is a bounded window — partitioned, not global."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", F.explode(T.tokens(F.col("text"))).alias("term")
+    )
+    tf = tok.groupBy("source", "term").agg(F.count("*").cast("bigint").alias("tf"))
+    df_ = tok.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    )
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .join(F.broadcast(n))
+        .select(
+            "source",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") * F.lit(1.0) / F.col("df")), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 5)
+    )
