@@ -45,6 +45,16 @@ BENCH_QUERIES = [
     "key_lifecycle",
     "user_token_state",
     "multimodal_features",
+    # round-2b additions
+    "q8_market_share",
+    "q13_order_distribution",
+    "q18_large_orders",
+    "dedup_clusters",
+    "decontaminate",
+    "quality_filter",
+    "tfidf_top_terms",
+    "events_funnel",
+    "retention_cohorts",
 ]
 
 

@@ -398,3 +398,119 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
     )
+
+
+# --------------------------------------------------------------------------
+# 71. events_pivot — wide per-user activity matrix
+# --------------------------------------------------------------------------
+_PIVOT_ORACLE = """
+SELECT user_id,
+       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view,
+       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+       CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error
+FROM events GROUP BY 1
+"""
+
+_EVENT_TYPES = ["view", "click", "signup", "purchase", "error"]
+
+
+@register("events_pivot", oracle=_PIVOT_ORACLE, tags=("advanced",))
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot: per-user event-type count matrix. The pivot
+    values are DECLARED (not discovered) so the plan is a single-pass
+    conditional aggregation — a two-phase pivot that first scans for
+    distinct types would add a full extra job at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    piv = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(t) for t in _EVENT_TYPES],
+    )
+
+
+# --------------------------------------------------------------------------
+# 72. events_cube — full CUBE over (type, day-of-week)
+# --------------------------------------------------------------------------
+_CUBE_ORACLE = """
+SELECT event_type, dow,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM (
+    SELECT event_type, CAST(dayofweek(ts) AS INTEGER) AS dow, value FROM events
+)
+GROUP BY CUBE (event_type, dow)
+"""
+
+
+@register("events_cube", oracle=_CUBE_ORACLE, tags=("advanced",))
+def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(type, weekday): all four grouping-set combinations in a
+    single Expand pass — one scan, one shuffle, 4× expansion only on
+    the narrow (type, dow, value) projection rather than four separate
+    aggregation jobs. Complements events_rollup (§2e #37), which covers
+    the hierarchical subset."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        # Spark dayofweek is 1=Sunday..7, matching DuckDB's dayofweek+1;
+        # DuckDB dayofweek is 0=Sunday..6
+        (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+        "value",
+    )
+    return ev.cube("event_type", "dow").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 73. events_zscore — per-(user,type) standardized outlier scores
+# --------------------------------------------------------------------------
+_ZSCORE_ORACLE = """
+WITH stats AS (
+    SELECT user_id, event_type,
+           avg(value) AS mu,
+           stddev_samp(value) AS sigma,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, e.event_type,
+       round(e.value, 4) AS value,
+       round((e.value - s.mu) / s.sigma, 4) AS zscore
+FROM events e JOIN stats s USING (user_id, event_type)
+WHERE s.n >= 3 AND s.sigma > 0
+"""
+
+
+@register("events_zscore", oracle=_ZSCORE_ORACLE, tags=("advanced",))
+def events_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user,type) z-scores for every event value — the anomaly
+    primitive. Group moments aggregate first (map-side partial sums),
+    then join back on the SAME (user_id, event_type) key — at scale
+    both sides share one hash partitioning, so the join adds no second
+    exchange. Output rounds to 4dp; groups under 3 events or with zero
+    variance are excluded (z undefined)."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("user_id", "event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    return (
+        ev.join(stats, ["user_id", "event_type"])
+        .where((F.col("n") >= 3) & (F.col("sigma") > 0))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 4).alias(
+                "zscore"
+            ),
+        )
+    )

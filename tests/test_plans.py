@@ -21,6 +21,7 @@ _BNLJ_OK = {
     "ann_ivf",
     "sync_window",
     "q22_dormant_customers",  # 1-row avg-acctbal threshold broadcast
+    "tfidf_top_terms",  # 1-row corpus-count broadcast
 }
 
 
