@@ -514,3 +514,107 @@ def events_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# 74. events_gapfill — calendar densification + LOCF carry-forward
+# --------------------------------------------------------------------------
+_GAPFILL_ORACLE = """
+WITH daily AS (
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+), spans AS (
+    SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+), calendar AS (
+    SELECT s.user_id, CAST(unnest(generate_series(s.d0, s.d1, INTERVAL 1 DAY)) AS DATE) AS day
+    FROM spans s
+)
+SELECT c.user_id, c.day,
+       CAST(coalesce(d.n_events, 0) AS BIGINT) AS n_events,
+       coalesce(d.total_value, 0.0) AS total_value,
+       d.day IS NULL AS is_gap,
+       last_value(d.total_value IGNORE NULLS) OVER (
+           PARTITION BY c.user_id ORDER BY c.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
+FROM calendar c LEFT JOIN daily d USING (user_id, day)
+"""
+
+
+@register("events_gapfill", oracle=_GAPFILL_ORACLE, tags=("advanced",))
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification (the hypertable gap-fill): each user's
+    daily series is completed over their OWN [first, last] day span —
+    the calendar explodes from the per-user span row (bounded by the
+    span length), never a cross join against a global calendar dim —
+    then missing days zero-fill and LOCF carries the last observed
+    daily total forward via last(ignorenulls) over the user window.
+    All three shuffles key on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    calendar = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("d0"), F.col("d1"), F.expr("interval 1 day"))
+            ).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        calendar.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+            F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+            F.col("n_events").isNull().alias("is_gap"),
+            F.last("total_value", ignorenulls=True).over(w).alias("locf_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 75. events_latest_n — per-key top-N (the feed query)
+# --------------------------------------------------------------------------
+_LATEST_N_ORACLE = """
+SELECT event_id, user_id, event_type, ts,
+       CAST(rn AS BIGINT) AS rn
+FROM (
+    SELECT event_id, user_id, event_type, ts,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+)
+WHERE rn <= 3
+"""
+
+
+@register("events_latest_n", oracle=_LATEST_N_ORACLE, tags=("advanced",))
+def events_latest_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest 3 events PER USER — the per-key feed complement of the
+    global recent_activities top-N. A partitioned row_number window
+    (never a global orderBy): each user's group sorts independently, so
+    the plan scales with the largest single key, not the table. Ties
+    break on event_id for a total deterministic order."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.select(
+            "event_id", "user_id", "event_type", "ts",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+    )

@@ -1163,3 +1163,41 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= 5)
     )
+
+
+# --------------------------------------------------------------------------
+# 76. embedding_centroids — per-label mean vectors (offline IVF step)
+# --------------------------------------------------------------------------
+_CENTROID_ORACLE = """
+SELECT label,
+       CAST(dim AS INTEGER) AS dim,
+       round(avg(val), 6) AS centroid,
+       CAST(count(*) AS BIGINT) AS n_vectors
+FROM (
+    SELECT label,
+           unnest(range(1, len(embedding) + 1)) AS dim,
+           unnest(embedding) AS val
+    FROM embeddings
+)
+GROUP BY 1, 2
+"""
+
+
+@register("embedding_centroids", oracle=_CENTROID_ORACLE, tags=("llm", "similarity"))
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean vectors in long (label, dim) form — the Lloyd
+    update step ann_ivf's docstring defers to an offline pass: at scale
+    this exact plan (posexplode → per-(list,dim) partial avg) IS the
+    centroid refresh, shuffling (label, dim, sum, count) tuples, 64
+    narrow rows per vector, never whole vectors. Long form keeps the
+    cross-engine contract exact; array re-assembly is one
+    sort-collect_list per label when needed."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", (F.col("pos") + 1).cast("int").alias("dim"))
+        .agg(
+            F.round(F.avg("val"), 6).alias("centroid"),
+            F.count("*").cast("bigint").alias("n_vectors"),
+        )
+    )
