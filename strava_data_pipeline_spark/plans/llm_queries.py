@@ -1201,3 +1201,42 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_vectors"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# 77. stratified_sample — exact-k deterministic sample per stratum
+# --------------------------------------------------------------------------
+_STRAT_ORACLE = f"""
+SELECT doc_id, source, CAST(rn AS BIGINT) AS rank
+FROM (
+    SELECT doc_id, source,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY {md5_u32_duckdb("'strat:' || CAST(doc_id AS VARCHAR)")} ASC,
+                        doc_id ASC) AS rn
+    FROM documents
+)
+WHERE rn <= 5
+"""
+
+
+@register("stratified_sample", oracle=_STRAT_ORACLE, tags=("llm", "sampling"))
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY k=5 docs per source — the eval-set carve-out that
+    fraction-based sampling (corpus_split_counts/corpus_mixture) cannot
+    promise. Rank = portable md5 hash of the doc id (no RNG: re-runs,
+    retries, and both engines pick the identical sample), per-stratum
+    row_number window — partitioned, so it scales with the largest
+    stratum. Composes with the hash-gate samplers: this pins counts,
+    they pin rates."""
+    docs = load_table(spark, sf_dir, "documents")
+    rank_key = md5_u32(F.concat(F.lit("strat:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(
+        F.col("__rk").asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("doc_id", "source", rank_key.alias("__rk"))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 5)
+        .drop("__rk")
+    )

@@ -792,3 +792,30 @@ def events_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         EVENT_COLS,
         exact=False,
     )
+
+
+# --------------------------------------------------------------------------
+# 78. user_activity_join_salted — the skew-mitigation path, oracle-checked
+# --------------------------------------------------------------------------
+@register("user_activity_join_salted", oracle=_USER_ACT_ORACLE, tags=("pipeline",))
+def user_activity_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """user_activity_join routed through operators/skew.salted_join —
+    the manual fallback for a hot athlete id that AQE's skew split
+    can't flatten. Same oracle as the plain join: salting must be
+    row-invisible (each left row carries exactly one deterministic
+    salt; the dim side replicates 8×). Registered so the skew path is
+    exercised by the correctness gate, not just unit tests."""
+    from strava_data_pipeline_spark.operators.skew import salted_join
+
+    events = load_table(spark, sf_dir, "events")
+    users = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_name").alias("user_name")
+    )
+    return (
+        salted_join(events, users, on=["user_id"], n_salts=8, how="inner")
+        .groupBy("user_id", "user_name")
+        .agg(
+            F.count("event_id").cast("bigint").alias("n_activities"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

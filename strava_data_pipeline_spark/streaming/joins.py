@@ -1,0 +1,74 @@
+"""Stream-stream event-time join: purchase attribution to views.
+
+The missing join class in the streaming tier (sync/windowed/stateful/
+dedup cover source→sink, window aggs, custom state, re-delivery;
+enrich covers stream-STATIC): joining two live streams requires both
+sides to buffer state and a watermark + event-time bound to let Spark
+expire it — without the time-range conjunct the state grows without
+bound and the job dies at scale, which is why ``max_delay`` is part of
+the operator signature, not an optional tuning knob.
+
+Reference parity: the reference has no streaming tier (its sync loop is
+a 24 h ticker, internal/strava/strava.go:261); this is the Spark-native
+generalization of "which sync fetched the activity a webhook later
+updated" — correlating two live feeds within a bounded delay.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def attribute_to_prior_event(
+    lead: DataFrame,
+    follow: DataFrame,
+    *,
+    max_delay: str = "30 minutes",
+    watermark: str = "1 hour",
+    key: str = "user_id",
+) -> DataFrame:
+    """Join each ``follow`` event to ``lead`` events of the same key
+    that happened within ``(follow.ts - max_delay, follow.ts]``.
+
+    Both inputs are streaming frames with ``ts`` event time. Watermarks
+    on BOTH sides plus the range conjunct bound the buffered state to
+    ``watermark + max_delay`` of history per side; late rows beyond the
+    watermark drop (counted by the sink's metrics, not silently
+    corrupting attribution). Inner semantics: unattributed follows are
+    the anti-side and stay queryable from the raw stream.
+    """
+    l = (
+        lead.withWatermark("ts", watermark)
+        .select(
+            F.col(key).alias("l_key"),
+            F.col("ts").alias("lead_ts"),
+            F.col("event_id").alias("lead_id"),
+            F.col("event_type").alias("lead_type"),
+        )
+    )
+    f = (
+        follow.withWatermark("ts", watermark)
+        .select(
+            F.col(key).alias("f_key"),
+            F.col("ts").alias("follow_ts"),
+            F.col("event_id").alias("follow_id"),
+            F.col("event_type").alias("follow_type"),
+            F.col("value").alias("follow_value"),
+        )
+    )
+    cond = (
+        (F.col("f_key") == F.col("l_key"))
+        & (F.col("lead_ts") <= F.col("follow_ts"))
+        & (F.col("lead_ts") >= F.col("follow_ts") - F.expr(f"interval {max_delay}"))
+    )
+    return f.join(l, cond, "inner").select(
+        F.col("f_key").alias("user_id"),
+        "follow_id",
+        "follow_type",
+        "follow_ts",
+        "follow_value",
+        "lead_id",
+        "lead_type",
+        "lead_ts",
+    )

@@ -194,3 +194,44 @@ def test_stream_static_enrichment(spark, dirs):
     q.awaitTermination(120)
     rows = {r["event_id"]: r["user_name"] for r in spark.sql("select * from enriched").collect()}
     assert rows == {1: "Alice", 2: None}  # left semantics: unknown flows through
+
+
+def test_stream_stream_attribution_join(spark, dirs):
+    from strava_data_pipeline_spark.streaming.joins import attribute_to_prior_event
+
+    landing, target, ckpt = dirs
+    _write_batch(
+        spark,
+        landing,
+        [
+            # user 7: view 10:00 -> purchase 10:10 (attributed, 10 min)
+            (1, datetime(2024, 1, 1, 10, 0), 7, "view", 0.0),
+            (2, datetime(2024, 1, 1, 10, 10), 7, "purchase", 9.99),
+            # user 7: purchase 11:00 is 60 min after the view (> 30 min cap)
+            (3, datetime(2024, 1, 1, 11, 0), 7, "purchase", 5.0),
+            # user 8: purchase with no view at all
+            (4, datetime(2024, 1, 1, 10, 5), 8, "purchase", 1.0),
+            # user 9: two views straddle the purchase; only the earlier
+            # ones within the window match (12:00 excluded: after)
+            (5, datetime(2024, 1, 1, 11, 40), 9, "view", 0.0),
+            (6, datetime(2024, 1, 1, 11, 50), 9, "purchase", 3.0),
+            (7, datetime(2024, 1, 1, 12, 0), 9, "view", 0.0),
+        ],
+    )
+    stream = read_event_stream(spark, landing)
+    views = stream.where(stream["event_type"] == "view")
+    purchases = stream.where(stream["event_type"] == "purchase")
+    joined = attribute_to_prior_event(views, purchases, max_delay="30 minutes")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", target)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r["follow_id"], r["lead_id"])
+        for r in spark.read.parquet(target).collect()
+    }
+    assert rows == {(2, 1), (6, 5)}
