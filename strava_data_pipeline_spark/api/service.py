@@ -11,6 +11,14 @@ Every endpoint of the reference's API server
 | GET /admin/keys                   | keys_for_user         |
 | POST /admin/keys                  | create_api_key        |
 | (middleware) X-API-Key validation | validate_api_key      |
+| db.ReadAPIKeyByID (:94)           | read_api_key          |
+| db.UpdateAPIKey (:111)            | update_api_key        |
+| db.DeleteAPIKey (:135)            | delete_api_key        |
+| db.AssociateAPIKeyWithUser (:161) | associate_api_key_with_user |
+| db.CreateUser (user.go:34)        | create_user           |
+| db.GetUserByID/Username/AthleteID | get_user_by_*         |
+| db.UpdateUser (user.go:110)       | update_user           |
+| db.DeleteUser (user.go:125)       | delete_user           |
 
 Auth-token/OAuth flows are request-time concerns of a web tier, not of
 the data engine; key *validation semantics* (active + unexpired —
@@ -60,6 +68,8 @@ class PipelineService:
         # A production deployment stores keys in a table and mutates it
         # via merge_cdc (see the key_lifecycle registry query).
         self._key_rows: list[tuple] = []
+        self._user_rows: list[tuple] = []
+        self._deleted_user_ids: set[int] = set()
 
     @property
     def _keys(self) -> DataFrame:
@@ -119,3 +129,106 @@ class PipelineService:
 
     def keys_for_user(self, user_id: int) -> DataFrame:
         return self._keys.where(F.col("user_id") == user_id)
+
+    # -- api-key lifecycle (user_api_keys.go:94,111,135,161) ---------------
+    def read_api_key(self, key: str) -> DataFrame:
+        """ReadAPIKeyByID parity (key value is our natural id)."""
+        return self._keys.where(F.col("key") == key)
+
+    def update_api_key(
+        self, key: str, *, description: str | None = None, is_active: bool | None = None
+    ) -> bool:
+        """UpdateAPIKey parity: mutate description/active flag in place."""
+        for i, row in enumerate(self._key_rows):
+            if row[0] == key:
+                self._key_rows[i] = (
+                    row[0],
+                    description if description is not None else row[1],
+                    row[2],
+                    row[3],
+                    is_active if is_active is not None else row[4],
+                    row[5],
+                )
+                return True
+        return False
+
+    def delete_api_key(self, key: str) -> bool:
+        """DeleteAPIKey parity."""
+        n = len(self._key_rows)
+        self._key_rows = [r for r in self._key_rows if r[0] != key]
+        return len(self._key_rows) < n
+
+    def associate_api_key_with_user(self, key: str, user_id: int) -> bool:
+        """AssociateAPIKeyWithUser parity: re-point the key's owner."""
+        for i, row in enumerate(self._key_rows):
+            if row[0] == key:
+                self._key_rows[i] = row[:5] + (user_id,)
+                return True
+        return False
+
+    # -- users (user.go:34,56,74,92,110,125) -------------------------------
+    # The base users dim derives from customer (as the registry's
+    # user_upsert/user_lookup queries do); service-created users and
+    # updates overlay it as local rows, deletes tombstone ids. At scale
+    # the overlay IS a CDC feed into operators/upsert.merge_cdc — this
+    # facade holds driver-scale admin mutations only.
+    _USER_OVERLAY_BASE_ID = 10**9
+
+    def _users(self) -> DataFrame:
+        base = load_table(self.spark, self.sf_dir, "customer").select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_name").alias("username"),
+            (F.col("c_custkey") + F.lit(10**7)).alias("athlete_id"),
+        )
+        if self._user_rows:
+            overlay = self.spark.createDataFrame(
+                self._user_rows, "user_id long, username string, athlete_id long"
+            )
+            base = base.join(
+                overlay.select("user_id"), "user_id", "left_anti"
+            ).unionByName(overlay)
+        if self._deleted_user_ids:
+            gone = [(i,) for i in sorted(self._deleted_user_ids)]
+            tomb = self.spark.createDataFrame(gone, "user_id long")
+            base = base.join(tomb, "user_id", "left_anti")
+        return base
+
+    def create_user(self, username: str, athlete_id: int) -> int:
+        """CreateUser parity; returns the new user id."""
+        uid = self._USER_OVERLAY_BASE_ID + len(self._user_rows)
+        self._user_rows.append((uid, username, athlete_id))
+        return uid
+
+    def get_user_by_id(self, user_id: int) -> DataFrame:
+        return self._users().where(F.col("user_id") == user_id)
+
+    def get_user_by_username(self, username: str) -> DataFrame:
+        return self._users().where(F.col("username") == username)
+
+    def get_user_by_athlete_id(self, athlete_id: int) -> DataFrame:
+        return self._users().where(F.col("athlete_id") == athlete_id)
+
+    def update_user(
+        self, user_id: int, *, username: str | None = None, athlete_id: int | None = None
+    ) -> bool:
+        """UpdateUser parity: overlay the changed fields (latest wins)."""
+        cur = self.get_user_by_id(user_id).take(1)
+        if not cur or user_id in self._deleted_user_ids:
+            return False
+        row = cur[0]
+        self._user_rows = [r for r in self._user_rows if r[0] != user_id]
+        self._user_rows.append(
+            (
+                user_id,
+                username if username is not None else row["username"],
+                athlete_id if athlete_id is not None else row["athlete_id"],
+            )
+        )
+        return True
+
+    def delete_user(self, user_id: int) -> bool:
+        """DeleteUser parity (tombstone; base-dim rows stay immutable)."""
+        if not self.get_user_by_id(user_id).take(1):
+            return False
+        self._deleted_user_ids.add(user_id)
+        return True

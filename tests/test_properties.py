@@ -108,3 +108,42 @@ def test_bpe_token_count_matches_python_reference(spark, texts):
     ]
     want = [len(re.findall(BPE_TOKEN_RE, t)) for t in texts]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# connected components == union-find reference on random graphs
+# ---------------------------------------------------------------------------
+
+_edge_lists = st.lists(
+    st.tuples(st.integers(0, 40), st.integers(0, 40)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=60,
+)
+
+
+def _uf_components(pairs):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+@given(pairs=_edge_lists)
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_connected_components_matches_union_find(spark, pairs):
+    from strava_data_pipeline_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(pairs, "src bigint, dst bigint")
+    got = {
+        r["node"]: r["label"] for r in connected_components(edges).collect()
+    }
+    assert got == _uf_components(pairs)

@@ -133,3 +133,58 @@ class TestApiKeys:
         svc.create_api_key("b", 10, user_id=1)
         svc.create_api_key("c", 10, user_id=2)
         assert svc.keys_for_user(1).count() == 2
+
+
+class TestUserCrud:
+    """User-dim CRUD parity: user.go:34,56,74,92,110,125."""
+
+    def test_create_and_lookups(self, spark, sf_dir):
+        svc = PipelineService(spark, sf_dir)
+        uid = svc.create_user("new_athlete", athlete_id=555)
+        assert svc.get_user_by_id(uid).take(1)[0]["username"] == "new_athlete"
+        assert svc.get_user_by_username("new_athlete").take(1)[0]["user_id"] == uid
+        assert svc.get_user_by_athlete_id(555).take(1)[0]["user_id"] == uid
+
+    def test_base_dim_visible(self, spark, sf_dir):
+        svc = PipelineService(spark, sf_dir)
+        # customer-derived base users resolve through the same lookups
+        assert svc.get_user_by_id(1).count() == 1
+
+    def test_update_overlays_base(self, spark, sf_dir):
+        svc = PipelineService(spark, sf_dir)
+        assert svc.update_user(1, username="renamed")
+        got = svc.get_user_by_id(1).take(1)[0]
+        assert got["username"] == "renamed"
+        # unchanged field carried over
+        assert got["athlete_id"] == 1 + 10**7
+        # no duplicate row for the overlaid id
+        assert svc.get_user_by_id(1).count() == 1
+
+    def test_delete_tombstones(self, spark, sf_dir):
+        svc = PipelineService(spark, sf_dir)
+        assert svc.delete_user(2)
+        assert svc.get_user_by_id(2).count() == 0
+        assert not svc.update_user(2, username="zombie")
+        assert not svc.delete_user(2)
+
+
+class TestKeyLifecycle:
+    """Key mutation parity: user_api_keys.go:94,111,135,161."""
+
+    def test_read_update_deactivate(self, spark, sf_dir):
+        svc = PipelineService(spark, sf_dir)
+        key = svc.create_api_key("svc", expiry_days=30, user_id=3)
+        assert svc.read_api_key(key).count() == 1
+        assert svc.update_api_key(key, is_active=False)
+        assert not svc.validate_api_key(key)
+        assert svc.update_api_key(key, is_active=True)
+        assert svc.validate_api_key(key)
+
+    def test_delete_and_reassociate(self, spark, sf_dir):
+        svc = PipelineService(spark, sf_dir)
+        key = svc.create_api_key("svc", expiry_days=30, user_id=3)
+        assert svc.associate_api_key_with_user(key, 9)
+        assert svc.keys_for_user(9).count() == 1
+        assert svc.delete_api_key(key)
+        assert not svc.validate_api_key(key)
+        assert not svc.delete_api_key(key)
