@@ -362,7 +362,7 @@ def json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SESSION_ORACLE = """
 WITH flagged AS (
     SELECT user_id, ts, event_id,
-           CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
+           CASE WHEN floor(epoch(ts)) - lag(floor(epoch(ts))) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
     FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sess AS (
     SELECT user_id, ts,
@@ -818,4 +818,61 @@ def user_activity_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("event_id").cast("bigint").alias("n_activities"),
             F.round(F.sum("value"), 2).alias("total_value"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# 79. session_stats — session-level engagement rollup
+# --------------------------------------------------------------------------
+_SESSION_STATS_ORACLE = """
+WITH flagged AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN floor(epoch(ts)) - lag(floor(epoch(ts))) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+    SELECT user_id, ts,
+           CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+    FROM flagged
+), per_session AS (
+    -- floor(epoch) mirrors Spark's cast(timestamp as long) whole-second
+    -- truncation; raw epoch() keeps microsecond fractions here
+    SELECT user_id, session_seq,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT)
+               AS duration_sec
+    FROM sess GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(n_events) AS BIGINT) AS total_events,
+       CAST(max(n_events) AS BIGINT) AS max_session_events,
+       round(sum(duration_sec) * 1.0 / count(*), 2) AS avg_duration_sec,
+       CAST(max(duration_sec) AS BIGINT) AS max_duration_sec
+FROM per_session GROUP BY 1
+"""
+
+
+@register("session_stats", oracle=_SESSION_STATS_ORACLE, tags=("pipeline",))
+def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user engagement profile over 30-min-gap sessions: the
+    two-level rollup (events → sessions → user) reuses the sessionize
+    operator's single user_id partitioning for BOTH window passes and
+    the final agg — one exchange end-to-end. Durations are whole-second
+    bigints (epoch diff), so the only float is the final avg, derived
+    from exact integers on both engines."""
+    events = load_table(spark, sf_dir, "events")
+    s = sessionize(events, gap_minutes=30)
+    per_session = s.groupBy("user_id", "session_seq").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        (
+            F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+        ).cast("bigint").alias("duration_sec"),
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        F.sum("n_events").cast("bigint").alias("total_events"),
+        F.max("n_events").cast("bigint").alias("max_session_events"),
+        F.round(F.sum("duration_sec") / F.count("*"), 2).alias("avg_duration_sec"),
+        F.max("duration_sec").cast("bigint").alias("max_duration_sec"),
     )
