@@ -618,3 +618,53 @@ def events_latest_n(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rn") <= 3)
     )
+
+
+# --------------------------------------------------------------------------
+# 81. weekly_type_trend — week-over-week deltas on an aggregated series
+# --------------------------------------------------------------------------
+_TREND_ORACLE = """
+WITH weekly AS (
+    SELECT event_type, CAST(date_trunc('week', ts) AS DATE) AS week_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+)
+SELECT event_type, week_start, n_events, total_value,
+       CAST(n_events - lag(n_events) OVER w AS BIGINT) AS delta_events,
+       round((total_value - lag(total_value) OVER w)
+             / lag(total_value) OVER w, 4) AS pct_change
+FROM weekly
+WINDOW w AS (PARTITION BY event_type ORDER BY week_start)
+"""
+
+
+@register("weekly_type_trend", oracle=_TREND_ORACLE, tags=("advanced",))
+def weekly_type_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week movement per event type: analytic lag over an
+    ALREADY-AGGREGATED series — the window runs on (type × week)
+    cardinality rows, so the sort behind it is trivially small no
+    matter the fact-table size. pct_change divides rounded totals, so
+    both engines divide identical doubles."""
+    ev = load_table(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("week", "ts")).alias("week_start")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    w = Window.partitionBy("event_type").orderBy("week_start")
+    return weekly.select(
+        "event_type",
+        "week_start",
+        "n_events",
+        "total_value",
+        (F.col("n_events") - F.lag("n_events").over(w)).cast("bigint").alias(
+            "delta_events"
+        ),
+        F.round(
+            (F.col("total_value") - F.lag("total_value").over(w))
+            / F.lag("total_value").over(w),
+            4,
+        ).alias("pct_change"),
+    )

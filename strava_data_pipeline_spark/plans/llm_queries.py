@@ -1240,3 +1240,27 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 5)
         .drop("__rk")
     )
+
+
+# --------------------------------------------------------------------------
+# 80. lang_confusion — labeled × predicted language matrix
+# --------------------------------------------------------------------------
+_LANG_CONFUSION_ORACLE = f"""
+SELECT labeled_lang, predicted_lang,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM ({_lang_id_oracle()})
+GROUP BY 1, 2
+"""
+
+
+@register("lang_confusion", oracle=_LANG_CONFUSION_ORACLE, tags=("llm", "text"))
+def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the lang_id heuristic vs corpus labels —
+    the monitoring rollup a pipeline runs before trusting a classifier
+    gate. Pure composition: the per-doc vote feeds one tiny
+    (lang × lang)-cardinality aggregate; map-side partials collapse
+    the 100 TB scan to a handful of rows before the shuffle."""
+    per_doc = lang_id(spark, sf_dir)
+    return per_doc.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
