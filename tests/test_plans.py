@@ -107,3 +107,56 @@ def test_whole_stage_codegen_present(plans):
     # fallen entirely out of Tungsten
     offenders = [n for n, p in plans.items() if "codegen id" not in p]
     assert offenders == [], f"no codegen span in: {offenders}"
+
+
+@pytest.fixture(scope="module")
+def executed_trees(spark):
+    """Simple-mode explain of the EXECUTED (final AQE) plan — tree lines
+    carry operator arguments inline, and everything after the
+    '== Initial Plan ==' marker is the pre-AQE echo we drop."""
+    names = [
+        "session_stats",
+        "decontaminate",
+        "events_funnel",
+        "events_latest_n",
+    ]
+    out = {}
+    for name in names:
+        df = registry.all_queries()[name](spark, SF_DIR)
+        df.collect()
+        s = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+        out[name] = s.split("== Initial Plan ==")[0]
+    return out
+
+
+def test_session_stats_single_exchange(executed_trees):
+    import re
+
+    # both window passes and all aggregate levels must ride ONE
+    # user_id hash partitioning — the docstring's one-exchange claim
+    n = len(re.findall(r"\bExchange hashpartitioning", executed_trees["session_stats"]))
+    assert n == 1, f"session_stats executed plan has {n} exchanges, expected 1"
+
+
+def test_decontaminate_training_side_never_shuffles_for_probe(executed_trees):
+    # the benchmark shingle set must broadcast: the corpus-side probe
+    # is a BroadcastHashJoin, never a sort-merge shuffle of shingles
+    seg = executed_trees["decontaminate"]
+    assert "BroadcastHashJoin" in seg
+    assert "SortMergeJoin" not in seg
+
+
+def test_funnel_stages_cohash_on_user(executed_trees):
+    # no per-event self-join: every join in the funnel keys on user_id
+    seg = executed_trees["events_funnel"]
+    assert "CartesianProduct" not in seg and "BroadcastNestedLoopJoin" not in seg
+
+
+def test_latest_n_window_is_partitioned(executed_trees):
+    # per-key top-N must sort within user_id partitions, not globally
+    seg = executed_trees["events_latest_n"]
+    assert "hashpartitioning(user_id" in seg
