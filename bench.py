@@ -55,6 +55,9 @@ BENCH_QUERIES = [
     "tfidf_top_terms",
     "events_funnel",
     "retention_cohorts",
+    "events_gapfill",
+    "session_stats",
+    "events_latest_n",
 ]
 
 

@@ -1264,3 +1264,32 @@ def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_doc.groupBy("labeled_lang", "predicted_lang").agg(
         F.count("*").cast("bigint").alias("n_docs")
     )
+
+
+# --------------------------------------------------------------------------
+# 82. corpus_dedup_keep_clusters — cluster-canonical keep-list
+# --------------------------------------------------------------------------
+_CLUSTER_KEEP_ORACLE = f"""
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+JOIN ({_clusters_oracle()}) c USING (doc_id)
+WHERE c.is_canonical
+"""
+
+
+@register(
+    "corpus_dedup_keep_clusters",
+    oracle=_CLUSTER_KEEP_ORACLE,
+    tags=("llm", "dedup", "graph"),
+)
+def corpus_dedup_keep_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware keep-list: retain exactly ONE doc (the min-id
+    canonical) per transitive near-dup cluster. Stricter than the
+    pair-based corpus_dedup_keep when duplicates chain (A~B, B~C with
+    no A~C pair): pair-dropping and cluster-dropping agree on chains
+    rooted at the min id, but only the cluster form GUARANTEES one
+    survivor per component regardless of which pairs the LSH bands
+    happened to emit. Joins shuffle doc_ids only."""
+    docs = load_table(spark, sf_dir, "documents")
+    keep = dedup_clusters(spark, sf_dir).where(F.col("is_canonical")).select("doc_id")
+    return docs.join(keep, "doc_id", "left_semi").select("doc_id", "lang", "source")
