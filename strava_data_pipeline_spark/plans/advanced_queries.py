@@ -322,44 +322,47 @@ LEFT JOIN p USING (user_id)
 
 @register("events_funnel", oracle=_FUNNEL_ORACLE, tags=("advanced",))
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Strictly-ordered view→click→purchase funnel per user: each stage
-    is one conditional aggregate joined back on user_id, so the three
-    stages cost three co-partitioned shuffles on the SAME key (one
-    exchange reused at scale) — never a per-event self-join. Nulls
-    propagate: a user with no post-view click can't convert on a later
-    purchase."""
+    """Strictly-ordered view→click→purchase funnel per user in ONE scan
+    and ONE user_id exchange: running-min windows carry "first view so
+    far" and "first qualifying click so far" along each user's event
+    order, so a row can test strictly-after membership without any
+    self-join (the earlier 3-scan + 3-join form re-read the fact table
+    per stage). Equivalent to the join form because whenever the global
+    first view precedes an event in (ts, id) order, the running min AT
+    that event equals the global min, and ties/later firsts exclude the
+    event under both definitions."""
     ev = load_table(spark, sf_dir, "events")
-    users = ev.select("user_id").distinct()
-    v = (
-        ev.where(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_view"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    c = (
-        ev.where(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .where(F.col("ts") > F.col("t_view"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"))
+    is_view = F.col("event_type") == "view"
+    fv = ev.withColumn("first_view", F.min(F.when(is_view, F.col("ts"))).over(w))
+    click_q = (
+        (F.col("event_type") == "click")
+        & F.col("first_view").isNotNull()
+        & (F.col("ts") > F.col("first_view"))
     )
-    p = (
-        ev.where(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .where(F.col("ts") > F.col("t_click"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_purchase"))
+    qc = fv.withColumn(
+        "first_click", F.min(F.when(click_q, F.col("ts"))).over(w)
     )
-    return (
-        users.join(v, "user_id", "left")
-        .join(c, "user_id", "left")
-        .join(p, "user_id", "left")
-        .select(
-            "user_id",
-            "t_view",
-            "t_click",
-            "t_purchase",
-            F.col("t_purchase").isNotNull().alias("converted"),
-        )
+    purchase_q = (
+        (F.col("event_type") == "purchase")
+        & F.col("first_click").isNotNull()
+        & (F.col("ts") > F.col("first_click"))
+    )
+    agg = qc.groupBy("user_id").agg(
+        F.min(F.when(is_view, F.col("ts"))).alias("t_view"),
+        F.min(F.when(click_q, F.col("ts"))).alias("t_click"),
+        F.min(F.when(purchase_q, F.col("ts"))).alias("t_purchase"),
+    )
+    return agg.select(
+        "user_id",
+        "t_view",
+        "t_click",
+        "t_purchase",
+        F.col("t_purchase").isNotNull().alias("converted"),
     )
 
 

@@ -150,10 +150,15 @@ def test_decontaminate_training_side_never_shuffles_for_probe(executed_trees):
     assert "SortMergeJoin" not in seg
 
 
-def test_funnel_stages_cohash_on_user(executed_trees):
-    # no per-event self-join: every join in the funnel keys on user_id
+def test_funnel_single_scan_single_exchange(executed_trees):
+    import re
+
+    # the windowed funnel must read events ONCE and shuffle ONCE — the
+    # 3-scan + 3-join form this replaced re-read the fact table per stage
     seg = executed_trees["events_funnel"]
     assert "CartesianProduct" not in seg and "BroadcastNestedLoopJoin" not in seg
+    assert len(re.findall(r"Scan parquet", seg)) == 1
+    assert len(re.findall(r"\bExchange hashpartitioning", seg)) == 1
 
 
 def test_latest_n_window_is_partitioned(executed_trees):
