@@ -493,29 +493,30 @@ WHERE s.n >= 3 AND s.sigma > 0
 @register("events_zscore", oracle=_ZSCORE_ORACLE, tags=("advanced",))
 def events_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(user,type) z-scores for every event value — the anomaly
-    primitive. Group moments aggregate first (map-side partial sums),
-    then join back on the SAME (user_id, event_type) key — at scale
-    both sides share one hash partitioning, so the join adds no second
-    exchange. Output rounds to 4dp; groups under 3 events or with zero
-    variance are excluded (z undefined)."""
+    primitive. Group moments ride an UNORDERED window over the same
+    partitioning the rows already need: one scan, one exchange, no
+    join-back (the agg+join form read the fact table twice). Output
+    rounds to 4dp; groups under 3 events or with zero variance are
+    excluded (z undefined)."""
     ev = load_table(spark, sf_dir, "events")
-    stats = ev.groupBy("user_id", "event_type").agg(
-        F.avg("value").alias("mu"),
-        F.stddev_samp("value").alias("sigma"),
-        F.count("*").cast("bigint").alias("n"),
+    w = Window.partitionBy("user_id", "event_type")
+    enriched = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sigma"),
+        F.count("*").over(w).alias("n"),
     )
-    return (
-        ev.join(stats, ["user_id", "event_type"])
-        .where((F.col("n") >= 3) & (F.col("sigma") > 0))
-        .select(
-            "event_id",
-            "user_id",
-            "event_type",
-            F.round("value", 4).alias("value"),
-            F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 4).alias(
-                "zscore"
-            ),
-        )
+    return enriched.where((F.col("n") >= 3) & (F.col("sigma") > 0)).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round("value", 4).alias("value"),
+        F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 4).alias(
+            "zscore"
+        ),
     )
 
 

@@ -1140,9 +1140,18 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", "source", F.explode(T.tokens(F.col("text"))).alias("term")
     )
-    tf = tok.groupBy("source", "term").agg(F.count("*").cast("bigint").alias("tf"))
-    df_ = tok.groupBy("term").agg(
-        F.countDistinct("doc_id").cast("bigint").alias("df")
+    # one explode, one shuffle to (doc, term) grain; BOTH downstream
+    # aggregates (tf per source-term, df per term) derive from it, so
+    # AQE reuses the single exchange instead of exploding the token
+    # stream twice
+    doc_term = tok.groupBy("doc_id", "source", "term").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    tf = doc_term.groupBy("source", "term").agg(
+        F.sum("cnt").cast("bigint").alias("tf")
+    )
+    df_ = doc_term.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("df")
     )
     n = docs.agg(F.count("*").alias("n_docs"))
     scored = (
