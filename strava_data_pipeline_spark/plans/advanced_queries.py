@@ -391,8 +391,13 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id — the (cohort_day, offset) agg is the only other shuffle.
     The events table never self-joins row-to-row."""
     ev = load_table(spark, sf_dir, "events")
-    first_day = ev.groupBy("user_id").agg(F.to_date(F.min("ts")).alias("cohort_day"))
+    # min(distinct day) == date(min ts), so the cohort dim derives from
+    # the SAME distinct user-day frame the join consumes — one events
+    # scan, and the distinct's exchange is reused for the groupBy
     active = ev.select("user_id", F.to_date("ts").alias("active_day")).distinct()
+    first_day = active.groupBy("user_id").agg(
+        F.min("active_day").alias("cohort_day")
+    )
     return (
         active.join(first_day, "user_id")
         .groupBy(
