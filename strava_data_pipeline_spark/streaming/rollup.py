@@ -1,0 +1,80 @@
+"""Streaming incremental rollup maintenance: keep an aggregate table
+fresh by MERGING per-batch deltas, never re-scanning the raw table.
+
+The reference recomputes dashboard stats per request from the raw
+activities table (/root/reference/internal/api/api.go:107); at 100 TB
+the sum/count rollup must be maintained incrementally instead. Counts
+and sums are merge-able (commutative monoids), so:
+
+    new_rollup(day, type) = combine(old_rollup(day, type), delta(batch))
+
+costs one pass over the BATCH plus a partition-pruned read of the
+touched days of the rollup — O(batch), not O(table). (Averages derive
+as sum/count at read time; non-mergeable stats — exact percentiles —
+need the sketch path, percentile_stats_approx.)
+
+Same dynamic-partition-overwrite discipline as streaming/sync.py: only
+the day partitions present in the batch are rewritten.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from strava_data_pipeline_spark.streaming.sync import _hadoop_path_exists
+
+
+def start_rollup_maintenance(
+    stream: DataFrame,
+    rollup_dir: str,
+    checkpoint_dir: str,
+):
+    """Maintain a (p_day, event_type) → (n_events, total_value) rollup
+    from the event stream, exactly-once per micro-batch (foreachBatch
+    runs under the stream's checkpointed batch id)."""
+
+    def merge_rollup(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        delta = (
+            batch.groupBy(
+                F.to_date("ts").alias("p_day"), F.col("event_type")
+            ).agg(
+                F.count("*").cast("bigint").alias("n_events"),
+                F.sum("value").alias("total_value"),
+            )
+        )
+        days = [r["p_day"] for r in delta.select("p_day").distinct().collect()]
+        if not days:
+            return
+        if _hadoop_path_exists(sess, rollup_dir):
+            base = (
+                sess.read.parquet(rollup_dir)
+                .where(F.col("p_day").isin(days))
+                .select("p_day", "event_type", "n_events", "total_value")
+            )
+            merged = (
+                base.unionByName(delta)
+                .groupBy("p_day", "event_type")
+                .agg(
+                    F.sum("n_events").cast("bigint").alias("n_events"),
+                    F.sum("total_value").alias("total_value"),
+                )
+                .localCheckpoint(eager=True)  # cut lineage to rollup_dir
+            )
+        else:
+            merged = delta
+        (
+            merged.select("event_type", "n_events", "total_value", "p_day")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("p_day")
+            .parquet(rollup_dir)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(merge_rollup)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -176,3 +176,37 @@ def test_approx_paths_within_tolerance(spark, sf_dir):
         b = bands[et]
         for q, (lo, hi) in (("p50", (b[0], b[1])), ("p90", (b[2], b[3])), ("p99", (b[4], b[5]))):
             assert lo - 1e-9 <= ap[q] <= hi + 1e-9, (et, q)
+
+
+class TestObservedIngest:
+    """observe-based quality counters ride the existing plan."""
+
+    def test_counters_free_on_the_same_action(self, spark):
+        from strava_data_pipeline_spark.operators.monitor import observed_ingest
+
+        df = spark.createDataFrame(
+            [(1, 5.0), (2, -3.0), (3, None), (None, 2.0)],
+            "event_id long, value double",
+        )
+        monitored, obs = observed_ingest(
+            df, not_null=["event_id", "value"], non_negative=["value"]
+        )
+        assert monitored.count() == 4  # frame unchanged
+        got = obs.get
+        assert got["n_rows"] == 4
+        assert got["null_event_id"] == 1
+        assert got["null_value"] == 1
+        assert got["neg_value"] == 1
+
+    def test_clean_batch_all_zero(self, spark):
+        from strava_data_pipeline_spark.operators.monitor import observed_ingest
+
+        df = spark.range(10).select(
+            F.col("id").alias("event_id"), F.lit(1.5).alias("value")
+        )
+        monitored, obs = observed_ingest(
+            df, not_null=["event_id"], non_negative=["value"]
+        )
+        monitored.write.format("noop").mode("overwrite").save()
+        got = obs.get
+        assert got == {"n_rows": 10, "null_event_id": 0, "neg_value": 0}

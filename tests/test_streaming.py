@@ -235,3 +235,55 @@ def test_stream_stream_attribution_join(spark, dirs):
         for r in spark.read.parquet(target).collect()
     }
     assert rows == {(2, 1), (6, 5)}
+
+
+def test_incremental_rollup_matches_batch_recompute(spark, dirs):
+    from strava_data_pipeline_spark.streaming.rollup import start_rollup_maintenance
+
+    landing, target, ckpt = dirs
+    batch1 = [
+        (1, datetime(2024, 1, 1, 10), 7, "run", 5.0),
+        (2, datetime(2024, 1, 1, 11), 7, "ride", 20.0),
+        (3, datetime(2024, 1, 2, 9), 8, "run", 3.0),
+    ]
+    batch2 = [
+        (4, datetime(2024, 1, 1, 12), 9, "run", 7.0),   # touches day 1 again
+        (5, datetime(2024, 1, 3, 8), 7, "hike", 11.0),  # new day
+    ]
+    _write_batch(spark, landing, batch1)
+    q = start_rollup_maintenance(
+        __import__(
+            "strava_data_pipeline_spark.streaming.sync", fromlist=["read_event_stream"]
+        ).read_event_stream(spark, landing),
+        target,
+        ckpt,
+    )
+    q.awaitTermination(120)
+    _write_batch(spark, landing, batch2)
+    q = start_rollup_maintenance(
+        __import__(
+            "strava_data_pipeline_spark.streaming.sync", fromlist=["read_event_stream"]
+        ).read_event_stream(spark, landing),
+        target,
+        ckpt,
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (str(r["p_day"]), r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.read.parquet(target).collect()
+    }
+    # ground truth: full batch recompute over everything landed
+    from pyspark.sql import functions as F
+
+    want_df = (
+        spark.createDataFrame(batch1 + batch2, "event_id long, ts timestamp, "
+                              "user_id long, event_type string, value double")
+        .groupBy(F.to_date("ts").alias("p_day"), "event_type")
+        .agg(F.count("*").cast("bigint").alias("n"), F.sum("value").alias("v"))
+    )
+    want = {
+        (str(r["p_day"]), r["event_type"]): (r["n"], r["v"])
+        for r in want_df.collect()
+    }
+    assert got == want
