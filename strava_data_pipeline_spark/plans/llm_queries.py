@@ -1302,3 +1302,51 @@ def corpus_dedup_keep_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     keep = dedup_clusters(spark, sf_dir).where(F.col("is_canonical")).select("doc_id")
     return docs.join(keep, "doc_id", "left_semi").select("doc_id", "lang", "source")
+
+
+# --------------------------------------------------------------------------
+# 83. unigram_logprob — corpus-LM fluency score (perplexity-filter proxy)
+# --------------------------------------------------------------------------
+_LOGPROB_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, unnest({_DUCK_TOKENS}) AS term FROM documents
+), freq AS (
+    SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1
+), n AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_total FROM tok
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(sum(ln(f.cnt * 1.0 / n.n_total)) / count(*), 4) AS avg_logprob
+FROM tok t JOIN freq f USING (term) CROSS JOIN n
+GROUP BY 1
+"""
+
+
+@register("unigram_logprob", oracle=_LOGPROB_ORACLE, tags=("llm", "text"))
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram log-probability per doc under the corpus's own
+    token distribution — the distributed stand-in for KenLM-style
+    perplexity filtering (real pipelines swap the frequency dim for a
+    trained LM table; the plan is identical). One token explode feeds
+    the vocabulary-sized frequency dim AND the per-doc score; the dim
+    joins back on the term (zipf-bounded, broadcastable), the token
+    total is a 1-row broadcast. Every occurrence counts — fluency, not
+    set overlap — so no distinct anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
+    freq = tok.groupBy("term").agg(F.count("*").cast("bigint").alias("cnt"))
+    n = tok.agg(F.count("*").cast("bigint").alias("n_total"))
+    return (
+        tok.join(freq, "term")
+        .join(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(F.log(F.col("cnt") * F.lit(1.0) / F.col("n_total")))
+                / F.count("*"),
+                4,
+            ).alias("avg_logprob"),
+        )
+    )
