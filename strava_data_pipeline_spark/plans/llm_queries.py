@@ -1350,3 +1350,54 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# 84. corpus_chunk — overlapping token-window chunking
+# --------------------------------------------------------------------------
+_CHUNK_W, _CHUNK_S = 32, 24  # window / stride (8-token overlap)
+
+_CHUNK_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents
+)
+SELECT doc_id,
+       CAST(seq AS BIGINT) AS chunk_seq,
+       CAST(seq * {_CHUNK_S} + 1 AS BIGINT) AS chunk_start,
+       CAST(len(t[seq * {_CHUNK_S} + 1 : seq * {_CHUNK_S} + {_CHUNK_W}]) AS BIGINT)
+           AS n_chunk_tokens,
+       array_to_string(t[seq * {_CHUNK_S} + 1 : seq * {_CHUNK_S} + {_CHUNK_W}], ' ')
+           AS chunk_text
+FROM tok, unnest(range(0, (len(t) - 1) // {_CHUNK_S} + 1)) AS u(seq)
+"""
+
+
+@register("corpus_chunk", oracle=_CHUNK_ORACLE, tags=("llm", "text"))
+def corpus_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunks (32-token windows, stride 24) —
+    the context-window prep step between cleaning and embedding. Pure
+    explode over each doc's own chunk count: output size is
+    sum(ceil(n_i/stride)) rows, perfectly data-parallel, zero shuffles,
+    zero UDFs; the final partial window is kept (training pads, RAG
+    retrieves it either way)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    t = docs.select("doc_id", toks.alias("t"))
+    seqd = t.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.floor((F.size("t") - 1) / F.lit(_CHUNK_S)).cast("int")
+            )
+        ).alias("seq"),
+    )
+    start = F.col("seq") * _CHUNK_S + 1
+    chunk = F.slice(F.col("t"), start, _CHUNK_W)
+    return seqd.select(
+        "doc_id",
+        F.col("seq").cast("bigint").alias("chunk_seq"),
+        start.cast("bigint").alias("chunk_start"),
+        F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

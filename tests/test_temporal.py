@@ -72,3 +72,63 @@ def test_interval_join_overlapping_windows(spark, facts):
     hits = {(r["event_id"], r["win_id"]) for r in out.collect()}
     # fact 4 (Jan 2) lands in BOTH overlapping windows; end bound exclusive
     assert hits == {(1, 100), (4, 100), (4, 101), (2, 101)}
+
+
+class TestFunnelGapfillPlantedEdges:
+    """Planted-fixture edge cases routed through the REGISTRY builders
+    (a tmp sf_dir with a synthetic events.parquet), covering orderings
+    the generated corpus can't guarantee to contain."""
+
+    @pytest.fixture()
+    def edge_sf_dir(self, spark, tmp_path):
+        from datetime import datetime as dt
+
+        rows = [
+            # u1: purchase BEFORE any view → must not convert
+            (1, dt(2024, 1, 1, 9, 0), 1, "purchase", 5.0),
+            (2, dt(2024, 1, 1, 10, 0), 1, "view", 0.0),
+            # u2: click at the EXACT ts of the first view → strict
+            # 'after' excludes it; the later click qualifies
+            (3, dt(2024, 1, 1, 10, 0), 2, "view", 0.0),
+            (4, dt(2024, 1, 1, 10, 0), 2, "click", 0.0),
+            (5, dt(2024, 1, 1, 11, 0), 2, "click", 0.0),
+            (6, dt(2024, 1, 1, 11, 30), 2, "purchase", 9.0),
+            # u3: single event, single day → gapfill span is one row
+            (7, dt(2024, 1, 5, 8, 0), 3, "view", 1.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double"
+        )
+        sf = str(tmp_path / "edge_sf")
+        df.coalesce(1).write.parquet(f"{sf}/events.parquet")
+        return sf
+
+    def test_funnel_strict_ordering(self, spark, edge_sf_dir):
+        from strava_data_pipeline_spark.plans import registry
+
+        got = {
+            r["user_id"]: r
+            for r in registry.all_queries()["events_funnel"](
+                spark, edge_sf_dir
+            ).collect()
+        }
+        assert not got[1]["converted"]          # purchase preceded the view
+        assert got[1]["t_click"] is None
+        assert got[2]["converted"]
+        assert got[2]["t_click"].hour == 11     # the tie-ts click was skipped
+        assert not got[3]["converted"]
+
+    def test_gapfill_single_day_span(self, spark, edge_sf_dir):
+        from strava_data_pipeline_spark.plans import registry
+
+        rows = [
+            r
+            for r in registry.all_queries()["events_gapfill"](
+                spark, edge_sf_dir
+            ).collect()
+            if r["user_id"] == 3
+        ]
+        assert len(rows) == 1                   # span collapses to one day
+        assert not rows[0]["is_gap"]
+        assert rows[0]["locf_value"] == 1.0
