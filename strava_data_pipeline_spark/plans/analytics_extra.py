@@ -447,3 +447,142 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# 85. customer_rfm — quintile-scored recency/frequency/monetary
+# --------------------------------------------------------------------------
+_RFM_ORACLE = """
+WITH base AS (
+    SELECT o.o_custkey AS custkey,
+           CAST(date_diff('day', max(o.o_orderdate),
+                (SELECT max(o_orderdate) FROM orders)) AS BIGINT) AS recency_days,
+           CAST(count(*) AS BIGINT) AS frequency,
+           round(sum(o.o_totalprice), 2) AS monetary
+    FROM orders o GROUP BY 1
+), q AS (
+    SELECT round(quantile_cont(recency_days, 0.2), 4) AS r20,
+           round(quantile_cont(recency_days, 0.4), 4) AS r40,
+           round(quantile_cont(recency_days, 0.6), 4) AS r60,
+           round(quantile_cont(recency_days, 0.8), 4) AS r80,
+           round(quantile_cont(frequency, 0.2), 4) AS f20,
+           round(quantile_cont(frequency, 0.4), 4) AS f40,
+           round(quantile_cont(frequency, 0.6), 4) AS f60,
+           round(quantile_cont(frequency, 0.8), 4) AS f80,
+           round(quantile_cont(monetary, 0.2), 4) AS m20,
+           round(quantile_cont(monetary, 0.4), 4) AS m40,
+           round(quantile_cont(monetary, 0.6), 4) AS m60,
+           round(quantile_cont(monetary, 0.8), 4) AS m80
+    FROM base
+)
+SELECT b.custkey, b.recency_days, b.frequency, b.monetary,
+       CAST(1 + CAST(b.recency_days <= q.r80 AS INT) + CAST(b.recency_days <= q.r60 AS INT)
+              + CAST(b.recency_days <= q.r40 AS INT) + CAST(b.recency_days <= q.r20 AS INT)
+            AS BIGINT) AS r_score,
+       CAST(1 + CAST(b.frequency > q.f20 AS INT) + CAST(b.frequency > q.f40 AS INT)
+              + CAST(b.frequency > q.f60 AS INT) + CAST(b.frequency > q.f80 AS INT)
+            AS BIGINT) AS f_score,
+       CAST(1 + CAST(b.monetary > q.m20 AS INT) + CAST(b.monetary > q.m40 AS INT)
+              + CAST(b.monetary > q.m60 AS INT) + CAST(b.monetary > q.m80 AS INT)
+            AS BIGINT) AS m_score
+FROM base b CROSS JOIN q
+"""
+
+
+@register("customer_rfm", oracle=_RFM_ORACLE, tags=("analytics",))
+def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quintile RFM segmentation WITHOUT the classic global ntile —
+    ntile(5) funnels every customer through one window partition, the
+    textbook scale-killer. Instead: exact quantile thresholds from a
+    1-row aggregate, broadcast back, scores assigned by codegen
+    comparisons. Recency scores high when LOW (<= thresholds),
+    frequency/monetary high when HIGH (> thresholds); rounded
+    thresholds keep the comparisons engine-deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    hwm = o.agg(F.max("o_orderdate").alias("max_date"))
+    base = (
+        o.join(F.broadcast(hwm))
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.datediff(F.first("max_date"), F.max("o_orderdate"))
+            .cast("bigint")
+            .alias("recency_days"),
+            F.count("*").cast("bigint").alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+    )
+    qcols = []
+    for col, pfx in (("recency_days", "r"), ("frequency", "f"), ("monetary", "m")):
+        for p in (20, 40, 60, 80):
+            qcols.append(
+                F.round(
+                    F.expr(f"percentile({col}, {p / 100})"), 4
+                ).alias(f"{pfx}{p}")
+            )
+    q = base.agg(*qcols)
+    b = base.join(F.broadcast(q))
+    as_int = lambda c: c.cast("int")  # noqa: E731
+    return b.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        (
+            F.lit(1)
+            + as_int(F.col("recency_days") <= F.col("r80"))
+            + as_int(F.col("recency_days") <= F.col("r60"))
+            + as_int(F.col("recency_days") <= F.col("r40"))
+            + as_int(F.col("recency_days") <= F.col("r20"))
+        ).cast("bigint").alias("r_score"),
+        (
+            F.lit(1)
+            + as_int(F.col("frequency") > F.col("f20"))
+            + as_int(F.col("frequency") > F.col("f40"))
+            + as_int(F.col("frequency") > F.col("f60"))
+            + as_int(F.col("frequency") > F.col("f80"))
+        ).cast("bigint").alias("f_score"),
+        (
+            F.lit(1)
+            + as_int(F.col("monetary") > F.col("m20"))
+            + as_int(F.col("monetary") > F.col("m40"))
+            + as_int(F.col("monetary") > F.col("m60"))
+            + as_int(F.col("monetary") > F.col("m80"))
+        ).cast("bigint").alias("m_score"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 86. parts_bought_together — market-basket co-occurrence
+# --------------------------------------------------------------------------
+_BASKET_ORACLE = """
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM lineitem a
+JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+HAVING count(*) >= 2
+ORDER BY n_orders DESC, part_a ASC, part_b ASC
+LIMIT 50
+"""
+
+
+@register("parts_bought_together", oracle=_BASKET_ORACLE, tags=("analytics",))
+def parts_bought_together(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top co-purchased part pairs: the self-join co-partitions both
+    sides on l_orderkey (one shuffle each, no broadcast of a fact), and
+    the pair blow-up is bounded by per-order line count (~4), NOT the
+    table — the safe kind of quadratic. part_a < part_b halves the pair
+    space; top-50 is TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "ok")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+        .where(F.col("n_orders") >= 2)
+        .orderBy(F.col("n_orders").desc(), F.col("part_a").asc(), F.col("part_b").asc())
+        .limit(50)
+    )

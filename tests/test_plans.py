@@ -23,6 +23,7 @@ _BNLJ_OK = {
     "q22_dormant_customers",  # 1-row avg-acctbal threshold broadcast
     "tfidf_top_terms",  # 1-row corpus-count broadcast
     "unigram_logprob",  # 1-row token-total broadcast
+    "customer_rfm",  # 1-row high-water-mark + quantile-threshold broadcasts
 }
 
 
