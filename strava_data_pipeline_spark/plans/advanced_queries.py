@@ -677,3 +677,77 @@ def weekly_type_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("pct_change"),
     )
+
+
+# --------------------------------------------------------------------------
+# 87. user_churn_setops — INTERSECT/EXCEPT cohort algebra
+# --------------------------------------------------------------------------
+_SETOPS_ORACLE = """
+WITH w1 AS (
+    SELECT DISTINCT user_id FROM events
+    WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+), w4 AS (
+    SELECT DISTINCT user_id FROM events
+    WHERE ts >= TIMESTAMP '2024-01-22 00:00:00'
+)
+SELECT 'retained' AS cohort, user_id FROM (SELECT user_id FROM w1 INTERSECT SELECT user_id FROM w4)
+UNION ALL
+SELECT 'churned' AS cohort, user_id FROM (SELECT user_id FROM w1 EXCEPT SELECT user_id FROM w4)
+UNION ALL
+SELECT 'resurrected' AS cohort, user_id FROM (SELECT user_id FROM w4 EXCEPT SELECT user_id FROM w1)
+"""
+
+
+@register("user_churn_setops", oracle=_SETOPS_ORACLE, tags=("advanced",))
+def user_churn_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retained / churned / resurrected cohorts via relational set
+    algebra — INTERSECT and EXCEPT plan as hash semi/anti joins over
+    the two distinct-user sets (id-width shuffles only). The week
+    boundaries land inside the events span so all three cohorts are
+    non-empty."""
+    ev = load_table(spark, sf_dir, "events")
+    w1 = (
+        ev.where(F.col("ts") < F.lit("2024-01-08 00:00:00").cast("timestamp"))
+        .select("user_id")
+        .distinct()
+    )
+    w4 = (
+        ev.where(F.col("ts") >= F.lit("2024-01-22 00:00:00").cast("timestamp"))
+        .select("user_id")
+        .distinct()
+    )
+    tag = lambda df, name: df.select(  # noqa: E731
+        F.lit(name).alias("cohort"), "user_id"
+    )
+    return (
+        tag(w1.intersect(w4), "retained")
+        .unionByName(tag(w1.exceptAll(w4), "churned"))
+        .unionByName(tag(w4.exceptAll(w1), "resurrected"))
+    )
+
+
+# --------------------------------------------------------------------------
+# 88. events_grouping_sets — explicit non-hierarchical grouping sets
+# --------------------------------------------------------------------------
+_GSETS_ORACLE = """
+SELECT event_type, user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY GROUPING SETS ((event_type), (user_id))
+"""
+
+
+@register("events_grouping_sets", oracle=_GSETS_ORACLE, tags=("advanced",))
+def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly the two marginal totals (per type, per user) and NOTHING
+    else — grouping sets expand only the requested combinations in one
+    pass, where cube would compute (and shuffle) all four. Completes the
+    rollup (#37) / cube (#72) / grouping-sets trio."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupingSets(
+        [["event_type"], ["user_id"]], "event_type", "user_id"
+    ).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
