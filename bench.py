@@ -58,6 +58,10 @@ BENCH_QUERIES = [
     "events_gapfill",
     "session_stats",
     "events_latest_n",
+    "unigram_logprob",
+    "customer_rfm",
+    "parts_bought_together",
+    "corpus_chunk",
 ]
 
 
