@@ -887,12 +887,18 @@ WITH e AS (
     SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
     FROM embeddings
 ), scaled AS (
-    SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS max_abs
+    -- floor-based half-up rounding, NOT round(): Spark's round() rounds
+    -- the shortest decimal repr of the double where DuckDB rounds the
+    -- true binary value — they disagree exactly on .xxx5-shortest-repr
+    -- boundaries. floor() is a pure double op: bit-identical engines.
+    SELECT vec_id, v,
+           floor(list_max(list_transform(v, x -> abs(x))) * 1000000 + 0.5)
+             / 1000000 AS max_abs_r
     FROM e
 )
 SELECT vec_id,
-       round(max_abs, 6) AS max_abs,
-       list_transform(v, x -> CAST(floor(x * (127.0 / max_abs) + 0.5) AS INT)) AS q
+       max_abs_r AS max_abs,
+       list_transform(v, x -> CAST(floor(x * (127.0 / max_abs_r) + 0.5) AS INT)) AS q
 FROM scaled
 """
 
@@ -909,16 +915,29 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", V.as_double(F.col("embedding")).alias("v")
     )
+    # The STORED (rounded) scale is also the quantization scale, so
+    # dequantization by max_abs/127 inverts exactly. Rounding is
+    # floor(x*1e6+0.5)/1e6 — a pure double op both engines compute
+    # bit-identically (F.round half-ups the shortest decimal repr,
+    # which disagrees with DuckDB's true-binary round on boundary
+    # values). Two select stages so the scale reference is unambiguous
+    # (a same-select alias reuse resolves laterally in Spark 4).
     max_abs = F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
-    scaled = e.select("vec_id", "v", max_abs.alias("max_abs"))
+    scaled = e.select(
+        "vec_id",
+        "v",
+        (F.floor(max_abs * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)).alias(
+            "max_abs_r"
+        ),
+    )
     return scaled.select(
         "vec_id",
-        F.round(F.col("max_abs"), 6).alias("max_abs"),
+        F.col("max_abs_r").alias("max_abs"),
         F.transform(
             F.col("v"),
-            lambda x: F.floor(x * (F.lit(127.0) / F.col("max_abs")) + F.lit(0.5)).cast(
-                "int"
-            ),
+            lambda x: F.floor(
+                x * (F.lit(127.0) / F.col("max_abs_r")) + F.lit(0.5)
+            ).cast("int"),
         ).alias("q"),
     )
 

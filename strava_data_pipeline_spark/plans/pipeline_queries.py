@@ -283,12 +283,15 @@ _WEEKLY_ORACLE = """
 SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week_start,
        CAST(count(*) AS BIGINT) AS n_activities,
        round(sum(value), 2) AS total_value,
-       round(round(sum(value), 2) / count(*), 4) AS avg_value
+       floor(round(sum(value), 2) / count(*) * 10000 + 0.5) / 10000 AS avg_value
 FROM events GROUP BY 1, 2
 """
-# avg is derived from the ROUNDED sum so both engines divide an
-# identical double — raw avg(x) can straddle a rounding boundary when
-# the two engines accumulate in different orders.
+# avg derives from the ROUNDED sum so both engines divide an identical
+# double, and the final 4dp rounding is floor-based: Spark's round()
+# half-ups the double's SHORTEST DECIMAL REPR while DuckDB rounds the
+# true binary value, so round() flips on .xxxx5-shortest-repr quotients
+# (observed: 673.18/16 = 42.07375). floor() is a pure double op both
+# engines compute bit-identically.
 
 
 @register("athlete_weekly_summary", oracle=_WEEKLY_ORACLE, tags=("pipeline",))
@@ -302,7 +305,13 @@ def athlete_weekly_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("bigint").alias("n_activities"),
             F.round(F.sum("value"), 2).alias("total_value"),
-            F.round(F.round(F.sum("value"), 2) / F.count("*"), 4).alias("avg_value"),
+            (
+                F.floor(
+                    F.round(F.sum("value"), 2) / F.count("*") * F.lit(10000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(10000.0)
+            ).alias("avg_value"),
         )
     )
 
