@@ -62,6 +62,16 @@ BENCH_QUERIES = [
     "customer_rfm",
     "parts_bought_together",
     "corpus_chunk",
+    # round-2c: the TPC-H completion set
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_returnflag_priority",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q20_dominant_suppliers",
+    "q21_waiting_suppliers",
 ]
 
 

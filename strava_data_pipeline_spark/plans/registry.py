@@ -63,6 +63,7 @@ def _load() -> None:
         return
     from strava_data_pipeline_spark.plans import (  # noqa: F401
         advanced_queries,
+        analytics_complete,
         analytics_extra,
         analytics_queries,
         llm_queries,

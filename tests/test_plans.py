@@ -24,6 +24,8 @@ _BNLJ_OK = {
     "tfidf_top_terms",  # 1-row corpus-count broadcast
     "unigram_logprob",  # 1-row token-total broadcast
     "customer_rfm",  # 1-row high-water-mark + quantile-threshold broadcasts
+    "q15_top_supplier",  # 1-row scalar-max broadcast
+    "q11_important_parts",  # 1-row fraction-of-total threshold broadcast
 }
 
 
@@ -101,6 +103,28 @@ def test_embedding_dedup_joins_on_lsh_bucket(plans):
         line for line in plan.splitlines() if "keys" in line and "bucket" in line
     ]
     assert join_keys, "candidate join does not shuffle on the bucket key"
+
+
+def test_q6_predicates_reach_the_scan(plans):
+    # Q6 is the pure-scan query: shipdate/discount/quantity must all
+    # appear as PushedFilters on the lineitem parquet scan, not as a
+    # post-scan Filter-only evaluation.
+    plan = plans["q6_forecast_revenue"]
+    assert "PushedFilters: [" in plan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert any(
+            col in line for line in plan.splitlines() if "PushedFilters" in line
+        ), f"{col} not pushed to the scan"
+
+
+def test_q21_exists_joins_are_hash_partitioned(plans):
+    # The EXISTS/NOT EXISTS rewrites must run as equi-joins on orderkey
+    # (semi + anti) with the supplier inequality as a residual — never a
+    # nested-loop over the fact table.
+    plan = plans["q21_waiting_suppliers"]
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_whole_stage_codegen_present(plans):
