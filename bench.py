@@ -72,6 +72,8 @@ BENCH_QUERIES = [
     "q16_supplier_count",
     "q20_dominant_suppliers",
     "q21_waiting_suppliers",
+    "boilerplate_prune",
+    "vocab_oov_rate",
 ]
 
 

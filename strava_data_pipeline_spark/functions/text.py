@@ -95,3 +95,45 @@ def ws_token_count(text: Column) -> Column:
 
 def bpe_token_count(text: Column) -> Column:
     return F.regexp_count(text, F.lit(BPE_TOKEN_RE)).cast("bigint")
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (corpus hygiene before training).
+#
+# The synthetic documents table contains no PII (no digits or '@' at
+# all), so these are NOT registered as oracle queries — a corpus-wide
+# zero-redaction run would be a vacuous check. The operator contract is
+# pinned by planted-fixture tests (tests/test_text_multimodal.py)
+# instead, mirroring how the streaming operators are verified.
+# ---------------------------------------------------------------------------
+
+# Order matters: emails are matched before phone numbers so the digits
+# of "user123@x.com" can't be half-claimed by the phone pattern.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "[IP]"),
+    ("phone", r"\+?\d[\d().\-\s]{6,}\d\b", "[PHONE]"),
+)
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails, IPv4 addresses, and phone-like digit runs with
+    typed placeholder tokens — all JVM-side ``regexp_replace``, no UDF.
+    A chain of three replaces, applied in list order so earlier classes
+    consume their text before later (greedier) patterns see it."""
+    out = text
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts(text: Column) -> Column:
+    """Struct of per-class match counts (email/ipv4/phone), counted on
+    the progressively-redacted text exactly as :func:`redact_pii` sees
+    it, so the two functions always agree on what was redacted."""
+    fields = []
+    cur = text
+    for name, pat, repl in PII_PATTERNS:
+        fields.append(F.regexp_count(cur, F.lit(pat)).cast("bigint").alias(name))
+        cur = F.regexp_replace(cur, pat, repl)
+    return F.struct(*fields)

@@ -1420,3 +1420,132 @@ def corpus_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+# --------------------------------------------------------------------------
+# 98. boilerplate_prune — cross-doc high-DF token pruning
+# --------------------------------------------------------------------------
+_BOILER_PCT = 78  # tokens present in >78% of docs are boilerplate
+
+_BOILER_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents
+), total AS (
+    SELECT count(*) AS n_docs FROM documents
+), df AS (
+    SELECT tok, count(DISTINCT doc_id) AS df
+    FROM tok, unnest(t) AS u(tok) GROUP BY 1
+), bl AS (
+    -- integer arithmetic (df*100 > PCT*n_docs), NOT df > frac*n_docs: DuckDB
+    -- parses the fraction as exact DECIMAL where Spark multiplies doubles, and
+    -- the two disagree when df sits exactly on the boundary
+    SELECT coalesce(list(tok ORDER BY tok), []) AS bl
+    FROM df, total WHERE df * 100 > {_BOILER_PCT} * n_docs
+)
+SELECT doc_id,
+       coalesce(array_to_string(list_filter(t, x -> NOT list_contains(bl.bl, x)),
+                ' '), '') AS pruned_text,
+       CAST(len(t) - len(list_filter(t, x -> NOT list_contains(bl.bl, x)))
+            AS BIGINT) AS n_removed
+FROM tok CROSS JOIN bl
+"""
+
+
+@register("boilerplate_prune", oracle=_BOILER_ORACLE, tags=("llm", "text"))
+def boilerplate_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate removal at token grain: tokens whose document
+    frequency exceeds 78% of the corpus are dropped from every document,
+    order-preserved. The blocklist is a tiny sorted array built from a
+    DISTINCT-per-doc explode (doc-frequency, not term-frequency) and
+    broadcast back as a 1-row join; each document is then rewritten by a
+    codegen array filter — no explode/reassembly shuffle of the corpus
+    itself, so the rewrite is embarrassingly parallel and the only
+    shuffles carry (token, df) pairs. At 100 TB the blocklist is still
+    vocabulary-sized, exactly like a stopword table; the reference
+    pattern is the repeated-line filter of C4 applied at the granularity
+    this corpus has (single-line templated docs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", T.tokens(F.col("text")).alias("t")).persist()
+    total = docs.agg(F.count("*").alias("n_docs"))
+    df = (
+        toks.select("doc_id", F.explode(F.array_distinct("t")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("df"))
+    )
+    bl = (
+        df.join(F.broadcast(total))
+        # df*100 > 78*n_docs: integer-exact percent boundary on both engines
+        .where(F.col("df") * 100 > _BOILER_PCT * F.col("n_docs"))
+        .agg(F.sort_array(F.collect_list("tok")).alias("bl"))
+    )
+    kept = F.filter(
+        F.col("t"), lambda x: ~F.array_contains(F.col("bl"), x)
+    )
+    return (
+        toks.join(F.broadcast(bl))
+        .select(
+            "doc_id",
+            F.array_join(kept, " ").alias("pruned_text"),
+            (F.size("t") - F.size(kept)).cast("bigint").alias("n_removed"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 99. vocab_oov_rate — tokenizer-coverage / OOV analysis
+# --------------------------------------------------------------------------
+_VOCAB_K = 20
+
+_OOV_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents
+), freq AS (
+    SELECT tok, count(*) AS cnt FROM tok, unnest(t) AS u(tok) GROUP BY 1
+), vocab AS (
+    SELECT list(tok) AS v FROM (
+        SELECT tok FROM freq ORDER BY cnt DESC, tok ASC LIMIT {_VOCAB_K}
+    )
+)
+SELECT doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(t, x -> NOT list_contains(vocab.v, x)))
+            AS BIGINT) AS n_oov,
+       CAST(len(list_filter(t, x -> NOT list_contains(vocab.v, x))) AS DOUBLE)
+           / len(t) AS oov_rate
+FROM tok CROSS JOIN vocab
+"""
+
+
+@register("vocab_oov_rate", oracle=_OOV_ORACLE, tags=("llm", "text"))
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus top-K
+    vocabulary — the tokenizer-coverage check run before committing to a
+    vocab size. The top-20 vocabulary (count desc, token asc — a total
+    order, so the cutoff is deterministic) is a TakeOrderedAndProject,
+    collapsed to one broadcast array row; per-doc OOV counting is a
+    codegen array filter. oov_rate is a single raw-double division —
+    bit-identical cross-engine, no rounding needed. At scale the vocab
+    build is the only shuffle (token, count) and K stays
+    human-constant."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", T.tokens(F.col("text")).alias("t"))
+    freq = (
+        toks.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    vocab = (
+        freq.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .limit(_VOCAB_K)
+        .agg(F.collect_list("tok").alias("v"))
+    )
+    oov = F.filter(F.col("t"), lambda x: ~F.array_contains(F.col("v"), x))
+    return (
+        toks.join(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.size("t").cast("bigint").alias("n_tokens"),
+            F.size(oov).cast("bigint").alias("n_oov"),
+            (F.size(oov).cast("double") / F.size("t")).alias("oov_rate"),
+        )
+    )

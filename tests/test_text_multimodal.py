@@ -188,3 +188,65 @@ class TestKeyLifecycle:
         assert svc.delete_api_key(key)
         assert not svc.validate_api_key(key)
         assert not svc.delete_api_key(key)
+
+
+class TestPIIRedaction:
+    """Planted-fixture contract for redact_pii/pii_counts: the corpus
+    has no PII, so the behavior is pinned here instead of an oracle."""
+
+    def _df(self, spark):
+        rows = [
+            (1, "contact alice.smith+spam@example.co.uk for details"),
+            (2, "server at 192.168.1.254 rebooted"),
+            (3, "call +1 (415) 555-0199 or 020-7946-0958 today"),
+            (4, "mixed: bob@corp.io from 10.0.0.1 dialed 4155550199"),
+            (5, "clean text with no personal data at all"),
+            (6, ""),
+        ]
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def test_redaction_replaces_all_classes(self, spark):
+        from strava_data_pipeline_spark.functions.text import redact_pii
+
+        out = {
+            r["doc_id"]: r["red"]
+            for r in self._df(spark).select(
+                "doc_id", redact_pii(F.col("text")).alias("red")
+            ).collect()
+        }
+        assert out[1] == "contact [EMAIL] for details"
+        assert out[2] == "server at [IP] rebooted"
+        assert out[3] == "call [PHONE] or [PHONE] today"
+        assert out[4] == "mixed: [EMAIL] from [IP] dialed [PHONE]"
+        assert out[5] == "clean text with no personal data at all"
+        assert out[6] == ""
+
+    def test_counts_match_redactions(self, spark):
+        from strava_data_pipeline_spark.functions.text import pii_counts
+
+        out = {
+            r["doc_id"]: r["c"].asDict()
+            for r in self._df(spark).select(
+                "doc_id", pii_counts(F.col("text")).alias("c")
+            ).collect()
+        }
+        assert out[1] == {"email": 1, "ipv4": 0, "phone": 0}
+        assert out[2] == {"email": 0, "ipv4": 1, "phone": 0}
+        assert out[3] == {"email": 0, "ipv4": 0, "phone": 2}
+        assert out[4] == {"email": 1, "ipv4": 1, "phone": 1}
+        assert out[5] == {"email": 0, "ipv4": 0, "phone": 0}
+
+    def test_email_digits_not_double_claimed(self, spark):
+        # user123@x.com must be ONE email, not an email plus a phone hit
+        from strava_data_pipeline_spark.functions.text import (
+            pii_counts,
+            redact_pii,
+        )
+
+        df = spark.createDataFrame([(1, "mail user123456789@x.com now")], ["i", "text"])
+        row = df.select(
+            redact_pii(F.col("text")).alias("red"),
+            pii_counts(F.col("text")).alias("c"),
+        ).collect()[0]
+        assert row["red"] == "mail [EMAIL] now"
+        assert row["c"].asDict() == {"email": 1, "ipv4": 0, "phone": 0}
