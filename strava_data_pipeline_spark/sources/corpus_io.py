@@ -1,0 +1,128 @@
+"""JSONL / CSV corpus interchange (sources beyond parquet).
+
+LLM corpora interchange as JSON-Lines (one doc per line); tabular dims
+arrive as CSV. Parquet (sources/catalog.py) stays the engine-native
+format — these readers exist for ingest/egress at the corpus boundary.
+
+Scale rules encoded here:
+- **Explicit schema always.** ``spark.read.json`` without a schema runs
+  a full inference pass over the data — a second 100 TB scan before the
+  first real one. Every reader takes (or defaults) a schema.
+- **Corrupt lines are data, not exceptions.** A trillion-line crawl WILL
+  contain broken JSON; PERMISSIVE mode + a ``_corrupt_record`` column
+  quarantines them for audit instead of killing the job.
+- **Splittability.** Uncompressed or zstd/bzip2 JSONL splits into
+  byte-range tasks; a single .gz file becomes ONE task reading 100 GB.
+  The writer therefore never defaults to gzip — it relies on many
+  output files (one per task) for parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CORRUPT_COL = "_corrupt_record"
+
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def _with_corrupt(schema: T.StructType) -> T.StructType:
+    """Schema + the quarantine column (must be declared to be captured)."""
+    if CORRUPT_COL in schema.fieldNames():
+        return schema
+    return T.StructType(list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())])
+
+
+def read_jsonl_corpus(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = DOCUMENTS_SCHEMA,
+) -> DataFrame:
+    """Read a JSONL corpus with an explicit schema; malformed lines land
+    in ``_corrupt_record`` with every data column null — filter
+    ``good_docs``/``corrupt_docs`` downstream.
+
+    Implemented as a line-splittable text scan + ``from_json`` rather
+    than ``spark.read.json``: the parse is then an ordinary expression,
+    so downstream plans may reference the corrupt column alone (the
+    native JSON file source forbids exactly that —
+    UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN — which breaks
+    the obvious ``corrupt_docs(df).count()`` audit). Cost is identical:
+    one scan, per-line parsing, no inference pass."""
+    parsed = spark.read.text(path).select(
+        F.from_json("value", _with_corrupt(schema)).alias("_d"),
+        F.col("value"),
+    )
+    return parsed.select(
+        *[F.col(f"_d.{f.name}").alias(f.name) for f in schema.fields],
+        # from_json stores the raw line in the struct's corrupt field;
+        # surface it top-level (fall back to the raw line: a line that is
+        # valid JSON but not an OBJECT parses to a null struct instead)
+        F.when(
+            F.col("_d").isNull() | F.col(f"_d.{CORRUPT_COL}").isNotNull(),
+            F.col("value"),
+        ).alias(CORRUPT_COL),
+    )
+
+
+def good_docs(df: DataFrame) -> DataFrame:
+    return df.where(df[CORRUPT_COL].isNull()).drop(CORRUPT_COL)
+
+
+def corrupt_docs(df: DataFrame) -> DataFrame:
+    """The quarantine stream: raw text of every malformed line."""
+    return df.where(df[CORRUPT_COL].isNotNull()).select(CORRUPT_COL)
+
+
+def write_jsonl_corpus(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Write a corpus as JSONL, one file per task (that parallelism IS
+    the read-side splittability story — no monolithic .gz)."""
+    df.write.mode(mode).json(path)
+
+
+def read_csv_table(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    delimiter: str = ",",
+) -> DataFrame:
+    """Read a CSV dim/fact with an explicit schema (no inference scan);
+    malformed rows quarantine in ``_corrupt_record`` like the JSONL
+    reader, multiline quoted fields supported."""
+    return (
+        spark.read.schema(_with_corrupt(schema))
+        .option("header", str(header).lower())
+        .option("sep", delimiter)
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("multiLine", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .csv(path)
+    )
+
+
+def write_csv_table(
+    df: DataFrame, path: str, header: bool = True, mode: str = "overwrite"
+) -> None:
+    """Write CSV with RFC-4180 quote-doubling (escape='"') so the output
+    round-trips through :func:`read_csv_table` — Spark's default
+    backslash escaping does not."""
+    (
+        df.write.mode(mode)
+        .option("header", str(header).lower())
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(path)
+    )

@@ -60,3 +60,66 @@ def test_read_json_files_fixed_schema(spark, tmp_path):
     assert df.count() == 5
     recent = incremental_filter(df, "2024-01-12 00:00:00")
     assert recent.count() == 3  # FetchActivities(after) inclusive bound
+
+
+class TestCorpusIO:
+    """JSONL/CSV corpus interchange: roundtrip fidelity + corrupt-line
+    quarantine (sources/corpus_io.py)."""
+
+    def test_jsonl_roundtrip_documents(self, spark, tmp_path):
+        from strava_data_pipeline_spark.sources import corpus_io as cio
+        from strava_data_pipeline_spark.sources.catalog import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        out = str(tmp_path / "corpus_jsonl")
+        cio.write_jsonl_corpus(docs, out)
+        back = cio.good_docs(cio.read_jsonl_corpus(spark, out))
+        assert sorted(back.columns) == sorted(docs.columns)
+        orig = {r["doc_id"]: r["text"] for r in docs.collect()}
+        rt = {r["doc_id"]: r["text"] for r in back.collect()}
+        assert rt == orig
+
+    def test_corrupt_lines_quarantined_not_dropped(self, spark, tmp_path):
+        from strava_data_pipeline_spark.sources import corpus_io as cio
+
+        p = tmp_path / "mixed.jsonl"
+        p.write_text(
+            '{"doc_id": 1, "text": "ok one", "lang": "en", "source": "s", "n_chars": 6}\n'
+            "{broken json line\n"
+            '{"doc_id": 2, "text": "ok two", "lang": "en", "source": "s", "n_chars": 6}\n'
+        )
+        df = cio.read_jsonl_corpus(spark, str(p))
+        assert cio.good_docs(df).count() == 2
+        bad = cio.corrupt_docs(df).collect()
+        assert len(bad) == 1 and "{broken json line" in bad[0][0]
+
+    def test_csv_roundtrip_with_quoted_delimiters(self, spark, tmp_path):
+        from pyspark.sql import types as T
+
+        from strava_data_pipeline_spark.sources import corpus_io as cio
+
+        schema = T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("name", T.StringType()),
+            ]
+        )
+        df = spark.createDataFrame(
+            [(1, 'comma, "quoted"'), (2, "line\nbreak"), (3, "plain")],
+            schema,
+        )
+        out = str(tmp_path / "dim_csv")
+        cio.write_csv_table(df, out)
+        back = cio.read_csv_table(spark, out, schema)
+        got = {r["id"]: r["name"] for r in cio.good_docs(back).collect()}
+        assert got == {1: 'comma, "quoted"', 2: "line\nbreak", 3: "plain"}
+
+    def test_explicit_schema_means_no_inference_scan(self, spark, tmp_path):
+        # the reader must carry the declared schema even over an empty
+        # glob — schema inference over data would throw here
+        from strava_data_pipeline_spark.sources import corpus_io as cio
+
+        empty = tmp_path / "empty.jsonl"
+        empty.write_text("")
+        df = cio.read_jsonl_corpus(spark, str(empty))
+        assert "doc_id" in df.columns and df.count() == 0
