@@ -26,6 +26,8 @@ _BNLJ_OK = {
     "customer_rfm",  # 1-row high-water-mark + quantile-threshold broadcasts
     "q15_top_supplier",  # 1-row scalar-max broadcast
     "q11_important_parts",  # 1-row fraction-of-total threshold broadcast
+    "boilerplate_prune",  # 1-row sorted-blocklist broadcast
+    "vocab_oov_rate",  # 1-row top-K vocabulary broadcast
 }
 
 
