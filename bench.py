@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "q21_waiting_suppliers",
     "boilerplate_prune",
     "vocab_oov_rate",
+    "kmeans_lloyd",
 ]
 
 

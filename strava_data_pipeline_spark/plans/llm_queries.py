@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from strava_data_pipeline_spark.functions import text as T
+from strava_data_pipeline_spark.functions import vectors as V
 from strava_data_pipeline_spark.functions.hashing import (
     MINHASH_PRIME,
     md5_u32,
@@ -1548,4 +1549,137 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(oov).cast("bigint").alias("n_oov"),
             (F.size(oov).cast("double") / F.size("t")).alias("oov_rate"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# 100. kmeans_lloyd — distributed Lloyd iterations (the offline KMeans
+# that ann_ivf's inverted lists come from)
+# --------------------------------------------------------------------------
+_KM_K, _KM_ITERS = 8, 2
+
+_KM_ORACLE = f"""
+WITH q AS (
+    SELECT vec_id,
+           [CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+            FOR i IN range(1, 65)] AS qv
+    FROM embeddings
+), c0 AS (
+    SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < {_KM_K}
+), d1 AS (
+    SELECT q.vec_id, q.qv, c0.cid,
+           list_sum([(q.qv[i] - c0.cv[i]) * (q.qv[i] - c0.cv[i])
+                     FOR i IN range(1, 65)]) AS dist2
+    FROM q CROSS JOIN c0
+), a1 AS (
+    SELECT vec_id, qv, cid FROM (
+        SELECT vec_id, qv, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+        FROM d1
+    ) WHERE rn = 1
+), c1 AS (
+    SELECT cid, i AS dim,
+           CAST(floor(CAST(sum(qv[i]) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS cq
+    FROM a1, unnest(range(1, 65)) AS t(i)
+    GROUP BY 1, 2
+), c1v AS (
+    SELECT cid, list(cq ORDER BY dim) AS cv FROM c1 GROUP BY 1
+), d2 AS (
+    SELECT q.vec_id, q.qv, c1v.cid,
+           list_sum([(q.qv[i] - c1v.cv[i]) * (q.qv[i] - c1v.cv[i])
+                     FOR i IN range(1, 65)]) AS dist2
+    FROM q CROSS JOIN c1v
+), a2 AS (
+    SELECT vec_id, qv, cid FROM (
+        SELECT vec_id, qv, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+        FROM d2
+    ) WHERE rn = 1
+)
+SELECT cid AS cluster_id, CAST(i AS BIGINT) AS dim,
+       CAST(floor(CAST(sum(qv[i]) AS DOUBLE) / count(*) + 0.5) AS BIGINT)
+           AS centroid_micro,
+       CAST(count(*) AS BIGINT) AS n_members
+FROM a2, unnest(range(1, 65)) AS t(i)
+GROUP BY 1, 2
+"""
+
+
+@register("kmeans_lloyd", oracle=_KM_ORACLE, tags=("llm", "ml"))
+def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two full Lloyd iterations of K=8 k-means over the embeddings —
+    the offline clustering ann_ivf's inverted lists and partition
+    pruning defer to, expressed as a DataFrame loop (iterative ML on
+    the engine, not a library call).
+
+    Exactness design: coordinates quantize to integer micro-units
+    (floor(x*1e6+0.5)) up front, so every distance is an exact BIGINT
+    (≤64·(2e6)² ≈ 2.6e14, well inside the 2^53 double mantissa AND
+    int64), every centroid numerator is an exact integer sum
+    (order-independent — a raw double mean would vary with Spark's
+    partial-agg order and cascade into different assignments), and
+    centroids re-quantize via one deterministic double division per
+    (cluster, dim). Argmin ties break on cluster id through a
+    row_number window, mirrored verbatim in the oracle.
+
+    Scale shape: per iteration, the assign is a broadcast of K centroid
+    rows against one corpus scan (no shuffle), and the update shuffles
+    (cluster, dim, partial-sum) triples — map-side combined, so the
+    exchange is K×64 rows per task regardless of corpus size. The
+    centroid collect stays K×64 driver-side rows. Iterations are a
+    driver loop over a lineage the optimizer keeps narrow; at 100 TB
+    each round is one scan + one tiny shuffle, the textbook distributed
+    Lloyd profile."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        F.transform(
+            V.as_double(F.col("embedding")),
+            lambda x: F.floor(x * F.lit(1000000.0) + F.lit(0.5)).cast("bigint"),
+        ).alias("qv"),
+    ).persist()
+
+    cent = q.where(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
+    )
+
+    c_long = None
+    for _ in range(_KM_ITERS):
+        dist2 = F.aggregate(
+            F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        scored = q.join(F.broadcast(cent)).select(
+            "vec_id", "qv", "cid", dist2.alias("dist2")
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist2", "cid")
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "qv", "cid")
+        )
+        ex = assigned.select(
+            "cid", F.posexplode("qv").alias("dim0", "qval")
+        ).select("cid", (F.col("dim0") + 1).cast("bigint").alias("dim"), "qval")
+        c_long = ex.groupBy("cid", "dim").agg(
+            F.floor(F.sum("qval").cast("double") / F.count("*") + F.lit(0.5))
+            .cast("bigint")
+            .alias("cq"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+        cent = c_long.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cq"))),
+                lambda s: s["cq"],
+            ).alias("cv")
+        )
+
+    return c_long.select(
+        F.col("cid").alias("cluster_id"),
+        "dim",
+        F.col("cq").alias("centroid_micro"),
+        F.col("n").alias("n_members"),
     )

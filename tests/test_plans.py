@@ -28,6 +28,7 @@ _BNLJ_OK = {
     "q11_important_parts",  # 1-row fraction-of-total threshold broadcast
     "boilerplate_prune",  # 1-row sorted-blocklist broadcast
     "vocab_oov_rate",  # 1-row top-K vocabulary broadcast
+    "kmeans_lloyd",  # K-row centroid broadcast per Lloyd iteration
 }
 
 
