@@ -75,6 +75,8 @@ BENCH_QUERIES = [
     "boilerplate_prune",
     "vocab_oov_rate",
     "kmeans_lloyd",
+    "ann_filtered",
+    "events_rank_suite",
 ]
 
 

@@ -751,3 +751,50 @@ def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# 102. events_rank_suite — the full ranking-function family in one pass
+# --------------------------------------------------------------------------
+_RANKS_ORACLE = """
+WITH per_user AS (
+    SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1, 2
+)
+SELECT event_type, user_id, n_events,
+       CAST(rank()       OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS dense_rnk,
+       percent_rank()    OVER w AS pct_rank,
+       cume_dist()       OVER w AS cume
+FROM per_user
+WINDOW w AS (PARTITION BY event_type ORDER BY n_events DESC)
+"""
+
+
+@register("events_rank_suite", oracle=_RANKS_ORACLE, tags=("advanced",))
+def events_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / percent_rank / cume_dist over each user's
+    event count within their event type — the four ranking semantics
+    (gapped, dense, normalized, inclusive-fraction) sharing ONE window
+    spec, so Spark evaluates them in a single Window operator over one
+    sort. The ordering key is an exact BIGINT count: ties are real (and
+    exercised — Poisson counts collide) and every ranking function is
+    tie-stable by definition, so no float ordering ambiguity exists
+    between engines; percent_rank/cume_dist emerge as exact ratios of
+    small integers. Scales with the largest event_type's user count,
+    not the fact table — the window input is the pre-aggregated
+    (type, user) frame."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("event_type", "user_id").agg(
+        F.count("*").cast("bigint").alias("n_events")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("n_events").desc())
+    return per_user.select(
+        "event_type",
+        "user_id",
+        "n_events",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("dense_rnk"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )

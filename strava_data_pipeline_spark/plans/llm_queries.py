@@ -1683,3 +1683,56 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cq").alias("centroid_micro"),
         F.col("n").alias("n_members"),
     )
+
+
+# --------------------------------------------------------------------------
+# 101. ann_filtered — metadata-filtered vector search (hybrid search)
+# --------------------------------------------------------------------------
+_ANN_FILTERED_ORACLE = """
+WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+), corpus AS (
+    SELECT e.vec_id, e.v
+    FROM e JOIN documents d ON d.doc_id = e.vec_id
+    WHERE d.source IN ('src0', 'src1', 'src2')
+      AND contains(d.text, 'vector')
+), q AS (
+    SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8
+), scored AS (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           round(
+             list_sum([q.qv[i] * c.v[i] FOR i IN range(1, 65)]) /
+             (sqrt(list_sum([q.qv[i] * q.qv[i] FOR i IN range(1, 65)])) *
+              sqrt(list_sum([c.v[i] * c.v[i] FOR i IN range(1, 65)]))), 6) AS score
+    FROM corpus c CROSS JOIN q WHERE q.query_id != c.vec_id
+), ranked AS (
+    SELECT query_id, neighbor_id, score,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id ASC) AS INT) AS rank
+    FROM scored
+)
+SELECT * FROM ranked WHERE rank <= 5
+"""
+
+
+@register("ann_filtered", oracle=_ANN_FILTERED_ORACLE, tags=("llm", "similarity"))
+def ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: exact cosine top-5, but only over corpus vectors
+    whose DOCUMENT passes a metadata + content predicate (source
+    allowlist, text contains 'vector') — the filtered-ANN pattern every
+    retrieval stack needs (filter-THEN-rank; post-filtering a global
+    top-k under-fills results). The document predicate prunes the
+    corpus BEFORE scoring via an equi-join on doc_id=vec_id, so the
+    expensive similarity work runs on the filtered subset only; the
+    query set stays a broadcast. At scale the same shape composes with
+    ann_ivf's list pruning (filter the inverted lists, then probe)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("source").isin("src0", "src1", "src2")
+        & F.col("text").contains("vector")
+    )
+    corpus = emb.join(
+        docs.select("doc_id"), emb["vec_id"] == F.col("doc_id"), "left_semi"
+    )
+    return S.ann_topk_bruteforce(corpus, emb.where(F.col("vec_id") < 8), k=5)

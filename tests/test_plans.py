@@ -29,6 +29,7 @@ _BNLJ_OK = {
     "boilerplate_prune",  # 1-row sorted-blocklist broadcast
     "vocab_oov_rate",  # 1-row top-K vocabulary broadcast
     "kmeans_lloyd",  # K-row centroid broadcast per Lloyd iteration
+    "ann_filtered",  # bounded 8-query broadcast, like ann_topk
 }
 
 
