@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "kmeans_lloyd",
     "ann_filtered",
     "events_rank_suite",
+    "events_sliding_window",
 ]
 
 

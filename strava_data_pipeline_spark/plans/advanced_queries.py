@@ -798,3 +798,51 @@ def events_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+# --------------------------------------------------------------------------
+# 103. events_sliding_window — hopping-window aggregates in batch
+# --------------------------------------------------------------------------
+_SLIDING_ORACLE = """
+WITH hops AS (
+    SELECT e.event_type,
+           date_trunc('hour', e.ts) - to_hours(k) AS window_start,
+           e.value
+    FROM events e, unnest(range(0, 6)) AS t(k)
+)
+SELECT event_type,
+       window_start,
+       window_start + to_hours(6) AS window_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM hops
+GROUP BY 1, 2
+"""
+
+
+@register("events_sliding_window", oracle=_SLIDING_ORACLE, tags=("advanced",))
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-hour windows sliding every hour (hopping aggregate) — the
+    batch twin of the streaming windowed counts. Spark's F.window with a
+    slideDuration assigns each event to its 6 overlapping windows via an
+    internal explode (bounded ×6 blow-up, NOT a range join against a
+    window dim — the same event-local expansion the oracle writes
+    explicitly with range(0,6)); the aggregate then shuffles on
+    (type, window_start) like any groupBy. Timestamps stay in whole-hour
+    arithmetic, so bucket edges are engine-exact."""
+    e = load_table(spark, sf_dir, "events")
+    w = F.window("ts", "6 hours", "1 hour")
+    return (
+        e.groupBy("event_type", w.alias("w"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "event_type",
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "total_value",
+        )
+    )
