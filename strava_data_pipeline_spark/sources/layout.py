@@ -60,3 +60,40 @@ def write_bucketed(
         .format("parquet")
         .saveAsTable(table_name)
     )
+
+
+def compact_day_partitions(
+    spark: SparkSession,
+    path: str,
+    days: list | None = None,
+    target_files: int = 1,
+) -> int:
+    """Rewrite day partitions into ``target_files`` files each — the
+    maintenance pass every streaming sink needs: micro-batches land one
+    file per trigger per day, and a year of 5-minute triggers turns a
+    day's directory into ~300 small files whose open/footer overhead
+    dominates scans.
+
+    Scope is explicit (``days``; default = every partition found): the
+    rewrite reads ONLY those partitions (partition-pruned scan) and
+    replaces ONLY them (dynamic partition overwrite) — untouched days
+    keep their files byte-for-byte. Returns the number of compacted
+    partitions. At cluster scale run it per-day behind the ingest
+    watermark so compaction never races the writer; table formats with
+    transactions (Delta/Iceberg OPTIMIZE) are the strict-atomicity
+    upgrade path.
+    """
+    df = spark.read.parquet(path)
+    if days is None:
+        days = [r["p_day"] for r in df.select("p_day").distinct().collect()]
+    if not days:
+        return 0
+    pruned = df.where(F.col("p_day").isin(days))
+    (
+        pruned.repartition(target_files, "p_day")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("p_day")
+        .parquet(path)
+    )
+    return len(days)

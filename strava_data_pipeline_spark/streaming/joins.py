@@ -72,3 +72,59 @@ def attribute_to_prior_event(
         "lead_type",
         "lead_ts",
     )
+
+
+def attribute_with_unmatched(
+    lead: DataFrame,
+    follow: DataFrame,
+    *,
+    max_delay: str = "30 minutes",
+    watermark: str = "1 hour",
+    key: str = "user_id",
+) -> DataFrame:
+    """LEFT OUTER variant of :func:`attribute_to_prior_event`: follows
+    with no qualifying lead still emit, lead columns null — the
+    "unattributed conversions" feed a funnel monitor needs as one
+    stream instead of a separate anti-join job.
+
+    Outer stream-stream semantics are watermark-driven: an unmatched
+    follow row is held in state until the watermark passes
+    ``follow_ts + max_delay`` (no earlier — a matching lead could still
+    arrive) and only then emits with nulls. That deferred emission is
+    inherent to correctness, not a perf bug; the state bound stays
+    ``watermark + max_delay`` per side, same as the inner join.
+    """
+    l = (
+        lead.withWatermark("ts", watermark)
+        .select(
+            F.col(key).alias("l_key"),
+            F.col("ts").alias("lead_ts"),
+            F.col("event_id").alias("lead_id"),
+            F.col("event_type").alias("lead_type"),
+        )
+    )
+    f = (
+        follow.withWatermark("ts", watermark)
+        .select(
+            F.col(key).alias("f_key"),
+            F.col("ts").alias("follow_ts"),
+            F.col("event_id").alias("follow_id"),
+            F.col("event_type").alias("follow_type"),
+            F.col("value").alias("follow_value"),
+        )
+    )
+    cond = (
+        (F.col("f_key") == F.col("l_key"))
+        & (F.col("lead_ts") <= F.col("follow_ts"))
+        & (F.col("lead_ts") >= F.col("follow_ts") - F.expr(f"interval {max_delay}"))
+    )
+    return f.join(l, cond, "left_outer").select(
+        F.col("f_key").alias("user_id"),
+        "follow_id",
+        "follow_type",
+        "follow_ts",
+        "follow_value",
+        "lead_id",
+        "lead_type",
+        "lead_ts",
+    )

@@ -61,3 +61,37 @@ def test_bucketed_agg_skips_exchange(spark, tmp_path):
         assert agg.count() == events.select("user_id").distinct().count()
     finally:
         spark.sql("DROP TABLE IF EXISTS ev_bucketed")
+
+
+def test_compaction_reduces_files_and_preserves_rows(spark, tmp_path):
+    import glob
+
+    from strava_data_pipeline_spark.sources.catalog import load_table
+    from strava_data_pipeline_spark.sources.layout import (
+        compact_day_partitions,
+        write_partitioned_by_day,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events").limit(2000)
+    root = str(tmp_path / "fact")
+    # land fragmented: 8 files per day partition (a streaming sink's
+    # worth of micro-batch files)
+    write_partitioned_by_day(events.repartition(8), root)
+    day_dirs = sorted(glob.glob(f"{root}/p_day=*"))
+    assert len(glob.glob(f"{day_dirs[0]}/part-*.parquet")) > 1
+    before = {
+        tuple(r) for r in spark.read.parquet(root).drop("p_day").collect()
+    }
+    days = [d.rsplit("=", 1)[1] for d in day_dirs[:2]]
+
+    n = compact_day_partitions(spark, root, days=days, target_files=1)
+
+    assert n == 2
+    for d in day_dirs[:2]:  # compacted: exactly one file now
+        assert len(glob.glob(f"{d}/part-*.parquet")) == 1
+    # untouched partition keeps its fragmented layout (not rewritten)
+    assert len(glob.glob(f"{day_dirs[3]}/part-*.parquet")) > 1
+    after = {
+        tuple(r) for r in spark.read.parquet(root).drop("p_day").collect()
+    }
+    assert after == before

@@ -287,3 +287,64 @@ def test_incremental_rollup_matches_batch_recompute(spark, dirs):
         for r in want_df.collect()
     }
     assert got == want
+
+
+def test_stream_stream_outer_join_emits_unmatched_after_watermark(spark, dirs):
+    from strava_data_pipeline_spark.streaming.joins import attribute_with_unmatched
+
+    landing, target, ckpt = dirs
+
+    def run_once():
+        stream = read_event_stream(spark, landing)
+        views = stream.where(stream["event_type"] == "view")
+        purchases = stream.where(stream["event_type"] == "purchase")
+        joined = attribute_with_unmatched(
+            views, purchases, max_delay="30 minutes"
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", target)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _write_batch(
+        spark,
+        landing,
+        [
+            (1, datetime(2024, 1, 1, 10, 0), 7, "view", 0.0),
+            (2, datetime(2024, 1, 1, 10, 10), 7, "purchase", 9.99),
+            # unmatched: 60 min after the only view (> 30 min cap)
+            (3, datetime(2024, 1, 1, 11, 0), 7, "purchase", 5.0),
+            # unmatched: no view at all
+            (4, datetime(2024, 1, 1, 10, 5), 8, "purchase", 1.0),
+            # watermark pushers on BOTH sides: the global watermark is
+            # the MIN across every withWatermark node, so a view alone
+            # would leave the purchases side (and the global) behind
+            (5, datetime(2024, 1, 1, 13, 0), 99, "view", 0.0),
+            (98, datetime(2024, 1, 1, 13, 0), 99, "purchase", 0.0),
+        ],
+    )
+    run_once()
+    # the unmatched rows can only emit in a LATER batch that runs with
+    # the advanced watermark (deferred emission is the outer-join
+    # correctness contract, not an off-by-one): land a second batch and
+    # resume from the same checkpoint
+    _write_batch(
+        spark,
+        landing,
+        [
+            (6, datetime(2024, 1, 1, 15, 0), 99, "view", 0.0),
+            (97, datetime(2024, 1, 1, 15, 0), 99, "purchase", 0.0),
+        ],
+    )
+    run_once()
+
+    rows = {
+        (r["follow_id"], r["lead_id"])
+        for r in spark.read.parquet(target).collect()
+    }
+    assert (2, 1) in rows                      # attributed within the cap
+    assert (3, None) in rows and (4, None) in rows  # emitted null-matched
