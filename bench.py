@@ -78,6 +78,8 @@ BENCH_QUERIES = [
     "ann_filtered",
     "events_rank_suite",
     "events_sliding_window",
+    "inverted_index",
+    "scd2_intervals",
 ]
 
 

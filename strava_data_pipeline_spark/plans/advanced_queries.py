@@ -846,3 +846,74 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# 105. scd2_intervals — build the slowly-changing dimension from events
+# --------------------------------------------------------------------------
+_SCD2_ORACLE = """
+WITH ordered AS (
+    SELECT user_id, event_type, ts, event_id,
+           lag(event_type) OVER w AS prev_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), flagged AS (
+    SELECT user_id, event_type, ts,
+           sum(CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                    THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seg
+    FROM ordered
+), segs AS (
+    SELECT user_id, event_type, seg,
+           min(ts) AS valid_from,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM flagged GROUP BY 1, 2, 3
+)
+SELECT user_id, event_type, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY seg) AS valid_to,
+       n_events
+FROM segs
+"""
+
+
+@register("scd2_intervals", oracle=_SCD2_ORACLE, tags=("advanced",))
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension BUILD: collapse each user's
+    event stream into [valid_from, valid_to) intervals of constant
+    event_type — the construction side of the versioned dim that
+    events_asof_profile consumes. Three window passes (change flag →
+    running segment id → interval close via lead) and the final groupBy
+    all partition on user_id, so the whole build is ONE hash exchange
+    of the fact table; the open interval's valid_to is NULL by lead()
+    semantics. Ties at identical timestamps order by event_id — a total
+    order, so segment boundaries are engine-identical."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.sum(
+            F.when(
+                F.lag("event_type").over(w).isNull()
+                | (F.lag("event_type").over(w) != F.col("event_type")),
+                1,
+            ).otherwise(0)
+        )
+        .over(w)
+        .alias("seg"),
+    )
+    segs = flagged.groupBy("user_id", "event_type", "seg").agg(
+        F.min("ts").alias("valid_from"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("seg")
+    return segs.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "n_events",
+    )

@@ -1736,3 +1736,39 @@ def ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id"), emb["vec_id"] == F.col("doc_id"), "left_semi"
     )
     return S.ann_topk_bruteforce(corpus, emb.where(F.col("vec_id") < 8), k=5)
+
+
+# --------------------------------------------------------------------------
+# 104. inverted_index — posting-list build (the search-index artifact)
+# --------------------------------------------------------------------------
+_INVIDX_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, unnest({_DUCK_TOKENS}) AS token FROM documents
+)
+SELECT token,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS tf,
+       list(DISTINCT doc_id ORDER BY doc_id)[1:5] AS posting_head
+FROM tok
+GROUP BY 1
+"""
+
+
+@register("inverted_index", oracle=_INVIDX_ORACLE, tags=("llm", "text"))
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the inverted index: per token, document frequency, total
+    term frequency, and the head of the sorted posting list — the
+    artifact behind every corpus search / decontamination lookup. One
+    explode feeds all three aggregates in a single groupBy (no second
+    scan for the postings); the posting head is capped at 5 ids so the
+    output row stays bounded no matter how common the token. At 100 TB
+    the full posting lists would write out bucketed by token instead of
+    truncating — the build plan (explode → one token-keyed shuffle) is
+    identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("token"))
+    return tok.groupBy("token").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df"),
+        F.count("*").cast("bigint").alias("tf"),
+        F.slice(F.sort_array(F.collect_set("doc_id")), 1, 5).alias("posting_head"),
+    )
