@@ -917,3 +917,127 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(w2).alias("valid_to"),
         "n_events",
     )
+
+
+# --------------------------------------------------------------------------
+# 107. heavy_hitters — exact frequent-group detection (relative support)
+# --------------------------------------------------------------------------
+# The relative rule (count > 1.5x the mean group count) is evaluated as
+# an integer cross-multiplication, so the boolean is exact on both
+# engines and the rule stays non-vacuous at every scale factor — a
+# fixed absolute threshold would be vacuous at sf0.001 and trivial at
+# sf10.
+_HEAVY_ORACLE = """
+WITH c AS (
+    SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
+    FROM events GROUP BY 1, 2
+), s AS (
+    SELECT CAST(sum(cnt) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS n_groups
+    FROM c
+)
+SELECT c.user_id, c.event_type, c.cnt,
+       floor(c.cnt * 1.0 / s.total * 1000000 + 0.5) / 1000000 AS support,
+       c.cnt * s.n_groups * 10 > 15 * s.total AS is_heavy
+FROM c, s
+ORDER BY c.cnt DESC, c.user_id, c.event_type
+LIMIT 100
+"""
+
+
+@register("heavy_hitters", oracle=_HEAVY_ORACLE, tags=("advanced",))
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters over (user_id, event_type): one map-side
+    partial-aggregated groupBy, then the global (total, n_groups) pair
+    — a single tiny row — broadcast back over the counts. The flag
+    `cnt > 1.5 * mean` is computed as cnt*n_groups*10 > 15*total in
+    BIGINT. Top-100 by count via TakeOrderedAndProject. At 100 TB this
+    is the exact reference answer the sampled estimator below is graded
+    against; the group-key shuffle is the only wide exchange."""
+    e = _events(spark, sf_dir)
+    c = e.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    s = c.agg(
+        F.sum("cnt").cast("bigint").alias("total"),
+        F.count("*").cast("bigint").alias("n_groups"),
+    )
+    flagged = c.crossJoin(F.broadcast(s)).select(
+        "user_id",
+        "event_type",
+        "cnt",
+        (F.floor(F.col("cnt") * F.lit(1.0) / F.col("total") * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "support"
+        ),
+        (F.col("cnt") * F.col("n_groups") * 10 > 15 * F.col("total")).alias(
+            "is_heavy"
+        ),
+    )
+    return flagged.orderBy(
+        F.col("cnt").desc(), "user_id", "event_type"
+    ).limit(100)
+
+
+# --------------------------------------------------------------------------
+# 108. heavy_hitters_sampled — the sketch path: deterministic sample,
+# scaled counts, same relative rule
+# --------------------------------------------------------------------------
+# A 25% hash-gated sample (md5(event_id) % 100 < 25): deterministic,
+# reproducible on both engines, no RNG — the same gate discipline as
+# corpus_split_counts. Counts scale by 4; at 100 TB only the sampled
+# quarter shuffles, which is the entire point of the estimator.
+_HEAVY_SAMPLED_ORACLE = """
+WITH sampled AS (
+    SELECT user_id, event_type
+    FROM events
+    WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::UBIGINT
+               AS BIGINT) % 100 < 25
+), c AS (
+    SELECT user_id, event_type,
+           CAST(count(*) AS BIGINT) AS sampled_cnt,
+           CAST(count(*) * 4 AS BIGINT) AS est_cnt
+    FROM sampled GROUP BY 1, 2
+), s AS (
+    SELECT CAST(sum(sampled_cnt) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS n_groups
+    FROM c
+)
+SELECT c.user_id, c.event_type, c.sampled_cnt, c.est_cnt,
+       c.sampled_cnt * s.n_groups * 10 > 15 * s.total AS is_heavy_est
+FROM c, s
+ORDER BY c.sampled_cnt DESC, c.user_id, c.event_type
+LIMIT 100
+"""
+
+
+@register("heavy_hitters_sampled", oracle=_HEAVY_SAMPLED_ORACLE, tags=("advanced",))
+def heavy_hitters_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled heavy-hitter estimate: hash-gate the fact table to 25%
+    BEFORE the shuffle (the gate is a codegen-resident predicate on the
+    scan, so 75% of rows never leave the map side), count the sample,
+    scale by 1/rate, apply the same relative rule. Deterministic by
+    construction — both engines draw the identical sample, making the
+    estimator itself oracle-checkable, which a count-min sketch's
+    binary blob would not be."""
+    from strava_data_pipeline_spark.functions.hashing import md5_u32
+
+    e = _events(spark, sf_dir)
+    sampled = e.where(md5_u32(F.col("event_id").cast("string")) % 100 < 25)
+    c = sampled.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("bigint").alias("sampled_cnt"),
+        (F.count("*") * 4).cast("bigint").alias("est_cnt"),
+    )
+    s = c.agg(
+        F.sum("sampled_cnt").cast("bigint").alias("total"),
+        F.count("*").cast("bigint").alias("n_groups"),
+    )
+    flagged = c.crossJoin(F.broadcast(s)).select(
+        "user_id",
+        "event_type",
+        "sampled_cnt",
+        "est_cnt",
+        (F.col("sampled_cnt") * F.col("n_groups") * 10 > 15 * F.col("total")).alias(
+            "is_heavy_est"
+        ),
+    )
+    return flagged.orderBy(
+        F.col("sampled_cnt").desc(), "user_id", "event_type"
+    ).limit(100)

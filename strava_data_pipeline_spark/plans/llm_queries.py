@@ -1772,3 +1772,140 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("tf"),
         F.slice(F.sort_array(F.collect_set("doc_id")), 1, 5).alias("posting_head"),
     )
+
+
+# --------------------------------------------------------------------------
+# 106. repetition_metrics — Gopher-style n-gram repetition signals
+# --------------------------------------------------------------------------
+# All-occurrence n-grams (NOT the distinct shingle sets the dedup path
+# uses): repetition is about how often a gram recurs inside one doc.
+# The corpus has no newlines, so the line-based Gopher rules are
+# re-expressed over word n-grams (top-2-gram token share, share of
+# 3-gram occurrences that are duplicates). Fractions are single
+# divisions of exact BIGINTs (IEEE divide is exactly rounded, so both
+# engines produce the identical double), then floor-rounded to 4dp.
+_DUCK_ALL_G2 = (
+    "[array_to_string(t[i:i+1], ' ') FOR i IN range(1, greatest(len(t) - 1, 0) + 1)]"
+)
+_DUCK_ALL_G3 = (
+    "[array_to_string(t[i:i+2], ' ') FOR i IN range(1, greatest(len(t) - 2, 0) + 1)]"
+)
+_REPETITION_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents
+), base AS (
+    SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks
+), g2 AS (
+    SELECT doc_id, unnest({_DUCK_ALL_G2}) AS g FROM toks
+), c2 AS (
+    SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2
+), m2 AS (
+    SELECT doc_id, CAST(max(c) AS BIGINT) AS top2_count FROM c2 GROUP BY 1
+), g3 AS (
+    SELECT doc_id, unnest({_DUCK_ALL_G3}) AS g FROM toks
+), c3 AS (
+    SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2
+), m3 AS (
+    SELECT doc_id,
+           CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup3_occ,
+           CAST(sum(c) AS BIGINT) AS total3_occ
+    FROM c3 GROUP BY 1
+)
+SELECT b.doc_id, b.n_tokens,
+       coalesce(m2.top2_count, 0) AS top2_count,
+       coalesce(m3.dup3_occ, 0) AS dup3_occ,
+       coalesce(m3.total3_occ, 0) AS total3_occ,
+       floor(coalesce(m2.top2_count, 0) * 2.0 / b.n_tokens * 10000 + 0.5) / 10000
+           AS top2_frac,
+       floor(coalesce(m3.dup3_occ, 0) * 1.0
+             / greatest(coalesce(m3.total3_occ, 0), 1) * 10000 + 0.5) / 10000
+           AS dup3_frac,
+       coalesce(m2.top2_count, 0) * 2 * 10 <= b.n_tokens
+           AND coalesce(m3.dup3_occ, 0) * 20
+               <= greatest(coalesce(m3.total3_occ, 0), 1) AS keep
+FROM base b
+LEFT JOIN m2 ON b.doc_id = m2.doc_id
+LEFT JOIN m3 ON b.doc_id = m3.doc_id
+"""
+
+
+@register("repetition_metrics", oracle=_REPETITION_ORACLE, tags=("llm", "text"))
+def repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter signals (Rae et al. 2021 §A1.1)
+    over word n-grams: the token share of the most frequent 2-gram and
+    the share of 3-gram occurrences that are duplicates, plus the
+    `keep` gate (top2_frac <= 0.10 AND dup3_frac <= 0.05) expressed as
+    exact integer cross-multiplications so the boolean is deterministic
+    across engines. Two explode→(doc_id, gram) shuffles whose widths
+    are bounded by document length, then a doc_id-keyed merge — no
+    UDFs, all codegen. At 100 TB each doc contributes O(len) gram rows
+    and nothing is quadratic."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+
+    def all_grams(n: int):
+        return F.when(
+            F.size("t") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    d = docs.select("doc_id", toks.alias("t")).select(
+        "doc_id",
+        F.size("t").cast("bigint").alias("n_tokens"),
+        all_grams(2).alias("g2"),
+        all_grams(3).alias("g3"),
+    )
+    m2 = (
+        d.select("doc_id", F.explode("g2").alias("g"))
+        .groupBy("doc_id", "g")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").cast("bigint").alias("top2_count"))
+    )
+    m3 = (
+        d.select("doc_id", F.explode("g3").alias("g"))
+        .groupBy("doc_id", "g")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("count") >= 2, F.col("count")).otherwise(0))
+            .cast("bigint")
+            .alias("dup3_occ"),
+            F.sum("count").cast("bigint").alias("total3_occ"),
+        )
+    )
+    joined = (
+        d.select("doc_id", "n_tokens")
+        .join(m2, "doc_id", "left")
+        .join(m3, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("top2_count", F.lit(0)).cast("bigint").alias("top2_count"),
+            F.coalesce("dup3_occ", F.lit(0)).cast("bigint").alias("dup3_occ"),
+            F.coalesce("total3_occ", F.lit(0)).cast("bigint").alias("total3_occ"),
+        )
+    )
+    top2_frac = F.col("top2_count") * F.lit(2.0) / F.col("n_tokens")
+    dup3_frac = F.col("dup3_occ") * F.lit(1.0) / F.greatest(
+        F.col("total3_occ"), F.lit(1)
+    )
+    return joined.select(
+        "doc_id",
+        "n_tokens",
+        "top2_count",
+        "dup3_occ",
+        "total3_occ",
+        (F.floor(top2_frac * 10000 + F.lit(0.5)) / 10000).alias("top2_frac"),
+        (F.floor(dup3_frac * 10000 + F.lit(0.5)) / 10000).alias("dup3_frac"),
+        (
+            (F.col("top2_count") * 2 * 10 <= F.col("n_tokens"))
+            & (
+                F.col("dup3_occ") * 20
+                <= F.greatest(F.col("total3_occ"), F.lit(1))
+            )
+        ).alias("keep"),
+    )

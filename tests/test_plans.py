@@ -30,6 +30,8 @@ _BNLJ_OK = {
     "vocab_oov_rate",  # 1-row top-K vocabulary broadcast
     "kmeans_lloyd",  # K-row centroid broadcast per Lloyd iteration
     "ann_filtered",  # bounded 8-query broadcast, like ann_topk
+    "heavy_hitters",  # 1-row (total, n_groups) broadcast
+    "heavy_hitters_sampled",  # 1-row (total, n_groups) broadcast
 }
 
 
