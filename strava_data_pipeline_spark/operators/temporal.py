@@ -79,3 +79,50 @@ def interval_join(
         F.broadcast(windows),
         (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col)),
     )
+
+
+def overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    keys: Sequence[str] = (),
+    bin_seconds: int = 86_400,
+) -> DataFrame:
+    """Interval-overlap join (closed intervals: ``l_start <= r_end AND
+    r_start <= l_end``) for two LARGE interval sets — the fact×fact case
+    ``interval_join``'s broadcast formulation cannot handle.
+
+    Both sides explode into the fixed time bins their interval spans,
+    equi-join on (keys, bin) — a hash-partitioned shuffle, never a
+    range/nested-loop join — then verify the true overlap predicate.
+    A pair sharing several bins is kept only in the FIRST shared bin
+    (``bin == max(floor(l_start/b), floor(r_start/b))``): exact-once
+    output by arithmetic, no distinct shuffle. Bin width should be
+    chosen ≳ the typical interval length so the explode fan-out stays
+    O(1) per row; intervals spanning k bins emit k rows — bounded,
+    linear, and skew-free as long as bins are sized to the data.
+    """
+    keys = list(keys)
+    bin_ = F.lit(int(bin_seconds))
+
+    def bins(s: str, e: str) -> F.Column:
+        return F.explode(
+            F.sequence(
+                F.floor(F.col(s).cast("long") / bin_),
+                F.floor(F.col(e).cast("long") / bin_),
+            )
+        )
+
+    lb = left.withColumn("_bin", bins(l_start, l_end))
+    rb = right.withColumn("_bin", bins(r_start, r_end))
+    joined = lb.join(rb, keys + ["_bin"]).where(
+        (F.col(l_start) <= F.col(r_end)) & (F.col(r_start) <= F.col(l_end))
+    )
+    first_shared = F.greatest(
+        F.floor(F.col(l_start).cast("long") / bin_),
+        F.floor(F.col(r_start).cast("long") / bin_),
+    )
+    return joined.where(F.col("_bin") == first_shared).drop("_bin")

@@ -1041,3 +1041,87 @@ def heavy_hitters_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged.orderBy(
         F.col("sampled_cnt").desc(), "user_id", "event_type"
     ).limit(100)
+
+
+# --------------------------------------------------------------------------
+# 109. sessions_overlap_windows — fact×fact interval-overlap join
+# --------------------------------------------------------------------------
+# The scale path interval_join cannot take: BOTH interval sets are
+# derived (sessions from events, windows from nation), joined through
+# day-bin bucketization instead of a range predicate. The oracle is an
+# independent inequality join — DuckDB plans it as an IEJoin, a third
+# implementation strategy agreeing on the same semantics.
+_OVERLAP_ORACLE = """
+WITH flagged AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN floor(epoch(ts)) - lag(floor(epoch(ts))) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+    SELECT user_id,
+           CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq,
+           ts
+    FROM flagged
+), s AS (
+    SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end
+    FROM sess GROUP BY 1, 2
+), w AS (
+    SELECT n_nationkey AS win_id,
+           TIMESTAMP '2024-01-01 00:00:00'
+             + to_days(CAST(n_nationkey AS INT)) AS win_start,
+           TIMESTAMP '2024-01-01 00:00:00'
+             + to_days(CAST(n_nationkey AS INT)) + INTERVAL 36 HOUR AS win_end
+    FROM nation
+)
+SELECT w.win_id,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(count(DISTINCT s.user_id) AS BIGINT) AS n_users
+FROM w JOIN s
+  ON s.session_start <= w.win_end AND w.win_start <= s.session_end
+GROUP BY 1
+"""
+
+
+@register("sessions_overlap_windows", oracle=_OVERLAP_ORACLE, tags=("temporal",))
+def sessions_overlap_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which analysis windows does each user session overlap? Session
+    intervals (30-min-gap rollup) overlap-joined to 25 overlapping
+    36-hour windows via operators/temporal.py::overlap_join — day-bin
+    bucketization turns the range predicate into a hash equi-join on
+    the bin key, with first-shared-bin arithmetic deduplication. Both
+    sides here could be 100 TB facts: nothing is broadcast, nothing is
+    nested-loop, the explode fan-out is ≤ 3 bins per interval."""
+    from strava_data_pipeline_spark.operators.sessionize import sessionize
+    from strava_data_pipeline_spark.operators.temporal import overlap_join
+
+    s = (
+        sessionize(_events(spark, sf_dir), gap_minutes=30)
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+    windows = (
+        load_table(spark, sf_dir, "nation")
+        .select(
+            F.col("n_nationkey").alias("win_id"),
+            F.expr(
+                "timestamp'2024-01-01 00:00:00'"
+                " + make_interval(0, 0, 0, CAST(n_nationkey AS INT), 0, 0, 0)"
+            ).alias("win_start"),
+        )
+        .withColumn("win_end", F.col("win_start") + F.expr("INTERVAL 36 HOURS"))
+    )
+    pairs = overlap_join(
+        s,
+        windows,
+        l_start="session_start",
+        l_end="session_end",
+        r_start="win_start",
+        r_end="win_end",
+    )
+    return pairs.groupBy("win_id").agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )

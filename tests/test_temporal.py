@@ -132,3 +132,52 @@ class TestFunnelGapfillPlantedEdges:
         assert len(rows) == 1                   # span collapses to one day
         assert not rows[0]["is_gap"]
         assert rows[0]["locf_value"] == 1.0
+
+
+class TestOverlapJoin:
+    """overlap_join must equal the naive range join, exactly once per
+    pair, including intervals spanning many bins and touching ends."""
+
+    @pytest.fixture(scope="class")
+    def sides(self, spark):
+        from strava_data_pipeline_spark.operators.temporal import overlap_join
+
+        left = spark.createDataFrame(
+            [
+                (1, ts("2024-01-01 06:00:00"), ts("2024-01-01 07:00:00")),
+                (2, ts("2024-01-01 23:00:00"), ts("2024-01-02 01:00:00")),  # bin-crossing
+                (3, ts("2024-01-03 00:00:00"), ts("2024-01-07 00:00:00")),  # 5 bins
+                (4, ts("2024-02-01 00:00:00"), ts("2024-02-01 01:00:00")),  # no match
+            ],
+            "l_id bigint, l_start timestamp, l_end timestamp",
+        )
+        right = spark.createDataFrame(
+            [
+                (10, ts("2024-01-01 06:30:00"), ts("2024-01-04 00:00:00")),  # hits 1,2,3
+                (11, ts("2024-01-02 00:30:00"), ts("2024-01-02 02:00:00")),  # hits 2
+                (12, ts("2024-01-01 07:00:00"), ts("2024-01-01 08:00:00")),  # touches 1's end
+                (13, ts("2024-03-01 00:00:00"), ts("2024-03-02 00:00:00")),  # no match
+            ],
+            "r_id bigint, r_start timestamp, r_end timestamp",
+        )
+        got = overlap_join(
+            left, right, "l_start", "l_end", "r_start", "r_end"
+        ).select("l_id", "r_id")
+        naive = left.join(
+            right,
+            (F.col("l_start") <= F.col("r_end")) & (F.col("r_start") <= F.col("l_end")),
+        ).select("l_id", "r_id")
+        return got, naive
+
+    def test_matches_naive_range_join(self, sides):
+        got, naive = sides
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, naive.collect()))
+
+    def test_multi_bin_pairs_emitted_exactly_once(self, sides):
+        got, _ = sides
+        rows = [tuple(r) for r in got.collect()]
+        assert len(rows) == len(set(rows))
+        # the 5-bin × 3-day pair appears, once
+        assert rows.count((3, 10)) == 1
+        # closed-interval touch counts as overlap
+        assert (1, 12) in rows
