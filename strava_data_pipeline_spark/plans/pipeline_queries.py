@@ -885,3 +885,59 @@ def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("duration_sec") / F.count("*"), 2).alias("avg_duration_sec"),
         F.max("duration_sec").cast("bigint").alias("max_duration_sec"),
     )
+
+
+# --------------------------------------------------------------------------
+# 110. bucketed_join — co-located join through bucketed table layout
+# --------------------------------------------------------------------------
+# The layout-level shuffle elimination sources/layout.py::write_bucketed
+# exists for: both sides land pre-hashed into the same bucket count on
+# the join key, so the SortMergeJoin plans with ZERO exchanges before it
+# (tests/test_plans.py pins this). At 100 TB this is the difference
+# between re-shuffling the fact table on every run of a recurring join
+# and shuffling it once at ingest time.
+_BUCKETED_ORACLE = """
+SELECT c.c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+       round(sum(e.value), 2) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1
+"""
+
+
+@register("bucketed_join", oracle=_BUCKETED_ORACLE, tags=("layout",))
+def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation activity stats through a join of two BUCKETED managed
+    tables (events by user_id, users by c_custkey, 8 buckets each).
+    The write pays the shuffle once; the join then reads co-located
+    buckets and plans SortMergeJoin with no Exchange on either side
+    (the `merge` hint keeps the size-based planner from broadcasting
+    the dim, which would hide the property being demonstrated). The
+    only exchange in the whole plan is the final 25-group aggregate."""
+    import hashlib
+
+    from strava_data_pipeline_spark.sources.layout import write_bucketed
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
+    ev_name, cu_name = f"bj_events_{tag}", f"bj_users_{tag}"
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    write_bucketed(
+        events.select("event_id", "user_id", "value"), ev_name, "user_id", 8
+    )
+    write_bucketed(
+        customer.select("c_custkey", "c_nationkey"), cu_name, "c_custkey", 8
+    )
+    e = spark.table(ev_name)
+    c = spark.table(cu_name)
+    return (
+        e.hint("merge")
+        .join(c, e["user_id"] == c["c_custkey"])
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

@@ -52,7 +52,20 @@ def write_bucketed(
 ) -> None:
     """Save as a bucketed managed table: rows pre-shuffled into
     ``n_buckets`` by hash(bucket_col), so joins and aggregations on
-    that key read co-located data and plan without an Exchange."""
+    that key read co-located data and plan without an Exchange.
+
+    Overwrite must also clear an *orphaned* managed location: a table
+    written by a previous session lives in the warehouse dir but not in
+    this session's in-memory catalog, and saveAsTable then fails with
+    LOCATION_ALREADY_EXISTS instead of overwriting."""
+    spark = df.sparkSession
+    if mode == "overwrite":
+        spark.sql(f"DROP TABLE IF EXISTS `{table_name}`")
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        loc = spark._jvm.org.apache.hadoop.fs.Path(f"{wh}/{table_name}")
+        fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(loc):
+            fs.delete(loc, True)
     (
         df.write.mode(mode)
         .bucketBy(n_buckets, bucket_col)

@@ -197,3 +197,19 @@ def test_latest_n_window_is_partitioned(executed_trees):
     # per-key top-N must sort within user_id partitions, not globally
     seg = executed_trees["events_latest_n"]
     assert "hashpartitioning(user_id" in seg
+
+
+def test_bucketed_join_has_no_exchange_before_the_join(plans):
+    # both sides are bucketed on the join key: the SortMergeJoin's
+    # subtree (everything below it in the tree section) must contain
+    # no Exchange — the layout satisfies the join's distribution. The
+    # only exchanges allowed in the whole plan belong to the final agg.
+    plan = plans["bucketed_join"]
+    # keep only the final AQE tree: the formatted output echoes the
+    # pre-AQE "Initial Plan" (with its pre-bucketing exchanges) below it
+    tree = plan.split("== Initial Plan ==")[0].split("\n\n")[0]
+    lines = tree.splitlines()
+    smj = next(i for i, l in enumerate(lines) if "SortMergeJoin" in l)
+    below = "\n".join(lines[smj:])
+    assert "Exchange" not in below, "bucketed join sides still shuffle"
+    assert "BroadcastHashJoin" not in plan, "merge hint ignored"
