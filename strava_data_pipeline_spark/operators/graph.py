@@ -132,3 +132,65 @@ def cluster_stats(assignments: DataFrame, node_col: str) -> DataFrame:
         F.count("*").cast("bigint").alias("cluster_size"),
         F.min(node_col).alias("canonical"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    rank_scale: int = 1_000_000,
+    damping_milli: int = 850,
+) -> DataFrame:
+    """Fixed-iteration PageRank in exact integer arithmetic.
+
+    Ranks live in BIGINT micro-units (``rank_scale`` per node) and each
+    step is ``r' = (1-d)*scale + floor(d * sum(floor(r_src/deg_src)))``
+    with d expressed in thousandths — every intermediate is an integer
+    both engines compute identically, so a fixed-iteration oracle can
+    reproduce the result exactly (the same quantization discipline as
+    kmeans_lloyd). Floats would NOT be portable here: iterated
+    double sums diverge across engines in the last bit and the error
+    compounds per iteration.
+
+    Per iteration: one join of ranks onto edges by src (broadcast-able
+    once ranks ≪ edges; hash join otherwise) and one dst-keyed groupBy
+    — two shuffles, both on graph keys, no driver-side state. Node set
+    = sources (every node of an undirected graph has out-edges; nodes
+    with no in-edges keep the teleport base). At 100 TB pre-partition
+    edges by src and the rank join reuses that partitioning every
+    round; lineage stays bounded because each round's frame derives
+    from the previous round's shuffle output, not a growing union.
+    """
+    deg = edges.groupBy(src_col).agg(F.count("*").cast("bigint").alias("_deg"))
+    nodes = deg.select(F.col(src_col).alias("_node"))
+    ranks = nodes.select("_node", F.lit(int(rank_scale)).cast("bigint").alias("rank"))
+    base = rank_scale * (1000 - damping_milli) // 1000
+    for _ in range(iterations):
+        contrib = (
+            edges.join(ranks, edges[src_col] == ranks["_node"])
+            .join(deg, src_col)
+            .select(
+                F.col(dst_col).alias("_to"),
+                F.floor(F.col("rank") / F.col("_deg")).cast("bigint").alias("_c"),
+            )
+            .groupBy("_to")
+            .agg(F.sum("_c").cast("bigint").alias("_in"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["_node"] == contrib["_to"], "left")
+            .select(
+                "_node",
+                (
+                    F.lit(base)
+                    + F.floor(
+                        F.lit(damping_milli)
+                        * F.coalesce(F.col("_in"), F.lit(0))
+                        / F.lit(1000.0)
+                    )
+                )
+                .cast("bigint")
+                .alias("rank"),
+            )
+        )
+    return ranks.select(F.col("_node").alias("node"), "rank")

@@ -1125,3 +1125,81 @@ def sessions_overlap_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_sessions"),
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
     )
+
+
+# --------------------------------------------------------------------------
+# 111. pagerank_parts — fixed-iteration PageRank over the co-purchase graph
+# --------------------------------------------------------------------------
+# Integer micro-unit ranks (the kmeans_lloyd quantization discipline)
+# make all three iterations bit-exact on both engines, so the oracle is
+# the same recurrence unrolled as chained CTEs — an independent
+# implementation, not a transcription: DuckDB evaluates the whole
+# unrolled plan at once while Spark materializes round by round.
+def _pagerank_oracle(iterations: int = 3) -> str:
+    prev = "r0"
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(
+            f"""s{i} AS (
+    SELECT e.dst AS node,
+           CAST(sum(CAST(floor({prev}.r * 1.0 / d.deg) AS BIGINT)) AS BIGINT) AS c
+    FROM e JOIN {prev} ON e.src = {prev}.node JOIN deg d ON e.src = d.src
+    GROUP BY 1
+), r{i} AS (
+    SELECT n.node,
+           CAST(150000 + floor(850 * coalesce(s{i}.c, 0) / 1000.0) AS BIGINT) AS r
+    FROM n LEFT JOIN s{i} ON n.node = s{i}.node
+)"""
+        )
+        prev = f"r{i}"
+    return f"""
+WITH li AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), e AS (
+    SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+), deg AS (
+    SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1
+), n AS (
+    SELECT src AS node FROM deg
+), r0 AS (
+    SELECT node, CAST(1000000 AS BIGINT) AS r FROM n
+), {', '.join(steps)}
+SELECT node AS p_partkey, r AS rank_micro
+FROM {prev}
+ORDER BY rank_micro DESC, p_partkey
+LIMIT 50
+"""
+
+
+@register("pagerank_parts", oracle=_pagerank_oracle(), tags=("graph",))
+def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 parts by PageRank over the undirected co-purchase graph
+    (parts sharing an order, the parts_bought_together edge set). Three
+    power iterations via operators/graph.py::pagerank — per round one
+    src-keyed join + one dst-keyed groupBy, nothing driver-side, exact
+    BIGINT arithmetic end to end. The co-occurrence self-join is
+    orderkey-co-partitioned, pair fan-out bounded by basket size."""
+    from strava_data_pipeline_spark.operators.graph import pagerank
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    ranks = pagerank(edges, iterations=3)
+    return (
+        ranks.select(F.col("node").alias("p_partkey"), F.col("rank").alias("rank_micro"))
+        .orderBy(F.col("rank_micro").desc(), "p_partkey")
+        .limit(50)
+    )

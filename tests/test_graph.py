@@ -49,3 +49,51 @@ def test_cluster_stats(spark):
         for r in G.cluster_stats(asg, "doc_id").collect()
     }
     assert stats == {1: (3, 1), 4: (1, 4), 5: (1, 5)}
+
+
+def _pagerank_reference(edges, iterations=3, scale=1_000_000, d_milli=850):
+    """Pure-Python twin of the integer recurrence for planted graphs."""
+    from collections import defaultdict
+
+    deg = defaultdict(int)
+    for s, _ in edges:
+        deg[s] += 1
+    nodes = sorted(deg)
+    r = {n: scale for n in nodes}
+    base = scale * (1000 - d_milli) // 1000
+    for _ in range(iterations):
+        inbox = defaultdict(int)
+        for s, t in edges:
+            inbox[t] += r[s] // deg[s]
+        r = {n: base + (d_milli * inbox.get(n, 0)) // 1000 for n in nodes}
+    return r
+
+
+class TestPagerank:
+    def test_star_graph_matches_reference_recurrence(self, spark):
+        # undirected star: center 0 ↔ leaves 1..3 (both directions)
+        pairs = []
+        for leaf in (1, 2, 3):
+            pairs += [(0, leaf), (leaf, 0)]
+        got = {
+            (r["node"], r["rank"])
+            for r in G.pagerank(_edges(spark, pairs), iterations=3).collect()
+        }
+        want = set(_pagerank_reference(pairs).items())
+        assert got == want
+        ranks = dict(got)
+        assert ranks[0] > ranks[1]  # the hub outranks the leaves
+        assert ranks[1] == ranks[2] == ranks[3]  # symmetric leaves tie
+
+    def test_two_cliques_with_bridge(self, spark):
+        # 3-clique {1,2,3} + 3-clique {4,5,6} bridged 3↔4: the bridge
+        # endpoints outrank their clique peers
+        und = []
+        for a, b in [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)]:
+            und += [(a, b), (b, a)]
+        got = dict(
+            (r["node"], r["rank"])
+            for r in G.pagerank(_edges(spark, und), iterations=3).collect()
+        )
+        assert got == _pagerank_reference(und)
+        assert got[3] > got[1] and got[4] > got[5]
