@@ -80,6 +80,13 @@ BENCH_QUERIES = [
     "events_sliding_window",
     "inverted_index",
     "scd2_intervals",
+    # round-2d additions
+    "repetition_metrics",
+    "heavy_hitters",
+    "heavy_hitters_sampled",
+    "sessions_overlap_windows",
+    "bucketed_join",
+    "pagerank_parts",
 ]
 
 

@@ -126,3 +126,19 @@ def write_csv_table(
         .option("escape", '"')
         .csv(path)
     )
+
+
+def read_orc_table(spark: SparkSession, path: str) -> DataFrame:
+    """Read an ORC table — the columnar interchange format warehouses
+    outside the parquet ecosystem (Hive/Trino deployments) hand over.
+    Spark's native vectorized ORC reader supports the same pushdown /
+    pruning contract as parquet, so downstream plans are unchanged."""
+    return spark.read.orc(path)
+
+
+def write_orc_table(
+    df: DataFrame, path: str, mode: str = "overwrite", compression: str = "zlib"
+) -> None:
+    """Write ORC with explicit codec; one file per task, splittable on
+    read like the JSONL writer's layout story."""
+    df.write.mode(mode).option("compression", compression).orc(path)

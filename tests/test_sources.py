@@ -123,3 +123,31 @@ class TestCorpusIO:
         empty.write_text("")
         df = cio.read_jsonl_corpus(spark, str(empty))
         assert "doc_id" in df.columns and df.count() == 0
+
+
+class TestOrcInterchange:
+    def test_orc_roundtrip_and_pushdown(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from strava_data_pipeline_spark.sources import corpus_io as cio
+        from strava_data_pipeline_spark.sources.catalog import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        out = str(tmp_path / "docs_orc")
+        cio.write_orc_table(docs, out)
+        back = cio.read_orc_table(spark, out)
+        assert back.schema == docs.schema
+        assert back.count() == docs.count()
+        assert (
+            back.agg(F.sum("n_chars")).first()[0]
+            == docs.agg(F.sum("n_chars")).first()[0]
+        )
+        # point predicate reaches the ORC scan (same contract as parquet)
+        q = back.where(F.col("doc_id") == 7).select("doc_id", "lang")
+        plan = q._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "PushedFilters: [" in plan and "EqualTo(doc_id" in plan
+        assert q.count() == 1
