@@ -1858,29 +1858,38 @@ def repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         all_grams(2).alias("g2"),
         all_grams(3).alias("g3"),
     )
-    m2 = (
-        d.select("doc_id", F.explode("g2").alias("g"))
-        .groupBy("doc_id", "g")
-        .count()
-        .groupBy("doc_id")
-        .agg(F.max("count").cast("bigint").alias("top2_count"))
+    # ONE pass for both gram widths: tag each gram with its width and
+    # explode the concatenation, so 2-gram and 3-gram stats share one
+    # (doc_id, n, g) shuffle and one doc_id-keyed agg instead of two
+    # chains joined at the end (~2× the shuffle volume, measured).
+    tagged = F.concat(
+        F.transform(
+            "g2", lambda g: F.struct(F.lit(2).alias("n"), g.alias("g"))
+        ),
+        F.transform(
+            "g3", lambda g: F.struct(F.lit(3).alias("n"), g.alias("g"))
+        ),
     )
-    m3 = (
-        d.select("doc_id", F.explode("g3").alias("g"))
-        .groupBy("doc_id", "g")
-        .count()
-        .groupBy("doc_id")
-        .agg(
-            F.sum(F.when(F.col("count") >= 2, F.col("count")).otherwise(0))
-            .cast("bigint")
-            .alias("dup3_occ"),
-            F.sum("count").cast("bigint").alias("total3_occ"),
-        )
+    counts = (
+        d.select("doc_id", F.explode(tagged).alias("gr"))
+        .select("doc_id", F.col("gr.n").alias("n"), F.col("gr.g").alias("g"))
+        .groupBy("doc_id", "n", "g")
+        .agg(F.count("*").alias("c"))
     )
+    m = counts.groupBy("doc_id").agg(
+        F.max(F.when(F.col("n") == 2, F.col("c"))).cast("bigint").alias("top2_count"),
+        F.sum(F.when((F.col("n") == 3) & (F.col("c") >= 2), F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("dup3_occ"),
+        F.sum(F.when(F.col("n") == 3, F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("total3_occ"),
+    )
+    # left join back to the doc base so <2-token docs (no grams at all)
+    # still emit a row with zeros, matching the oracle's LEFT JOINs
     joined = (
         d.select("doc_id", "n_tokens")
-        .join(m2, "doc_id", "left")
-        .join(m3, "doc_id", "left")
+        .join(m, "doc_id", "left")
         .select(
             "doc_id",
             "n_tokens",
