@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "sessions_overlap_windows",
     "bucketed_join",
     "pagerank_parts",
+    "zorder_curve",
 ]
 
 

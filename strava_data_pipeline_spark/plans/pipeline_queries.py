@@ -941,3 +941,39 @@ def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# 112. zorder_curve — the Morton key behind multi-dimensional clustering
+# --------------------------------------------------------------------------
+def _zorder_oracle() -> str:
+    from strava_data_pipeline_spark.sources.layout import zvalue_duckdb
+
+    z = zvalue_duckdb("user_id", "CAST(floor(value) AS BIGINT)", bits=16)
+    return f"""
+SELECT event_id, user_id,
+       CAST(floor(value) AS BIGINT) AS v_int,
+       {z} AS zval
+FROM events
+"""
+
+
+@register("zorder_curve", oracle=_zorder_oracle(), tags=("layout",))
+def zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Z-order (Morton) clustering key over (user_id, value):
+    pure shift/and bit interleaving, zero shuffles, one codegen span —
+    sources/layout.py::zorder_write range-partitions and sorts on this
+    key so parquet min/max stats prune box predicates on BOTH columns
+    (tests/test_layout.py measures the file-skip). The curve itself is
+    engine-portable integer arithmetic, hash-checked against DuckDB."""
+    from strava_data_pipeline_spark.sources.layout import zvalue
+
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.floor("value").cast("bigint").alias("v_int"),
+        zvalue(F.col("user_id"), F.floor("value").cast("bigint"), bits=16).alias(
+            "zval"
+        ),
+    )

@@ -95,3 +95,66 @@ def test_compaction_reduces_files_and_preserves_rows(spark, tmp_path):
         tuple(r) for r in spark.read.parquet(root).drop("p_day").collect()
     }
     assert after == before
+
+
+class TestZorder:
+    def test_zvalue_interleaves_bits(self, spark):
+        from strava_data_pipeline_spark.sources.layout import zvalue
+
+        df = spark.createDataFrame(
+            [(0, 0), (1, 0), (0, 1), (3, 5), (255, 255)], "x int, y int"
+        )
+        got = [
+            r["z"] for r in df.select(zvalue("x", "y").alias("z")).collect()
+        ]
+
+        def ref(x, y):
+            z = 0
+            for i in range(16):
+                z |= ((x >> i) & 1) << (2 * i)
+                z |= ((y >> i) & 1) << (2 * i + 1)
+            return z
+
+        assert got == [ref(x, y) for x, y in [(0, 0), (1, 0), (0, 1), (3, 5), (255, 255)]]
+
+    def test_box_predicate_prunes_zordered_files(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from strava_data_pipeline_spark.sources.catalog import load_table
+        from strava_data_pipeline_spark.sources.layout import zorder_write
+
+        events = load_table(spark, "/root/testdata/sf0.01", "events").select(
+            "event_id", "user_id", F.floor("value").cast("bigint").alias("v")
+        )
+        z_path = str(tmp_path / "zordered")
+        flat_path = str(tmp_path / "shuffled")
+        zorder_write(events, z_path, "user_id", "v", n_files=16)
+        # control: same data, same file count, no meaningful clustering
+        events.repartition(16).write.parquet(flat_path)
+
+        box = (
+            (F.col("user_id").between(10, 30))
+            & (F.col("v").between(100, 300))
+        )
+
+        def files_touched(path):
+            hit = (
+                spark.read.parquet(path)
+                .where(box)
+                .select(F.input_file_name().alias("f"))
+                .distinct()
+                .count()
+            )
+            return hit
+
+        z_files = files_touched(z_path)
+        flat_files = files_touched(flat_path)
+        # the box covers ~2% of the (user, value) plane: the z-layout
+        # must confine it to a strict minority of files while the
+        # shuffled layout bleeds it across (almost) all of them
+        assert flat_files >= 14, f"control layout unexpectedly clustered: {flat_files}"
+        assert z_files <= flat_files // 2, (z_files, flat_files)
+        # same rows either way — layout never changes the answer
+        rows_z = spark.read.parquet(z_path).where(box).count()
+        rows_flat = spark.read.parquet(flat_path).where(box).count()
+        assert rows_z == rows_flat > 0
