@@ -18,7 +18,9 @@ proportional to the batch, which is what survives a 100 TB target.
 Dynamic overwrite also removes the round-1 stage-then-swap: the whole
 table is never deleted mid-write (per-partition commit via the file
 committer). For transactional multi-partition atomicity and
-cross-day key moves, the cluster path is a Delta/Iceberg MERGE sink —
+cross-day key moves, the cluster path is a Delta/Iceberg MERGE sink (sources/versioned.py
+is the same commit protocol in miniature: marker-file publishes,
+crash-invisible half-writes, time travel) —
 this parquet-dir sink documents the constraint that a correction
 record keeps its event's calendar day (the day is derived from the
 event time that identifies it); a stale copy in an untouched day would

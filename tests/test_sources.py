@@ -151,3 +151,46 @@ class TestOrcInterchange:
         )
         assert "PushedFilters: [" in plan and "EqualTo(doc_id" in plan
         assert q.count() == 1
+
+
+class TestVersionedSnapshots:
+    def test_commit_read_time_travel(self, spark, tmp_path):
+        from strava_data_pipeline_spark.sources import versioned as V
+
+        root = str(tmp_path / "tbl")
+        d1 = spark.range(5).withColumnRenamed("id", "k")
+        d2 = spark.range(8).withColumnRenamed("id", "k")
+        assert V.commit_snapshot(d1, root) == 1
+        assert V.commit_snapshot(d2, root) == 2
+        assert V.read_snapshot(spark, root).count() == 8
+        assert V.read_snapshot(spark, root, version=1).count() == 5
+        assert V.current_version(spark, root) == 2
+
+    def test_crashed_writer_stays_invisible(self, spark, tmp_path):
+        from strava_data_pipeline_spark.sources import versioned as V
+
+        root = str(tmp_path / "tbl")
+        V.commit_snapshot(spark.range(3), root)
+        # simulate a writer that died after the data write, before the
+        # marker: directory exists, no _v_2.committed
+        spark.range(99).write.parquet(f"{root}/v=2")
+        assert V.current_version(spark, root) == 1
+        assert V.read_snapshot(spark, root).count() == 3
+        import pytest as _pytest
+
+        with _pytest.raises(FileNotFoundError):
+            V.read_snapshot(spark, root, version=2)
+
+    def test_vacuum_keeps_newest(self, spark, tmp_path):
+        import glob
+
+        from strava_data_pipeline_spark.sources import versioned as V
+
+        root = str(tmp_path / "tbl")
+        for n in (2, 4, 6):
+            V.commit_snapshot(spark.range(n), root)
+        removed = V.vacuum(spark, root, keep_last=2)
+        assert removed == [1]
+        assert V.committed_versions(spark, root) == [2, 3]
+        assert not glob.glob(f"{root}/v=1")
+        assert V.read_snapshot(spark, root).count() == 6
