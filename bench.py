@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "bucketed_join",
     "pagerank_parts",
     "zorder_curve",
+    "semdedup",
 ]
 
 

@@ -1918,3 +1918,128 @@ def repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("keep"),
     )
+
+
+# --------------------------------------------------------------------------
+# 113. semdedup — semantic dedup via cluster-then-prune (SemDeDup,
+# Abbas et al. 2023: k-means the embedding space, drop near-identical
+# pairs INSIDE each cluster only)
+# --------------------------------------------------------------------------
+_SEM_K, _SEM_TAU = 8, 0.35
+
+_SEMDEDUP_ORACLE = f"""
+WITH q AS (
+    SELECT vec_id,
+           [CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+            FOR i IN range(1, 65)] AS qv
+    FROM embeddings
+), seeds AS (
+    SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < {_SEM_K}
+), d AS (
+    SELECT q.vec_id, seeds.cid,
+           list_sum([(q.qv[i] - seeds.cv[i]) * (q.qv[i] - seeds.cv[i])
+                     FOR i IN range(1, 65)]) AS dist2
+    FROM q CROSS JOIN seeds
+), a AS (
+    SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+        FROM d
+    ) WHERE rn = 1
+), e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+), s AS (
+    SELECT y.vec_id AS vb
+    FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
+    JOIN e ea ON ea.vec_id = x.vec_id
+    JOIN e eb ON eb.vec_id = y.vec_id
+    WHERE round(list_sum([ea.v[i] * eb.v[i] FOR i IN range(1, 65)]) /
+          (sqrt(list_sum([ea.v[i] * ea.v[i] FOR i IN range(1, 65)])) *
+           sqrt(list_sum([eb.v[i] * eb.v[i] FOR i IN range(1, 65)]))), 6)
+          >= {_SEM_TAU}
+), drops AS (
+    SELECT DISTINCT vb FROM s
+)
+SELECT a.vec_id, a.cid AS cluster_id, drops.vb IS NULL AS keep
+FROM a LEFT JOIN drops ON a.vec_id = drops.vb
+"""
+
+
+@register("semdedup", oracle=_SEMDEDUP_ORACLE, tags=("llm", "dedup"))
+def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: assign every embedding to its nearest centroid
+    (broadcast K seed rows, exact micro-unit BIGINT distances — the
+    kmeans_lloyd assignment step against the seed snapshot), then
+    compute cosine ONLY within clusters and drop the higher vec_id of
+    every pair above τ. The cluster is the blocking structure: the
+    quadratic is bounded by cluster size, and the published algorithm
+    scales by growing K with the corpus (k≈110k for LAION-scale), so
+    per-cluster all-pairs stays O(1)-ish per row while nothing crosses
+    cluster boundaries — no global pair shuffle exists in the plan.
+    Keep-rule deviation from the paper: min vec_id survives (the paper
+    keeps the farthest-from-centroid member); deterministic and
+    engine-portable."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        F.transform(
+            V.as_double(F.col("embedding")),
+            lambda x: F.floor(x * F.lit(1000000.0) + F.lit(0.5)).cast("bigint"),
+        ).alias("qv"),
+    )
+    seeds = q.where(F.col("vec_id") < _SEM_K).select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
+    )
+    dist2 = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist2", "cid")
+    assigned = (
+        q.join(F.broadcast(seeds))
+        .select("vec_id", dist2.alias("dist2"), "cid")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    v = e.select("vec_id", V.as_double(F.col("embedding")).alias("v"))
+    av = assigned.join(v, "vec_id")
+    x = av.select(
+        F.col("cid"), F.col("vec_id").alias("va"), F.col("v").alias("xa")
+    )
+    y = av.select(
+        F.col("cid"), F.col("vec_id").alias("vb"), F.col("v").alias("xb")
+    )
+    dot = F.aggregate(
+        F.zip_with("xa", "xb", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+
+    def norm(c):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(c, lambda t: t * t), F.lit(0.0), lambda acc, t: acc + t
+            )
+        )
+
+    score = F.round(dot / (norm(F.col("xa")) * norm(F.col("xb"))), 6)
+    drops = (
+        x.join(y, "cid")
+        .where(F.col("va") < F.col("vb"))
+        .select("vb", score.alias("score"))
+        .where(F.col("score") >= _SEM_TAU)
+        .select("vb")
+        .distinct()
+    )
+    return assigned.join(
+        drops, assigned["vec_id"] == drops["vb"], "left"
+    ).select(
+        "vec_id",
+        F.col("cid").alias("cluster_id"),
+        F.col("vb").isNull().alias("keep"),
+    )

@@ -32,6 +32,7 @@ _BNLJ_OK = {
     "ann_filtered",  # bounded 8-query broadcast, like ann_topk
     "heavy_hitters",  # 1-row (total, n_groups) broadcast
     "heavy_hitters_sampled",  # 1-row (total, n_groups) broadcast
+    "semdedup",  # K-row centroid-seed broadcast, like kmeans_lloyd
 }
 
 

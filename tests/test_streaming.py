@@ -348,3 +348,42 @@ def test_stream_stream_outer_join_emits_unmatched_after_watermark(spark, dirs):
     }
     assert (2, 1) in rows                      # attributed within the cap
     assert (3, None) in rows and (4, None) in rows  # emitted null-matched
+
+
+def test_native_session_window(spark, dirs):
+    from strava_data_pipeline_spark.streaming.windowed import session_window_stats
+
+    landing, _, ckpt = dirs
+    # user 7: two events 10 min apart (one session), then a 90-min gap
+    # (second session); user 8: one event
+    _write_batch(
+        spark,
+        landing,
+        [
+            (1, datetime(2024, 1, 1, 10, 0), 7, "run", 5.0),
+            (2, datetime(2024, 1, 1, 10, 10), 7, "run", 3.0),
+            (3, datetime(2024, 1, 1, 11, 40), 7, "ride", 20.0),
+            (4, datetime(2024, 1, 1, 10, 5), 8, "hike", 2.0),
+        ],
+    )
+    agg = session_window_stats(read_event_stream(spark, landing), gap_minutes=30)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("native_sessions")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r["user_id"], r["session_start"].hour, r["session_start"].minute): r
+        for r in spark.sql("select * from native_sessions").collect()
+    }
+    assert len(rows) == 3
+    first = rows[(7, 10, 0)]
+    assert first["n_events"] == 2 and first["total_value"] == 8.0
+    # session end = last event + gap (native session_window semantics)
+    assert first["session_end"].minute == 40
+    assert rows[(7, 11, 40)]["n_events"] == 1
+    assert rows[(8, 10, 5)]["n_events"] == 1
