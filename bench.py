@@ -89,6 +89,8 @@ BENCH_QUERIES = [
     "pagerank_parts",
     "zorder_curve",
     "semdedup",
+    "dedup_substring",
+    "events_rolling_7d",
 ]
 
 

@@ -137,3 +137,32 @@ def pii_counts(text: Column) -> Column:
         fields.append(F.regexp_count(cur, F.lit(pat)).cast("bigint").alias(name))
         cur = F.regexp_replace(cur, pat, repl)
     return F.struct(*fields)
+
+
+# Cleaning passes applied in order by normalize_text. Each is a plain
+# (pattern, replacement) regexp_replace — JVM regex, codegen-resident.
+# Order matters: control/zero-width stripping happens BEFORE whitespace
+# collapse so a stripped char can't leave a double space behind.
+NORMALIZE_PATTERNS = [
+    # C0/C1 control chars except \t \n (those become whitespace next)
+    ("ctrl", "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
+    # zero-width space/joiners and BOM
+    ("zero_width", "[\\u200B\\u200C\\u200D\\uFEFF]", ""),
+    # any whitespace run (incl. tab/newline) -> single space
+    ("ws_run", "\\s+", " "),
+]
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical cleaned form of raw scraped text: strip control and
+    zero-width characters, collapse every whitespace run to one space,
+    trim. Pure ``regexp_replace`` chain — the cleaning pass that runs
+    before tokenization/dedup in a crawl pipeline. The synthetic corpus
+    is already clean (single-spaced printable ASCII), so like
+    :func:`redact_pii` this is contract-tested on planted fixtures
+    rather than registered as a registry query (its registry twin would
+    be vacuously identity)."""
+    out = text
+    for _, pat, repl in NORMALIZE_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return F.trim(out)

@@ -1203,3 +1203,53 @@ def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank_micro").desc(), "p_partkey")
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------------
+# 115. events_rolling_7d — per-user rolling 7-day window aggregates
+# --------------------------------------------------------------------------
+# The hypertable "moving aggregate over a time RANGE" — distinct from
+# events_running_total's unbounded ROWS cumsum: the frame is bounded by
+# event-time distance, not row count, so sparse and dense users get the
+# same 7-day semantics. Both engines order by exact BIGINT epoch-µs
+# (floor-truncated from ns identically) and sum exact cent units, so
+# frame membership and sums are bit-identical. Scale: one user_id hash
+# exchange, per-partition sort, sliding-frame aggregation is O(n) per
+# user via the remove-from-tail trick both engines implement; no
+# self-join against a window dim.
+_ROLLING_ORACLE = """
+SELECT event_id, user_id, ts,
+       CAST(count(*) OVER w AS BIGINT) AS n_7d,
+       CAST(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w
+            AS BIGINT) AS DOUBLE) / 100.0 AS sum_value_7d
+FROM events
+WINDOW w AS (
+    PARTITION BY user_id ORDER BY epoch_us(ts)
+    RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW
+)
+"""
+
+
+@register("events_rolling_7d", oracle=_ROLLING_ORACLE, tags=("advanced", "temporal"))
+def events_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 7-day rolling count and value sum via a RANGE window
+    frame over epoch-microseconds (``Window.rangeBetween`` — event-time
+    distance, not row offsets). Values are quantized to exact cent
+    BIGINTs before the frame sum so the double emitted at the end is
+    the same on both engines regardless of in-frame addition order."""
+    e = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-604_800_000_000, 0)
+    )
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count("*").over(w).cast("bigint").alias("n_7d"),
+        (F.sum(cents).over(w).cast("bigint").cast("double") / 100.0).alias(
+            "sum_value_7d"
+        ),
+    )

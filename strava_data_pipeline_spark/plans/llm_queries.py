@@ -2043,3 +2043,101 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cid").alias("cluster_id"),
         F.col("vb").isNull().alias("keep"),
     )
+
+
+# --------------------------------------------------------------------------
+# 114. dedup_substring — cross-document duplicated-span detection
+# (scalable stand-in for exact-substring dedup, Lee et al. 2022)
+# --------------------------------------------------------------------------
+# Exact-substring dedup builds a corpus suffix array and removes any
+# >=50-token span that appears twice ANYWHERE — inherently sequential.
+# The distributed re-expression: every overlapping n-token span (ALL
+# occurrences, not distinct shingles) is hashed, spans are counted per
+# document, and a span is "duplicated" when it occurs in >=2 distinct
+# documents. A document whose duplicated-span occurrence share exceeds
+# 20% fails the keep gate. Span identity travels as full md5 (128-bit:
+# a 100 TB corpus has ~1e13 spans, where a 32/64-bit key would
+# birthday-collide), so the shuffle carries (doc_id, 32-char hash) —
+# never the span text.
+_SUBSTR_N = 5  # tokens per span; the paper's 50 scaled to this corpus
+_DUCK_ALL_G5_MD5 = (
+    "[md5(array_to_string(t[i:i+4], ' ')) "
+    "FOR i IN range(1, greatest(len(t) - 4, 0) + 1)]"
+)
+_SUBSTR_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents
+), g AS (
+    SELECT doc_id, unnest({_DUCK_ALL_G5_MD5}) AS gh FROM toks
+), c AS (
+    SELECT doc_id, gh, count(*) AS c FROM g GROUP BY 1, 2
+), df AS (
+    SELECT gh, count(*) AS n_docs FROM c GROUP BY 1
+), per AS (
+    SELECT c.doc_id,
+           CAST(sum(c.c) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN df.n_docs > 1 THEN c.c ELSE 0 END) AS BIGINT)
+               AS dup_spans
+    FROM c JOIN df USING (gh) GROUP BY 1
+)
+SELECT b.doc_id,
+       coalesce(per.n_spans, 0) AS n_spans,
+       coalesce(per.dup_spans, 0) AS dup_spans,
+       floor(coalesce(per.dup_spans, 0) * 1.0
+             / greatest(coalesce(per.n_spans, 0), 1) * 10000 + 0.5) / 10000
+           AS dup_frac,
+       coalesce(per.dup_spans, 0) * 5 <= coalesce(per.n_spans, 0) AS keep
+FROM toks b LEFT JOIN per ON b.doc_id = per.doc_id
+"""
+
+
+@register("dedup_substring", oracle=_SUBSTR_ORACLE, tags=("llm", "dedup"))
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span share per document: the distributed form of
+    exact-substring dedup (hash every overlapping 5-token span, count
+    occurrences per doc, mark spans seen in >=2 docs, gate docs whose
+    duplicated-occurrence share exceeds 20% via exact integer
+    cross-multiplication). One explode whose width is bounded by doc
+    length, a (doc_id, hash) map-combined count, a hash-keyed doc-
+    frequency agg reusing the same shuffle key, and a doc_id merge —
+    nothing quadratic, nothing carries span text past the map side."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", T.tokens(F.col("text")).alias("t"))
+    spans = F.when(
+        F.size("t") >= _SUBSTR_N,
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - (_SUBSTR_N - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("t"), i, _SUBSTR_N))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    c = (
+        t.select("doc_id", F.explode(spans).alias("gh"))
+        .groupBy("doc_id", "gh")
+        .agg(F.count("*").alias("c"))
+    )
+    df = c.groupBy("gh").agg(F.count("*").alias("n_docs"))
+    per = (
+        c.join(df, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_spans"),
+            F.sum(F.when(F.col("n_docs") > 1, F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("dup_spans"),
+        )
+    )
+    joined = t.select("doc_id").join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+        F.coalesce("dup_spans", F.lit(0)).cast("bigint").alias("dup_spans"),
+    )
+    dup_frac = F.col("dup_spans") * F.lit(1.0) / F.greatest(
+        F.col("n_spans"), F.lit(1)
+    )
+    return joined.select(
+        "doc_id",
+        "n_spans",
+        "dup_spans",
+        (F.floor(dup_frac * 10000 + F.lit(0.5)) / 10000).alias("dup_frac"),
+        (F.col("dup_spans") * 5 <= F.col("n_spans")).alias("keep"),
+    )

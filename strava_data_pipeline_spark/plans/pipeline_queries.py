@@ -977,3 +977,79 @@ def zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zval"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# 116. user_erasure — right-to-be-forgotten cascade audit
+# --------------------------------------------------------------------------
+# The reference deletes a user row (internal/db/user.go:125 DeleteUser)
+# and leaves activity rows to a foreign-key cascade. At pipeline scale
+# erasure is a cross-table job: an erasure list (here: the determinis-
+# tic audit cohort custkey % 50 = 7) anti-joined against every table
+# holding that subject's rows, with a per-table audit record proving
+# completeness. The erasure list is dimension-sized -> broadcast to
+# every fact scan; each table contributes ONE scan with a conditional
+# count (no separate before/after passes), and the audit output is
+# O(#tables). The same broadcast-anti-join shape applied as a writer
+# (df.join(ids, ..., "left_anti") per partition) is the actual delete;
+# this query is its dry-run accounting.
+_ERASURE_ORACLE = """
+WITH ids AS (SELECT c_custkey AS user_id FROM customer WHERE c_custkey % 50 = 7),
+ev AS (
+    SELECT 'events' AS table_name,
+           CAST(count(*) AS BIGINT) AS rows_before,
+           CAST(count(*) FILTER (WHERE i.user_id IS NOT NULL) AS BIGINT)
+               AS rows_erased
+    FROM events e LEFT JOIN ids i ON e.user_id = i.user_id
+), cu AS (
+    SELECT 'users' AS table_name,
+           CAST(count(*) AS BIGINT) AS rows_before,
+           CAST(count(*) FILTER (WHERE i.user_id IS NOT NULL) AS BIGINT)
+               AS rows_erased
+    FROM customer c LEFT JOIN ids i ON c.c_custkey = i.user_id
+), o AS (
+    SELECT 'orders' AS table_name,
+           CAST(count(*) AS BIGINT) AS rows_before,
+           CAST(count(*) FILTER (WHERE i.user_id IS NOT NULL) AS BIGINT)
+               AS rows_erased
+    FROM orders r LEFT JOIN ids i ON r.o_custkey = i.user_id
+)
+SELECT table_name, rows_before, rows_erased,
+       rows_before - rows_erased AS rows_after
+FROM (SELECT * FROM ev UNION ALL SELECT * FROM cu UNION ALL SELECT * FROM o)
+"""
+
+
+@register("user_erasure", oracle=_ERASURE_ORACLE, tags=("pipeline", "governance"))
+def user_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erasure-cascade audit: broadcast the erasure-subject id list to
+    events, the users dim, and orders; count kept vs erased rows in a
+    single conditional-aggregate scan per table (left join to the
+    broadcast list, no second pass). Emits the per-table audit record a
+    deletion job must produce. Cites reference internal/db/user.go:125
+    (DeleteUser) — the FK cascade, made explicit and measurable."""
+    ids = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 50 == 7)
+        .select(F.col("c_custkey").alias("uid"), F.lit(1).alias("hit"))
+    )
+
+    def audit(df: DataFrame, key: str, name: str) -> DataFrame:
+        return (
+            df.join(F.broadcast(ids), df[key] == ids["uid"], "left")
+            .agg(
+                F.count("*").cast("bigint").alias("rows_before"),
+                F.count("hit").cast("bigint").alias("rows_erased"),
+            )
+            .select(
+                F.lit(name).alias("table_name"),
+                "rows_before",
+                "rows_erased",
+                (F.col("rows_before") - F.col("rows_erased")).alias("rows_after"),
+            )
+        )
+
+    ev = audit(load_table(spark, sf_dir, "events"), "user_id", "events")
+    cu = audit(load_table(spark, sf_dir, "customer"), "c_custkey", "users")
+    o = audit(load_table(spark, sf_dir, "orders"), "o_custkey", "orders")
+    return ev.unionByName(cu).unionByName(o)

@@ -250,3 +250,40 @@ class TestPIIRedaction:
         ).collect()[0]
         assert row["red"] == "mail [EMAIL] now"
         assert row["c"].asDict() == {"email": 1, "ipv4": 0, "phone": 0}
+
+
+class TestNormalizeText:
+    """Planted-fixture contract for normalize_text: the corpus is
+    already clean, so the cleaning passes are proven on constructed
+    dirty strings (control chars, zero-width chars, whitespace runs)
+    and idempotence/no-op is proven on the real corpus."""
+
+    def test_planted_dirty_strings(self, spark):
+        from strava_data_pipeline_spark.functions.text import normalize_text
+
+        rows = [
+            (1, "a\x00b\x07c"),                      # control chars dropped
+            (2, "a​b﻿c"),                  # zero-width dropped
+            (3, "  a\t\tb \n c  "),                  # runs collapsed, trimmed
+            (4, "already clean"),
+            (5, "x\x1f‍  y"),                   # strip THEN collapse
+        ]
+        out = dict(
+            spark.createDataFrame(rows, ["i", "t"])
+            .select("i", normalize_text(F.col("t")).alias("n"))
+            .collect()
+        )
+        assert out == {1: "abc", 2: "abc", 3: "a b c", 4: "already clean", 5: "x y"}
+
+    def test_noop_and_idempotent_on_corpus(self, spark, sf_dir):
+        from strava_data_pipeline_spark.functions.text import normalize_text
+        from strava_data_pipeline_spark.sources.catalog import load_table
+
+        docs = load_table(spark, str(sf_dir), "documents")
+        n = docs.select(
+            F.col("text"), normalize_text(F.col("text")).alias("n1")
+        ).select("text", "n1", normalize_text(F.col("n1")).alias("n2"))
+        bad = n.where(
+            (F.col("n1") != F.col("text")) | (F.col("n2") != F.col("n1"))
+        ).count()
+        assert bad == 0
