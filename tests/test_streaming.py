@@ -387,3 +387,117 @@ def test_native_session_window(spark, dirs):
     assert first["session_end"].minute == 40
     assert rows[(7, 11, 40)]["n_events"] == 1
     assert rows[(8, 10, 5)]["n_events"] == 1
+
+
+class TestVersionedSink:
+    def _start(self, spark, landing, store, ckpt):
+        from strava_data_pipeline_spark.streaming.versioned_sink import (
+            start_versioned_sink,
+        )
+
+        q = start_versioned_sink(
+            read_event_stream(spark, landing), store, ckpt
+        )
+        q.awaitTermination(120)
+
+    def test_merge_across_batches_and_snapshot_history(self, spark, dirs):
+        from strava_data_pipeline_spark.sources import versioned as V
+
+        landing, target, ckpt = dirs
+        store = target + "_store"
+        _write_batch(
+            spark,
+            landing,
+            [
+                (1, datetime(2024, 1, 1, 10, 0), 7, "run", 5.0),
+                (2, datetime(2024, 1, 1, 11, 0), 8, "ride", 9.0),
+            ],
+        )
+        self._start(spark, landing, store, ckpt)
+        assert V.current_version(spark, store) == 1
+        # second landing: update event 2 (newer ts) + insert event 3
+        _write_batch(
+            spark,
+            landing,
+            [
+                (2, datetime(2024, 1, 2, 11, 0), 8, "ride", 11.0),
+                (3, datetime(2024, 1, 2, 12, 0), 9, "hike", 1.0),
+            ],
+        )
+        self._start(spark, landing, store, ckpt)
+        assert V.current_version(spark, store) == 2
+        latest = {
+            r["event_id"]: r["value"]
+            for r in V.read_snapshot(spark, store).collect()
+        }
+        assert latest == {1: 5.0, 2: 11.0, 3: 1.0}
+        # time travel still sees the pre-update state
+        v1 = {
+            r["event_id"]: r["value"]
+            for r in V.read_snapshot(spark, store, version=1).collect()
+        }
+        assert v1 == {1: 5.0, 2: 9.0}
+
+    def test_replayed_batch_is_skipped_exactly_once(self, spark, dirs):
+        from strava_data_pipeline_spark.sources import versioned as V
+        from strava_data_pipeline_spark.streaming.versioned_sink import (
+            start_versioned_sink,
+        )
+
+        landing, target, ckpt = dirs
+        store = target + "_store"
+        _write_batch(
+            spark, landing, [(1, datetime(2024, 1, 1, 10, 0), 7, "run", 5.0)]
+        )
+        self._start(spark, landing, store, ckpt)
+        assert V.current_version(spark, store) == 1
+        # simulate the crash-after-commit-before-checkpoint replay:
+        # re-run the SAME landing data with a FRESH checkpoint, so
+        # foreachBatch re-fires with batch_id 0 — the batch marker must
+        # short-circuit it (no new version, no duplicate rows)
+        q = start_versioned_sink(
+            read_event_stream(spark, landing), store, ckpt + "_replay"
+        )
+        q.awaitTermination(120)
+        assert V.current_version(spark, store) == 1
+        assert V.read_snapshot(spark, store).count() == 1
+
+
+class TestSnapshotDiff:
+    def test_insert_update_delete_classified(self, spark, tmp_path):
+        from strava_data_pipeline_spark.sources import versioned as V
+
+        root = str(tmp_path / "tbl")
+        d1 = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["k", "s", "v"]
+        )
+        d2 = spark.createDataFrame(
+            [(2, "b", 21.0), (3, "c", 30.0), (4, "d", 40.0)], ["k", "s", "v"]
+        )
+        V.commit_snapshot(d1, root)
+        V.commit_snapshot(d2, root)
+        diff = {
+            r["k"]: r["change"]
+            for r in V.snapshot_diff(spark, root, 1, 2, key="k").collect()
+        }
+        assert diff == {1: "delete", 2: "update", 4: "insert"}
+
+    def test_null_safe_and_schema_guard(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from strava_data_pipeline_spark.sources import versioned as V
+
+        root = str(tmp_path / "tbl")
+        d1 = spark.createDataFrame([(1, None), (2, "x")], "k long, s string")
+        d2 = spark.createDataFrame([(1, None), (2, None)], "k long, s string")
+        V.commit_snapshot(d1, root)
+        V.commit_snapshot(d2, root)
+        diff = {
+            r["k"]: r["change"]
+            for r in V.snapshot_diff(spark, root, 1, 2, key="k").collect()
+        }
+        # null == null must be UNCHANGED (eqNullSafe), x -> null is update
+        assert diff == {2: "update"}
+        V.commit_snapshot(d2.withColumnRenamed("s", "t"), root)
+        with _pytest.raises(ValueError):
+            V.snapshot_diff(spark, root, 2, 3, key="k")
