@@ -23,6 +23,7 @@ from strava_data_pipeline_spark.functions.hashing import (
 )
 from strava_data_pipeline_spark.operators import dedup as D
 from strava_data_pipeline_spark.operators import similarity as S
+from strava_data_pipeline_spark.operators.skew import cap_hot_buckets
 from strava_data_pipeline_spark.plans.registry import register
 from strava_data_pipeline_spark.sources.catalog import load_table
 
@@ -1926,6 +1927,12 @@ def repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pairs INSIDE each cluster only)
 # --------------------------------------------------------------------------
 _SEM_K, _SEM_TAU = 8, 0.35
+# Hot-cluster cap on the within-cluster pair join: a degenerate cluster
+# (many near-identical embeddings — exactly what a dedup corpus has)
+# re-creates the quadratic on one reducer; members of a dropped cluster
+# are kept un-pruned. 1000 never triggers at the test SFs (≤2000 total
+# embeddings / 8 clusters) so the oracle result is unchanged.
+_SEM_CAP = 1000
 
 _SEMDEDUP_ORACLE = f"""
 WITH q AS (
@@ -1946,12 +1953,15 @@ WITH q AS (
                row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
         FROM d
     ) WHERE rn = 1
+), a_capped AS (
+    SELECT vec_id, cid FROM a
+    QUALIFY count(*) OVER (PARTITION BY cid) <= {_SEM_CAP}
 ), e AS (
     SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
     FROM embeddings
 ), s AS (
     SELECT y.vec_id AS vb
-    FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
+    FROM a_capped x JOIN a_capped y ON x.cid = y.cid AND x.vec_id < y.vec_id
     JOIN e ea ON ea.vec_id = x.vec_id
     JOIN e eb ON eb.vec_id = y.vec_id
     WHERE round(list_sum([ea.v[i] * eb.v[i] FOR i IN range(1, 65)]) /
@@ -2007,7 +2017,10 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "cid")
     )
     v = e.select("vec_id", V.as_double(F.col("embedding")).alias("v"))
-    av = assigned.join(v, "vec_id")
+    # cap the blocking key BEFORE pair generation, like every other
+    # pair-join in the repo (dedup.py, similarity.py): members of a
+    # hotter-than-cap cluster skip pruning instead of melting a reducer
+    av = cap_hot_buckets(assigned.join(v, "vec_id"), ["cid"], _SEM_CAP)
     x = av.select(
         F.col("cid"), F.col("vec_id").alias("va"), F.col("v").alias("xa")
     )

@@ -55,6 +55,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # integer `div`, NOT `/`: float division loses precision at
             # nanosecond magnitudes (~1.7e18 exceeds double's 53-bit mantissa)
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+        elif field.dataType.typeName() == "timestamp_ntz":
+            # Parquet timestamp[us] with isAdjustedToUTC=false surfaces as
+            # TIMESTAMP_NTZ, which rejects epoch arithmetic (cast to long,
+            # unix_micros). Session TZ is pinned UTC (session.py), so
+            # NTZ→TIMESTAMP is value-preserving and matches DuckDB semantics.
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

@@ -164,6 +164,25 @@ def test_embedding_neardup_hot_bucket_capped(spark, vectors):
     )
 
 
+def test_semdedup_hot_cluster_capped(spark, monkeypatch):
+    """Planted degenerate cluster: with the cap shrunk below the real
+    cluster sizes, every cluster drops out of pair generation, so NOTHING
+    is pruned (all keep=True) — proving the cap actually gates the
+    within-cluster self-join. At the production cap the same data does
+    prune rows."""
+    from strava_data_pipeline_spark.plans import llm_queries as L
+
+    sf = "/root/testdata/sf0.001"
+    normal = L.semdedup(spark, sf)
+    dropped_normal = normal.where(~F.col("keep")).count()
+    assert dropped_normal > 0  # τ=0.35 prunes something at this SF
+
+    monkeypatch.setattr(L, "_SEM_CAP", 3)  # << any sf0.001 cluster size
+    capped = L.semdedup(spark, sf)
+    assert capped.count() == normal.count()  # assignment output unchanged
+    assert capped.where(~F.col("keep")).count() == 0  # cap engaged
+
+
 def test_salted_join_rejects_right_outer(spark, docs):
     from strava_data_pipeline_spark.operators.skew import salted_join
 

@@ -2,15 +2,24 @@
 
 Correctness is gated by the DuckDB oracle; these tests gate the
 *scale* properties — the plan shapes that decide whether a query
-survives 100 TB. They run against sf0.001 (plan shape, not data)."""
+survives 100 TB. They run against sf0.001 (plan shape, not data).
+
+Plans are built lazily per query (cached), and the registry-wide
+sweeps are parametrized per query name: one broken registry entry
+fails only its own test rows instead of erroring every plan gate.
+"""
 
 from __future__ import annotations
+
+import re
 
 import pytest
 
 from strava_data_pipeline_spark.plans import registry
 
 SF_DIR = "/root/testdata/sf0.001"
+
+ALL_QUERIES = sorted(registry.all_queries().keys())
 
 # BroadcastNestedLoopJoin is acceptable ONLY where one side is bounded
 # by construction (range-join windows, ANN query set / centroids,
@@ -35,76 +44,124 @@ _BNLJ_OK = {
     "semdedup",  # K-row centroid-seed broadcast, like kmeans_lloyd
 }
 
-
-@pytest.fixture(scope="module")
-def plans(spark):
-    out = {}
-    for name, fn in registry.all_queries().items():
-        df = fn(spark, SF_DIR)
-        # execute on this exact QueryExecution: AQE only materializes
-        # the final plan (with codegen annotations) for an executed df
-        df.collect()
-        out[name] = df._jdf.queryExecution().explainString(
-            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-                "formatted"
-            )
-        )
-    return out
+# plan-string caches; one build per query per pytest session. A failed
+# build is cached as the exception so every dependent test reports it
+# without re-running the query.
+_PLANS: dict[str, object] = {}
+_TREES: dict[str, object] = {}
 
 
-def test_no_cartesian_products(plans):
-    offenders = [n for n, p in plans.items() if "CartesianProduct" in p]
-    assert offenders == [], f"unbounded cartesian products in: {offenders}"
+def _explain(spark, df, mode: str) -> str:
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
 
 
-def test_nested_loop_joins_only_on_bounded_sides(plans):
-    offenders = [
-        n
-        for n, p in plans.items()
-        if "BroadcastNestedLoopJoin" in p and n not in _BNLJ_OK
-    ]
-    assert offenders == [], f"range/theta join on unbounded sides in: {offenders}"
+def plan_of(spark, name: str) -> str:
+    """Formatted explain of the executed (final AQE) plan for one query."""
+    if name not in _PLANS:
+        try:
+            df = registry.all_queries()[name](spark, SF_DIR)
+            # execute on this exact QueryExecution: AQE only materializes
+            # the final plan (with codegen annotations) for an executed df
+            df.collect()
+            _PLANS[name] = _explain(spark, df, "formatted")
+        except Exception as exc:  # cache the failure, fail fast next time
+            _PLANS[name] = exc
+    val = _PLANS[name]
+    if isinstance(val, Exception):
+        pytest.fail(f"building plan for {name!r} raised: {val}")
+    return val
 
 
-def test_no_python_row_eval_in_query_paths(plans):
+def tree_of(spark, name: str) -> str:
+    """Simple-mode explain of the EXECUTED (final AQE) plan — tree lines
+    carry operator arguments inline; everything after the
+    '== Initial Plan ==' marker is the pre-AQE echo we drop."""
+    if name not in _TREES:
+        try:
+            df = registry.all_queries()[name](spark, SF_DIR)
+            df.collect()
+            _TREES[name] = _explain(spark, df, "simple").split(
+                "== Initial Plan =="
+            )[0]
+        except Exception as exc:
+            _TREES[name] = exc
+    val = _TREES[name]
+    if isinstance(val, Exception):
+        pytest.fail(f"building executed tree for {name!r} raised: {val}")
+    return val
+
+
+@pytest.mark.parametrize("name", ALL_QUERIES)
+def test_no_cartesian_product(spark, name):
+    assert "CartesianProduct" not in plan_of(spark, name), (
+        f"unbounded cartesian product in {name}"
+    )
+
+
+@pytest.mark.parametrize("name", ALL_QUERIES)
+def test_nested_loop_join_only_on_bounded_sides(spark, name):
+    plan = plan_of(spark, name)
+    if "BroadcastNestedLoopJoin" in plan:
+        assert name in _BNLJ_OK, f"range/theta join on unbounded sides in {name}"
+
+
+@pytest.mark.parametrize("name", ALL_QUERIES)
+def test_no_python_row_eval_in_query_path(spark, name):
     # every registry query must stay JVM-side — EXCEPT the multimodal
     # decode entry, whose whole point is the sanctioned Arrow-batched
     # Pandas path (codecs can't be expressed in built-ins); even there,
     # row-at-a-time BatchEvalPython is banned.
-    offenders = [
-        n
-        for n, p in plans.items()
-        if "BatchEvalPython" in p
-        or "ArrowEvalPython" in p
-        or ("MapInPandas" in p and n != "multimodal_features")
-    ]
-    assert offenders == [], f"Python in the hot path of: {offenders}"
-    assert "MapInPandas" in plans["multimodal_features"]
+    plan = plan_of(spark, name)
+    assert "BatchEvalPython" not in plan, f"row-at-a-time Python in {name}"
+    assert "ArrowEvalPython" not in plan, f"Python UDF in the hot path of {name}"
+    if name == "multimodal_features":
+        assert "MapInPandas" in plan
+    else:
+        assert "MapInPandas" not in plan, f"Python in the hot path of {name}"
 
 
-def test_topn_queries_avoid_global_sort(plans):
-    for name in ("recent_activities", "activities_keyset", "q3_shipping_priority",
-                 "top_customers_by_revenue", "q18_large_orders"):
-        assert "TakeOrderedAndProject" in plans[name], name
+@pytest.mark.parametrize("name", ALL_QUERIES)
+def test_whole_stage_codegen_present(spark, name):
+    # every query should have at least one codegen span ("(codegen
+    # id : N)" in the final adaptive plan); a plan with none has
+    # fallen entirely out of Tungsten
+    assert "codegen id" in plan_of(spark, name), f"no codegen span in {name}"
 
 
-def test_offset_page_truncates_before_window(plans):
+@pytest.mark.parametrize(
+    "name",
+    [
+        "recent_activities",
+        "activities_keyset",
+        "q3_shipping_priority",
+        "top_customers_by_revenue",
+        "q18_large_orders",
+    ],
+)
+def test_topn_queries_avoid_global_sort(spark, name):
+    assert "TakeOrderedAndProject" in plan_of(spark, name), name
+
+
+def test_offset_page_truncates_before_window(spark):
     # page_offset must NOT funnel the whole table through the global
     # row_number window: the TakeOrderedAndProject truncation to
     # offset+limit rows has to appear below the window.
-    assert "TakeOrderedAndProject" in plans["activities_page"]
+    assert "TakeOrderedAndProject" in plan_of(spark, "activities_page")
 
 
-def test_point_lookup_pushes_filter_to_scan(plans):
-    assert "PushedFilters: [" in plans["activity_by_id"]
-    assert "EqualTo(event_id" in plans["activity_by_id"]
+def test_point_lookup_pushes_filter_to_scan(spark):
+    plan = plan_of(spark, "activity_by_id")
+    assert "PushedFilters: [" in plan
+    assert "EqualTo(event_id" in plan
 
 
-def test_embedding_dedup_joins_on_lsh_bucket(plans):
+def test_embedding_dedup_joins_on_lsh_bucket(spark):
     # dedup_embedding must block on (label, band, bucket) — a
     # SortMergeJoin/ShuffledHashJoin whose keys include the bucket —
     # never all-pairs within label (the round-1 weak plan).
-    plan = plans["dedup_embedding"]
+    plan = plan_of(spark, "dedup_embedding")
     assert "bucket" in plan and "band" in plan, "LSH band keys missing from plan"
     join_keys = [
         line for line in plan.splitlines() if "keys" in line and "bucket" in line
@@ -112,11 +169,11 @@ def test_embedding_dedup_joins_on_lsh_bucket(plans):
     assert join_keys, "candidate join does not shuffle on the bucket key"
 
 
-def test_q6_predicates_reach_the_scan(plans):
+def test_q6_predicates_reach_the_scan(spark):
     # Q6 is the pure-scan query: shipdate/discount/quantity must all
     # appear as PushedFilters on the lineitem parquet scan, not as a
     # post-scan Filter-only evaluation.
-    plan = plans["q6_forecast_revenue"]
+    plan = plan_of(spark, "q6_forecast_revenue")
     assert "PushedFilters: [" in plan
     for col in ("l_shipdate", "l_discount", "l_quantity"):
         assert any(
@@ -124,88 +181,53 @@ def test_q6_predicates_reach_the_scan(plans):
         ), f"{col} not pushed to the scan"
 
 
-def test_q21_exists_joins_are_hash_partitioned(plans):
+def test_q21_exists_joins_are_hash_partitioned(spark):
     # The EXISTS/NOT EXISTS rewrites must run as equi-joins on orderkey
     # (semi + anti) with the supplier inequality as a residual — never a
     # nested-loop over the fact table.
-    plan = plans["q21_waiting_suppliers"]
+    plan = plan_of(spark, "q21_waiting_suppliers")
     assert "LeftSemi" in plan and "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
 
 
-def test_whole_stage_codegen_present(plans):
-    # every query should have at least one codegen span ("(codegen
-    # id : N)" in the final adaptive plan); a plan with none has
-    # fallen entirely out of Tungsten
-    offenders = [n for n, p in plans.items() if "codegen id" not in p]
-    assert offenders == [], f"no codegen span in: {offenders}"
-
-
-@pytest.fixture(scope="module")
-def executed_trees(spark):
-    """Simple-mode explain of the EXECUTED (final AQE) plan — tree lines
-    carry operator arguments inline, and everything after the
-    '== Initial Plan ==' marker is the pre-AQE echo we drop."""
-    names = [
-        "session_stats",
-        "decontaminate",
-        "events_funnel",
-        "events_latest_n",
-    ]
-    out = {}
-    for name in names:
-        df = registry.all_queries()[name](spark, SF_DIR)
-        df.collect()
-        s = df._jdf.queryExecution().explainString(
-            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-                "simple"
-            )
-        )
-        out[name] = s.split("== Initial Plan ==")[0]
-    return out
-
-
-def test_session_stats_single_exchange(executed_trees):
-    import re
-
+def test_session_stats_single_exchange(spark):
     # both window passes and all aggregate levels must ride ONE
     # user_id hash partitioning — the docstring's one-exchange claim
-    n = len(re.findall(r"\bExchange hashpartitioning", executed_trees["session_stats"]))
+    n = len(
+        re.findall(r"\bExchange hashpartitioning", tree_of(spark, "session_stats"))
+    )
     assert n == 1, f"session_stats executed plan has {n} exchanges, expected 1"
 
 
-def test_decontaminate_training_side_never_shuffles_for_probe(executed_trees):
+def test_decontaminate_training_side_never_shuffles_for_probe(spark):
     # the benchmark shingle set must broadcast: the corpus-side probe
     # is a BroadcastHashJoin, never a sort-merge shuffle of shingles
-    seg = executed_trees["decontaminate"]
+    seg = tree_of(spark, "decontaminate")
     assert "BroadcastHashJoin" in seg
     assert "SortMergeJoin" not in seg
 
 
-def test_funnel_single_scan_single_exchange(executed_trees):
-    import re
-
+def test_funnel_single_scan_single_exchange(spark):
     # the windowed funnel must read events ONCE and shuffle ONCE — the
     # 3-scan + 3-join form this replaced re-read the fact table per stage
-    seg = executed_trees["events_funnel"]
+    seg = tree_of(spark, "events_funnel")
     assert "CartesianProduct" not in seg and "BroadcastNestedLoopJoin" not in seg
     assert len(re.findall(r"Scan parquet", seg)) == 1
     assert len(re.findall(r"\bExchange hashpartitioning", seg)) == 1
 
 
-def test_latest_n_window_is_partitioned(executed_trees):
+def test_latest_n_window_is_partitioned(spark):
     # per-key top-N must sort within user_id partitions, not globally
-    seg = executed_trees["events_latest_n"]
-    assert "hashpartitioning(user_id" in seg
+    assert "hashpartitioning(user_id" in tree_of(spark, "events_latest_n")
 
 
-def test_bucketed_join_has_no_exchange_before_the_join(plans):
+def test_bucketed_join_has_no_exchange_before_the_join(spark):
     # both sides are bucketed on the join key: the SortMergeJoin's
     # subtree (everything below it in the tree section) must contain
     # no Exchange — the layout satisfies the join's distribution. The
     # only exchanges allowed in the whole plan belong to the final agg.
-    plan = plans["bucketed_join"]
+    plan = plan_of(spark, "bucketed_join")
     # keep only the final AQE tree: the formatted output echoes the
     # pre-AQE "Initial Plan" (with its pre-bucketing exchanges) below it
     tree = plan.split("== Initial Plan ==")[0].split("\n\n")[0]

@@ -62,6 +62,33 @@ def test_read_json_files_fixed_schema(spark, tmp_path):
     assert recent.count() == 3  # FetchActivities(after) inclusive bound
 
 
+class TestCatalogTimestampContract:
+    """Repo-wide rule: timestamp arithmetic goes through
+    ``load_table``-normalized columns, so the loader must hand every
+    logically-timestamp column back as plain TIMESTAMP regardless of how
+    the parquet stored it (TIMESTAMP(NANOS) → bigint repair, or
+    unadjusted timestamp[us] → TIMESTAMP_NTZ). Round 2 shipped red
+    because events.ts surfaced as NTZ and epoch arithmetic is an
+    AnalysisException on NTZ."""
+
+    @pytest.mark.parametrize(
+        "table,col",
+        [("events", "ts"), ("orders", "o_orderdate"), ("lineitem", "l_shipdate")],
+    )
+    def test_timestamp_cols_normalized(self, spark, table, col):
+        from pyspark.sql.types import TimestampType
+
+        from strava_data_pipeline_spark.sources.catalog import load_table
+
+        df = load_table(spark, "/root/testdata/sf0.001", table)
+        assert df.schema[col].dataType == TimestampType(), (
+            f"{table}.{col} loaded as {df.schema[col].dataType}; "
+            "epoch arithmetic (cast-to-long / unix_micros) requires TIMESTAMP"
+        )
+        # and the normalized column must actually support epoch arithmetic
+        df.select(F.unix_micros(F.col(col))).limit(1).collect()
+
+
 class TestCorpusIO:
     """JSONL/CSV corpus interchange: roundtrip fidelity + corrupt-line
     quarantine (sources/corpus_io.py)."""
