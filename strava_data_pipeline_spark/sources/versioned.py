@@ -20,12 +20,19 @@ store works on HDFS/S3A/local alike.
 
 from __future__ import annotations
 
+import json
 import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _MARKER = re.compile(r"_v_(\d+)\.committed$")
+
+
+def _part_token(val) -> str:
+    """Directory-safe token for one partition value (dates/ints/strings
+    round-trip cleanly; exotic characters collapse to ``_``)."""
+    return re.sub(r"[^A-Za-z0-9_.=-]", "_", str(val))
 
 
 def _fs(spark: SparkSession, root: str):
@@ -72,12 +79,90 @@ def commit_snapshot(df: DataFrame, root: str) -> int:
     return ver
 
 
+def _manifest_path(jvm, root: str, version: int):
+    return jvm.org.apache.hadoop.fs.Path(f"{root}/_v_{version}.manifest")
+
+
+def read_manifest(
+    spark: SparkSession, root: str, version: int
+) -> dict[str, str] | None:
+    """Partition manifest of one version: ``{partition token: data dir
+    relative to root}``. ``None`` for legacy full-directory versions."""
+    fs, jvm = _fs(spark, root)
+    p = _manifest_path(jvm, root, version)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return json.loads(text)
+
+
+def _write_manifest(
+    spark: SparkSession, root: str, version: int, manifest: dict[str, str]
+) -> None:
+    fs, jvm = _fs(spark, root)
+    out = fs.create(_manifest_path(jvm, root, version), True)
+    try:
+        out.write(bytearray(json.dumps(manifest, sort_keys=True).encode()))
+    finally:
+        out.close()
+
+
+def commit_snapshot_partitioned(
+    changed: DataFrame,
+    root: str,
+    part_col: str,
+    part_values: list | None = None,
+) -> int:
+    """Publish the next version rewriting ONLY the touched partitions.
+
+    ``changed`` must hold the complete post-merge contents of the
+    partitions it covers (and nothing else). Each touched partition is
+    written to a fresh immutable dir ``seg/v<N>/<token>``; the new
+    manifest maps every partition to its data dir, reusing the previous
+    version's entries for untouched partitions — their files are never
+    rewritten, so a trigger costs O(touched partitions), not O(table).
+    The marker creation stays the single atomic publish step; a crash
+    at any point leaves only invisible dirs and the previous manifest
+    readable. ``part_values`` skips the distinct-scan when the caller
+    already knows the touched set (O(#partitions) metadata, cheap)."""
+    spark = changed.sparkSession
+    prev = current_version(spark, root)
+    manifest = dict(read_manifest(spark, root, prev) or {}) if prev else {}
+    ver = (prev or 0) + 1
+    changed = changed.persist()
+    try:
+        if part_values is None:
+            part_values = [r[0] for r in changed.select(part_col).distinct().collect()]
+        for val in sorted(part_values, key=str):
+            token = _part_token(val)
+            rel = f"seg/v{ver}/{token}"
+            # overwrite, not error: the dir is invisible until the marker
+            # exists, and a replayed batch that crashed mid-write must be
+            # able to redo its own half-written dir
+            changed.where(F.col(part_col) == F.lit(val)).write.mode(
+                "overwrite"
+            ).parquet(f"{root}/{rel}")
+            manifest[token] = rel
+    finally:
+        changed.unpersist()
+    _write_manifest(spark, root, ver, manifest)
+    fs, jvm = _fs(spark, root)
+    fs.create(jvm.org.apache.hadoop.fs.Path(f"{root}/_v_{ver}.committed"), False).close()
+    return ver
+
+
 def read_snapshot(
     spark: SparkSession, root: str, version: int | None = None
 ) -> DataFrame:
     """Read the latest committed snapshot, or ``version`` (time travel).
 
-    Asking for an uncommitted/unknown version raises — a half-written
+    Manifest-based (partition-scoped) versions resolve to the union of
+    their partition dirs; legacy versions read ``v=N`` directly. Asking
+    for an uncommitted/unknown version raises — a half-written
     directory must never be readable."""
     versions = committed_versions(spark, root)
     if not versions:
@@ -86,19 +171,71 @@ def read_snapshot(
         version = versions[-1]
     if version not in versions:
         raise FileNotFoundError(f"snapshot v={version} not committed under {root}")
+    manifest = read_manifest(spark, root, version)
+    if manifest is not None:
+        dirs = sorted({f"{root}/{rel}" for rel in manifest.values()})
+        if not dirs:
+            raise FileNotFoundError(f"snapshot v={version} under {root} is empty")
+        return spark.read.parquet(*dirs)
     return spark.read.parquet(f"{root}/v={version}")
+
+
+def read_snapshot_parts(
+    spark: SparkSession,
+    root: str,
+    part_values: list,
+    version: int | None = None,
+) -> DataFrame | None:
+    """Read ONLY the given partitions of a manifest-based snapshot —
+    the partition-pruned path the streaming sink uses to merge a batch
+    without scanning the table. Returns ``None`` when none of the
+    requested partitions exist yet (all-new days)."""
+    versions = committed_versions(spark, root)
+    if not versions:
+        return None
+    if version is None:
+        version = versions[-1]
+    manifest = read_manifest(spark, root, version)
+    if manifest is None:
+        raise ValueError(
+            f"snapshot v={version} under {root} is not partition-manifest based"
+        )
+    tokens = {_part_token(v) for v in part_values}
+    dirs = sorted(
+        {f"{root}/{rel}" for tok, rel in manifest.items() if tok in tokens}
+    )
+    if not dirs:
+        return None
+    return spark.read.parquet(*dirs)
 
 
 def vacuum(spark: SparkSession, root: str, keep_last: int = 2) -> list[int]:
     """Drop all but the newest ``keep_last`` snapshots (markers first,
     so a reader racing the vacuum never resolves a half-deleted
-    version). Returns the versions removed."""
+    version). Manifest-based versions share partition dirs across
+    versions, so a data dir is only deleted when NO kept manifest still
+    references it. Returns the versions removed."""
     fs, jvm = _fs(spark, root)
     versions = committed_versions(spark, root)
     victims = versions[:-keep_last] if keep_last > 0 else versions
+    kept = [v for v in versions if v not in victims]
+    referenced: set[str] = set()
+    for ver in kept:
+        referenced |= set((read_manifest(spark, root, ver) or {}).values())
+    candidates: set[str] = set()
+    for ver in victims:
+        candidates |= set((read_manifest(spark, root, ver) or {}).values())
     for ver in victims:
         fs.delete(jvm.org.apache.hadoop.fs.Path(f"{root}/_v_{ver}.committed"), False)
+        fs.delete(_manifest_path(jvm, root, ver), False)
         fs.delete(jvm.org.apache.hadoop.fs.Path(f"{root}/v={ver}"), True)
+    for rel in sorted(candidates - referenced):
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{root}/{rel}"), True)
+    # tidy now-empty seg/v<N> parents of removed versions
+    for ver in victims:
+        seg = jvm.org.apache.hadoop.fs.Path(f"{root}/seg/v{ver}")
+        if fs.exists(seg) and len(fs.listStatus(seg)) == 0:
+            fs.delete(seg, True)
     return victims
 
 

@@ -30,15 +30,18 @@ all — it refetches a 24h lookback and relies on ON CONFLICT.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from strava_data_pipeline_spark.operators.upsert import merge_latest_wins
 from strava_data_pipeline_spark.sources.versioned import (
     batch_committed,
     commit_snapshot,
+    commit_snapshot_partitioned,
     current_version,
     mark_batch,
     read_snapshot,
+    read_snapshot_parts,
 )
 
 
@@ -48,25 +51,52 @@ def start_versioned_sink(
     checkpoint_dir: str,
     key: str = "event_id",
     ts_col: str = "ts",
+    partition_col: str | None = None,
 ) -> StreamingQuery:
     """Stream → versioned store: each micro-batch merges latest-wins
     into the current snapshot and publishes the result as the next
     committed version. Restart-safe (see module docstring); readers
     always see a complete, committed snapshot — never a half-merged
-    table."""
+    table.
+
+    With ``partition_col`` unset, every version is a full snapshot
+    rewrite — O(table) per trigger, acceptable ONLY for
+    dimension-sized tables. Fact streams must set ``partition_col``
+    (derived as ``to_date(ts_col)`` when absent from the stream): the
+    batch then merges against ONLY the day partitions it touches and
+    the new version's manifest reuses every untouched partition dir
+    verbatim — O(touched days) per trigger, which is what survives a
+    100 TB table with 0.1% daily churn."""
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         if batch_committed(spark, store_root, batch_id):
             return
-        if current_version(spark, store_root) is None:
-            merged = merge_latest_wins(
-                batch.limit(0), batch, keys=[key], order_by=[ts_col]
-            )
+        if partition_col is None:
+            if current_version(spark, store_root) is None:
+                merged = merge_latest_wins(
+                    batch.limit(0), batch, keys=[key], order_by=[ts_col]
+                )
+            else:
+                base = read_snapshot(spark, store_root)
+                merged = merge_latest_wins(base, batch, keys=[key], order_by=[ts_col])
+            commit_snapshot(merged, store_root)
         else:
-            base = read_snapshot(spark, store_root)
-            merged = merge_latest_wins(base, batch, keys=[key], order_by=[ts_col])
-        commit_snapshot(merged, store_root)
+            b = (
+                batch
+                if partition_col in batch.columns
+                else batch.withColumn(partition_col, F.to_date(F.col(ts_col)))
+            )
+            touched = [r[0] for r in b.select(partition_col).distinct().collect()]
+            base = None
+            if current_version(spark, store_root) is not None:
+                base = read_snapshot_parts(spark, store_root, touched)
+            if base is None:
+                base = b.limit(0)
+            merged = merge_latest_wins(base, b, keys=[key], order_by=[ts_col])
+            commit_snapshot_partitioned(
+                merged, store_root, partition_col, part_values=touched
+            )
         mark_batch(spark, store_root, batch_id)
 
     return (

@@ -463,6 +463,148 @@ class TestVersionedSink:
         assert V.read_snapshot(spark, store).count() == 1
 
 
+class TestPartitionedVersionedSink:
+    """Partition-scoped versioned sink: a micro-batch rewrites ONLY the
+    day partitions it touches; every other day's files are reused
+    byte-identical by the next version's manifest."""
+
+    def _start(self, spark, landing, store, ckpt):
+        from strava_data_pipeline_spark.streaming.versioned_sink import (
+            start_versioned_sink,
+        )
+
+        q = start_versioned_sink(
+            read_event_stream(spark, landing), store, ckpt, partition_col="day"
+        )
+        q.awaitTermination(120)
+
+    @staticmethod
+    def _dir_bytes(root: str, rel: str) -> dict[str, bytes]:
+        d = os.path.join(root, rel)
+        out = {}
+        for name in sorted(os.listdir(d)):
+            if name.startswith("part-"):
+                with open(os.path.join(d, name), "rb") as f:
+                    out[name] = f.read()
+        return out
+
+    def test_batch_rewrites_only_touched_day(self, spark, dirs):
+        from strava_data_pipeline_spark.sources import versioned as V
+
+        landing, target, ckpt = dirs
+        store = target + "_pstore"
+        _write_batch(
+            spark,
+            landing,
+            [
+                (1, datetime(2024, 1, 1, 10, 0), 7, "run", 5.0),
+                (2, datetime(2024, 1, 2, 10, 0), 7, "run", 6.0),
+                (3, datetime(2024, 1, 3, 10, 0), 8, "ride", 7.0),
+            ],
+        )
+        self._start(spark, landing, store, ckpt)
+        assert V.current_version(spark, store) == 1
+        m1 = V.read_manifest(spark, store, 1)
+        assert set(m1) == {"2024-01-01", "2024-01-02", "2024-01-03"}
+        untouched_before = {
+            d: self._dir_bytes(store, m1[d]) for d in ("2024-01-01", "2024-01-02")
+        }
+
+        # second batch touches ONLY 2024-01-03 (updates event 3)
+        _write_batch(
+            spark, landing, [(3, datetime(2024, 1, 3, 12, 0), 8, "ride", 9.9)]
+        )
+        self._start(spark, landing, store, ckpt)
+        assert V.current_version(spark, store) == 2
+        m2 = V.read_manifest(spark, store, 2)
+        # untouched days: same data dirs, byte-identical files
+        for day in ("2024-01-01", "2024-01-02"):
+            assert m2[day] == m1[day], f"{day} was rewritten"
+            assert self._dir_bytes(store, m2[day]) == untouched_before[day]
+        # touched day: a NEW dir under the new version's segment
+        assert m2["2024-01-03"] != m1["2024-01-03"]
+        assert m2["2024-01-03"].startswith("seg/v2/")
+
+        latest = {
+            r["event_id"]: r["value"]
+            for r in V.read_snapshot(spark, store).collect()
+        }
+        assert latest == {1: 5.0, 2: 6.0, 3: 9.9}
+        # time travel to v1 still sees the pre-update value
+        v1 = {
+            r["event_id"]: r["value"]
+            for r in V.read_snapshot(spark, store, version=1).collect()
+        }
+        assert v1 == {1: 5.0, 2: 6.0, 3: 7.0}
+
+    def test_replay_is_idempotent(self, spark, dirs):
+        from strava_data_pipeline_spark.sources import versioned as V
+
+        landing, target, ckpt = dirs
+        store = target + "_pstore"
+        _write_batch(
+            spark,
+            landing,
+            [
+                (1, datetime(2024, 1, 1, 10, 0), 7, "run", 5.0),
+                (2, datetime(2024, 1, 2, 10, 0), 7, "run", 6.0),
+            ],
+        )
+        self._start(spark, landing, store, ckpt)
+        assert V.current_version(spark, store) == 1
+
+        # replay path 1: crash after batch marker — fresh checkpoint
+        # re-fires batch 0, the marker short-circuits it entirely
+        self._start(spark, landing, store, ckpt + "_replay")
+        assert V.current_version(spark, store) == 1
+
+        # replay path 2: crash BETWEEN version marker and batch marker —
+        # drop the batch marker so the replay re-merges on top of v1;
+        # latest-wins of identical rows must converge to equal contents
+        fs, jvm = V._fs(spark, store)
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(f"{store}/_batch_0.committed"), False
+        )
+        self._start(spark, landing, store, ckpt + "_replay2")
+        assert V.current_version(spark, store) == 2
+        rows = V.read_snapshot(spark, store).collect()
+        assert len(rows) == 2  # no duplicate keys
+        assert {r["event_id"]: r["value"] for r in rows} == {1: 5.0, 2: 6.0}
+
+    def test_vacuum_spares_dirs_referenced_by_kept_manifests(self, spark, dirs):
+        from strava_data_pipeline_spark.sources import versioned as V
+
+        landing, target, ckpt = dirs
+        store = target + "_pstore"
+        _write_batch(
+            spark,
+            landing,
+            [
+                (1, datetime(2024, 1, 1, 10, 0), 7, "run", 5.0),
+                (2, datetime(2024, 1, 2, 10, 0), 7, "run", 6.0),
+            ],
+        )
+        self._start(spark, landing, store, ckpt)
+        _write_batch(
+            spark, landing, [(2, datetime(2024, 1, 2, 12, 0), 7, "run", 8.0)]
+        )
+        self._start(spark, landing, store, ckpt)
+        m2 = V.read_manifest(spark, store, 2)
+        assert m2["2024-01-01"].startswith("seg/v1/")  # shared with v1
+
+        removed = V.vacuum(spark, store, keep_last=1)
+        assert removed == [1]
+        # the v1 dir still referenced by v2's manifest survives …
+        assert os.path.isdir(os.path.join(store, m2["2024-01-01"]))
+        # … while v1's superseded 2024-01-02 dir is gone
+        assert not os.path.isdir(os.path.join(store, "seg/v1/2024-01-02"))
+        latest = {
+            r["event_id"]: r["value"]
+            for r in V.read_snapshot(spark, store).collect()
+        }
+        assert latest == {1: 5.0, 2: 8.0}
+
+
 class TestSnapshotDiff:
     def test_insert_update_delete_classified(self, spark, tmp_path):
         from strava_data_pipeline_spark.sources import versioned as V
