@@ -208,6 +208,89 @@ def api_key_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 7b. jwt_validate — GenerateJWT/ValidateJWT session claims
+#     (auth.go:110, :130, :152 middleware)
+# --------------------------------------------------------------------------
+# The reference validates one bearer token per request: HS256 signature
+# recomputed with the server secret must match, and the expiry claim
+# must be in the future (auth.go:130 ValidateJWT; expiry set at
+# GenerateJWT, auth.go:110). Set-based re-expression over a derived
+# session dim: payload = claims string, signature = sha256(payload +
+# secret) — sessions for user_id % 7 == 0 are planted with a forged
+# signature, and short-expiry sessions are planted by the day modulus,
+# so both rejection paths (bad signature, expired) appear in the output.
+_JWT_SECRET = "spark-graft-hs256-secret"
+_JWT_NOW = "2024-06-01 00:00:00"
+_JWT_ORACLE = f"""
+WITH sessions AS (
+    SELECT c_custkey AS user_id,
+           CAST(c_custkey % 400 AS INT) AS exp_days,
+           TIMESTAMP '2024-01-01 00:00:00' + to_days(CAST(c_custkey % 400 AS INT))
+               AS expires_at,
+           'uid=' || CAST(c_custkey AS VARCHAR) || ';exp='
+               || CAST(c_custkey % 400 AS VARCHAR) AS payload,
+           CASE WHEN c_custkey % 7 = 0
+                THEN sha256('uid=' || CAST(c_custkey AS VARCHAR) || ';exp='
+                            || CAST(c_custkey % 400 AS VARCHAR) || 'forged')
+                ELSE sha256('uid=' || CAST(c_custkey AS VARCHAR) || ';exp='
+                            || CAST(c_custkey % 400 AS VARCHAR) || '{_JWT_SECRET}')
+           END AS signature
+    FROM customer
+)
+SELECT user_id, expires_at,
+       signature = sha256(payload || '{_JWT_SECRET}') AS sig_ok,
+       expires_at > TIMESTAMP '{_JWT_NOW}' AS not_expired,
+       (signature = sha256(payload || '{_JWT_SECRET}'))
+           AND expires_at > TIMESTAMP '{_JWT_NOW}' AS valid
+FROM sessions
+"""
+
+
+@register("jwt_validate", oracle=_JWT_ORACLE, tags=("pipeline",))
+def jwt_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JWT claims validation for the whole session population in one
+    vectorized pass (reference auth.go:110 GenerateJWT / :130
+    ValidateJWT / :152 middleware — per-request imperative): recompute
+    the signature over the claims payload with the server secret,
+    compare, and evaluate the expiry claim. Pure codegen expressions —
+    sha2 + comparisons, no UDFs, no shuffle at all (the plan is scan →
+    project), so at 100 TB it is bounded by scan bandwidth."""
+    customer = load_table(spark, sf_dir, "customer")
+    uid = F.col("c_custkey")
+    payload = F.concat(
+        F.lit("uid="),
+        uid.cast("string"),
+        F.lit(";exp="),
+        (uid % 400).cast("string"),
+    )
+    good_sig = F.sha2(F.concat(payload, F.lit(_JWT_SECRET)), 256)
+    sessions = customer.select(
+        uid.alias("user_id"),
+        (
+            F.lit("2024-01-01 00:00:00").cast("timestamp")
+            + F.make_interval(days=(uid % 400).cast("int"))
+        ).alias("expires_at"),
+        payload.alias("payload"),
+        F.when(
+            uid % 7 == 0, F.sha2(F.concat(payload, F.lit("forged")), 256)
+        )
+        .otherwise(good_sig)
+        .alias("signature"),
+    )
+    sig_ok = F.col("signature") == F.sha2(
+        F.concat(F.col("payload"), F.lit(_JWT_SECRET)), 256
+    )
+    not_expired = F.col("expires_at") > F.lit(_JWT_NOW).cast("timestamp")
+    return sessions.select(
+        "user_id",
+        "expires_at",
+        sig_ok.alias("sig_ok"),
+        not_expired.alias("not_expired"),
+        (sig_ok & not_expired).alias("valid"),
+    )
+
+
+# --------------------------------------------------------------------------
 # 8. keys_per_user — ReadApiKeyByUserID / dashboard (user_api_keys.go:174)
 # --------------------------------------------------------------------------
 _KEYS_PER_USER_ORACLE = f"""
@@ -622,6 +705,90 @@ def user_token_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("token_expires_at")
             <= F.lit("2024-04-01 00:00:00").cast("timestamp")
         ).alias("needs_refresh"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 52b. token_refresh — OAuth refresh-token rotation as a CDC merge
+#      (strava.go:103 RefreshToken / :133 HandleAuthCallback)
+# --------------------------------------------------------------------------
+# The reference refreshes one client's token imperatively: expired
+# access token → authenticator.Authorize(refresh_token) → new
+# access/refresh pair + new expiry saved back onto the user row
+# (/root/reference/internal/strava/strava.go:103-123; saveAthlete
+# strava.go:156 persists). Set-based re-expression: select every user
+# whose token_expires_at has passed, derive the refresh response
+# (rotated access + refresh tokens, expiry = refresh time + 6h — the
+# Strava token lifetime), and latest-wins-merge the batch onto the token
+# dim. One shuffle on user_id; the untouched majority rides through.
+_TOKEN_REFRESH_ORACLE = f"""
+WITH users AS ({_USERS_DIM_DUCK}),
+base AS (
+    SELECT id AS user_id,
+           md5(username || ':access') AS access_token,
+           md5(username || ':refresh') AS refresh_token,
+           TIMESTAMP '2024-01-01 00:00:00' + to_days(CAST(id % 180 AS INT))
+               AS token_expires_at,
+           FALSE AS refreshed
+    FROM users
+), batch AS (
+    SELECT user_id,
+           md5(access_token || ':refreshed') AS access_token,
+           md5(refresh_token || ':rotated') AS refresh_token,
+           TIMESTAMP '2024-04-01 06:00:00' AS token_expires_at,
+           TRUE AS refreshed
+    FROM base
+    WHERE token_expires_at <= TIMESTAMP '2024-04-01 00:00:00'
+), tagged AS (
+    SELECT *, 0 AS _src FROM base
+    UNION ALL
+    SELECT *, 1 FROM batch
+), ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY token_expires_at DESC, _src DESC) AS _rn
+    FROM tagged
+)
+SELECT user_id, access_token, refresh_token, token_expires_at, refreshed
+FROM ranked WHERE _rn = 1
+"""
+
+
+@register("token_refresh", oracle=_TOKEN_REFRESH_ORACLE, tags=("pipeline",))
+def token_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OAuth token refresh for the whole expired population in one merge
+    (reference strava.go:103 RefreshToken, per-client imperative; here
+    the refresh 'response' is derived deterministically and merged
+    latest-wins onto the token dim via operators/upsert.py). Expired =
+    token_expires_at <= the refresh instant; refreshed rows carry
+    rotated access+refresh tokens and expiry = instant + 6h (Strava's
+    token lifetime). At scale: one user_id shuffle, zero for a bucketed
+    token dim."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    users = spark.sql(_USERS_DIM_SPARK)
+    now = F.lit("2024-04-01 00:00:00").cast("timestamp")
+    base = users.select(
+        F.col("id").alias("user_id"),
+        F.md5(F.concat(F.col("username"), F.lit(":access"))).alias("access_token"),
+        F.md5(F.concat(F.col("username"), F.lit(":refresh"))).alias("refresh_token"),
+        (
+            F.lit("2024-01-01 00:00:00").cast("timestamp")
+            + F.make_interval(days=(F.col("id") % 180).cast("int"))
+        ).alias("token_expires_at"),
+        F.lit(False).alias("refreshed"),
+    )
+    batch = base.where(F.col("token_expires_at") <= now).select(
+        "user_id",
+        F.md5(F.concat(F.col("access_token"), F.lit(":refreshed"))).alias(
+            "access_token"
+        ),
+        F.md5(F.concat(F.col("refresh_token"), F.lit(":rotated"))).alias(
+            "refresh_token"
+        ),
+        F.lit("2024-04-01 06:00:00").cast("timestamp").alias("token_expires_at"),
+        F.lit(True).alias("refreshed"),
+    )
+    return merge_latest_wins(
+        base, batch, keys=["user_id"], order_by=["token_expires_at"]
     )
 
 
