@@ -91,6 +91,12 @@ BENCH_QUERIES = [
     "semdedup",
     "dedup_substring",
     "events_rolling_7d",
+    # round-3 additions
+    "token_refresh",
+    "jwt_validate",
+    "pii_redact",
+    "source_caps",
+    "perplexity_buckets",
 ]
 
 

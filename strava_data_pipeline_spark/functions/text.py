@@ -101,10 +101,11 @@ def bpe_token_count(text: Column) -> Column:
 # PII redaction (corpus hygiene before training).
 #
 # The synthetic documents table contains no PII (no digits or '@' at
-# all), so these are NOT registered as oracle queries — a corpus-wide
-# zero-redaction run would be a vacuous check. The operator contract is
-# pinned by planted-fixture tests (tests/test_text_multimodal.py)
-# instead, mirroring how the streaming operators are verified.
+# all). The operator contract is pinned by planted-fixture tests
+# (tests/test_text_multimodal.py); the registry query `pii_redact`
+# (plans/llm_queries.py) additionally plants deterministic PII spans in
+# both engines so its oracle row checks real redactions rather than a
+# vacuous corpus-wide zero.
 # ---------------------------------------------------------------------------
 
 # Order matters: emails are matched before phone numbers so the digits

@@ -412,9 +412,27 @@ def ngram_jaccard_pairs(
         "lang",
         "len_bucket",
         "n_grams",
-        F.explode(F.slice("grams", 1, prefix_len)).alias("gram"),
+        F.posexplode(F.slice("grams", 1, prefix_len)).alias("pos", "gram"),
     )
     a, b = inv.alias("a"), inv.alias("b")
+    # PPJoin positional filter: for a shared gram at sorted positions
+    # (i, j), overlap <= min(i, j) + min(n_a - i, n_b - j) — shared
+    # grams below the match are bounded by the smaller position, those
+    # at/after it by the smaller remaining length. jaccard >= t needs
+    # overlap >= ceil(t/(1+t) * (n_a + n_b)), so rows whose bound falls
+    # short can't belong to a qualifying pair (every match row of a true
+    # pair satisfies the bound — pruning is exact, not approximate).
+    # The 1e-9 keeps a float-rounded ceil from over-tightening at exact
+    # integer boundaries; the verify step recomputes exact jaccard anyway.
+    overlap_needed = F.ceil(
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("a.n_grams") + F.col("b.n_grams"))
+        - F.lit(1e-9)
+    )
+    overlap_bound = F.least(F.col("a.pos"), F.col("b.pos")) + F.least(
+        F.col("a.n_grams") - F.col("a.pos"),
+        F.col("b.n_grams") - F.col("b.pos"),
+    )
     cand = (
         a.join(
             b,
@@ -423,7 +441,8 @@ def ngram_jaccard_pairs(
             & (F.col("a.len_bucket") == F.col("b.len_bucket"))
             & (F.col("a.doc") < F.col("b.doc"))
             & (F.col("a.n_grams") >= threshold * F.col("b.n_grams"))
-            & (F.col("b.n_grams") >= threshold * F.col("a.n_grams")),
+            & (F.col("b.n_grams") >= threshold * F.col("a.n_grams"))
+            & (overlap_bound >= overlap_needed),
         )
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()

@@ -2154,3 +2154,235 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(dup_frac * 10000 + F.lit(0.5)) / 10000).alias("dup_frac"),
         (F.col("dup_spans") * 5 <= F.col("n_spans")).alias("keep"),
     )
+
+
+# --------------------------------------------------------------------------
+# 119. pii_redact — PII detection + redaction (emails / IPv4 / phone)
+# --------------------------------------------------------------------------
+# The standard scrub step before a corpus ships to training (C4, The
+# Pile, RefinedWeb all redact or drop PII spans). The pattern battery
+# is the shared functions/text.py::PII_PATTERNS chain (order-pinned:
+# emails before phones so digits are never half-claimed). The synthetic
+# corpus carries no PII, so both engines deterministically plant one
+# span per doc_id%10 class first — which turns the previously vacuous
+# corpus-wide check into a meaningful oracle row. Patterns live in the
+# RE2 ∩ Java-regex common dialect so Spark and DuckDB agree.
+
+
+def _pii_oracle() -> str:
+    # progressive counts: each class is counted on the text as the
+    # redaction chain sees it (mirrors functions/text.py::pii_counts)
+    cur = "text"
+    counts, names = [], {"email": "n_emails", "ipv4": "n_ips", "phone": "n_phones"}
+    for name, pat, repl in T.PII_PATTERNS:
+        counts.append(
+            f"CAST(len(regexp_extract_all({cur}, '{pat}')) AS BIGINT) AS {names[name]}"
+        )
+        cur = f"regexp_replace({cur}, '{pat}', '{repl}', 'g')"
+    count_cols = ",\n           ".join(counts)
+    return f"""
+WITH planted AS (
+    SELECT doc_id, lang,
+           CASE
+             WHEN doc_id % 10 = 0 THEN text || ' contact user'
+                  || CAST(doc_id AS VARCHAR) || '@example.com now'
+             WHEN doc_id % 10 = 1 THEN text || ' node 10.'
+                  || CAST(doc_id % 200 AS VARCHAR) || '.0.'
+                  || CAST(doc_id % 250 AS VARCHAR) || ' logged'
+             WHEN doc_id % 10 = 2 THEN text || ' call 555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+             ELSE text
+           END AS text
+    FROM documents
+), redacted AS (
+    SELECT doc_id, lang,
+           {count_cols},
+           {cur} AS clean
+    FROM planted
+)
+SELECT doc_id, lang, n_emails, n_ips, n_phones,
+       n_emails + n_ips + n_phones > 0 AS had_pii,
+       md5(clean) AS clean_hash
+FROM redacted
+"""
+
+
+@register("pii_redact", oracle=_pii_oracle(), tags=("llm", "text"))
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub for the whole corpus in one pass — the registry face
+    of functions/text.py::redact_pii/pii_counts: regexp_count per PII
+    class + chained regexp_replace redaction, all JVM-side codegen (no
+    UDFs), zero shuffles — scan → project, bounded by scan bandwidth
+    at any scale. Real pipelines extend the battery (SSNs, IBANs,
+    street addresses) the same way: one more PII_PATTERNS row, same
+    plan shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    uid = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        "lang",
+        F.when(
+            uid % 10 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                uid.cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            uid % 10 == 1,
+            F.concat(
+                F.col("text"),
+                F.lit(" node 10."),
+                (uid % 200).cast("string"),
+                F.lit(".0."),
+                (uid % 250).cast("string"),
+                F.lit(" logged"),
+            ),
+        )
+        .when(
+            uid % 10 == 2,
+            F.concat(
+                F.col("text"),
+                F.lit(" call 555-"),
+                F.lpad((uid % 10000).cast("string"), 4, "0"),
+                F.lit(" today"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    counts = T.pii_counts(F.col("text"))
+    return planted.select(
+        "doc_id",
+        "lang",
+        counts["email"].alias("n_emails"),
+        counts["ipv4"].alias("n_ips"),
+        counts["phone"].alias("n_phones"),
+        (counts["email"] + counts["ipv4"] + counts["phone"] > 0).alias("had_pii"),
+        F.md5(T.redact_pii(F.col("text"))).alias("clean_hash"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 120. source_caps — per-source document caps (domain balancing)
+# --------------------------------------------------------------------------
+# RefinedWeb/CCNet-style per-domain caps: no single source may
+# contribute more than K documents, keeping the best-ranked ones.
+_SRC_CAP = 15
+
+_SOURCE_CAPS_ORACLE = f"""
+WITH ranked AS (
+    SELECT doc_id, source, n_chars,
+           row_number() OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+    FROM documents
+)
+SELECT doc_id, source, n_chars, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {_SRC_CAP}
+"""
+
+
+@register("source_caps", oracle=_SOURCE_CAPS_ORACLE, tags=("llm", "corpus"))
+def source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep at most K docs per source, ranked by length (quality proxy)
+    with a deterministic doc_id tie-break — the domain-balancing step
+    of web-corpus pipelines. One shuffle on source; the window's
+    per-source sort is the cost. At 100 TB a hot domain (e.g. one host
+    contributing 1% of the corpus) concentrates on one reducer — the
+    production variant first drops rows below a sampled per-source
+    rank-K threshold (approx quantile) so the exact window only sees
+    ~K rows per source; AQE skew-split covers the middle ground."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source", "n_chars")
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= _SRC_CAP)
+    )
+
+
+# --------------------------------------------------------------------------
+# 121. perplexity_buckets — CCNet head/middle/tail terciles per language
+# --------------------------------------------------------------------------
+# CCNet buckets each language's documents into head/middle/tail by LM
+# perplexity and keeps the head for training. Stand-in LM = the corpus
+# unigram model (same as unigram_logprob); bucket boundaries are exact
+# integer-arithmetic terciles of the per-language rank — no float
+# boundary drift between engines.
+_PPL_BUCKETS_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, lang, unnest({_DUCK_TOKENS}) AS term FROM documents
+), freq AS (
+    SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1
+), n AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_total FROM tok
+), scored AS (
+    SELECT t.doc_id, t.lang,
+           round(sum(ln(f.cnt * 1.0 / n.n_total)) / count(*), 4) AS avg_logprob
+    FROM tok t JOIN freq f USING (term) CROSS JOIN n
+    GROUP BY 1, 2
+), ranked AS (
+    SELECT doc_id, lang, avg_logprob,
+           row_number() OVER (
+               PARTITION BY lang ORDER BY avg_logprob DESC, doc_id) AS rk,
+           count(*) OVER (PARTITION BY lang) AS n_lang
+    FROM scored
+)
+SELECT doc_id, lang, avg_logprob,
+       CASE WHEN 3 * (rk - 1) < n_lang THEN 'head'
+            WHEN 3 * (rk - 1) < 2 * n_lang THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM ranked
+"""
+
+
+@register("perplexity_buckets", oracle=_PPL_BUCKETS_ORACLE, tags=("llm", "text"))
+def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language head/middle/tail fluency terciles (CCNet's bucket
+    step, corpus-unigram LM standing in for KenLM). Bucket membership
+    is decided by integer arithmetic on the per-language rank — exact
+    and engine-portable, no percent_rank float boundaries. At 100 TB
+    the per-lang window sort is the cost; the production path
+    thresholds on sampled logprob quantiles instead of ranking every
+    row, with identical bucket semantics to sampling error."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(T.tokens(F.col("text"))).alias("term")
+    )
+    freq = tok.groupBy("term").agg(F.count("*").cast("bigint").alias("cnt"))
+    n = tok.agg(F.count("*").cast("bigint").alias("n_total"))
+    scored = (
+        tok.join(freq, "term")
+        .join(F.broadcast(n))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.round(
+                F.sum(F.log(F.col("cnt") * F.lit(1.0) / F.col("n_total")))
+                / F.count("*"),
+                4,
+            ).alias("avg_logprob")
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_logprob").desc(), F.col("doc_id")
+    )
+    ranked = scored.select(
+        "doc_id",
+        "lang",
+        "avg_logprob",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(Window.partitionBy("lang")).alias("n_lang"),
+    )
+    return ranked.select(
+        "doc_id",
+        "lang",
+        "avg_logprob",
+        F.when(3 * (F.col("rk") - 1) < F.col("n_lang"), "head")
+        .when(3 * (F.col("rk") - 1) < 2 * F.col("n_lang"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )

@@ -32,6 +32,7 @@ _BNLJ_OK = {
     "q22_dormant_customers",  # 1-row avg-acctbal threshold broadcast
     "tfidf_top_terms",  # 1-row corpus-count broadcast
     "unigram_logprob",  # 1-row token-total broadcast
+    "perplexity_buckets",  # same 1-row token-total broadcast as unigram_logprob
     "customer_rfm",  # 1-row high-water-mark + quantile-threshold broadcasts
     "q15_top_supplier",  # 1-row scalar-max broadcast
     "q11_important_parts",  # 1-row fraction-of-total threshold broadcast
