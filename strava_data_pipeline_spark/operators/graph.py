@@ -162,6 +162,13 @@ def pagerank(
     round; lineage stays bounded because each round's frame derives
     from the previous round's shuffle output, not a growing union.
     """
+    # NOTE (measured, sf0.1): do NOT repartition+persist the edge set
+    # here — the whole pagerank is one query execution, so AQE's
+    # ReusedExchange already dedupes every repeated edge-lineage
+    # exchange, and an explicit materialization pays an extra full
+    # shuffle (+15% wall). Persisting wins only when edges feed
+    # MULTIPLE actions (e.g. a convergence-checked loop like
+    # connected_components above, which localCheckpoints per round).
     deg = edges.groupBy(src_col).agg(F.count("*").cast("bigint").alias("_deg"))
     nodes = deg.select(F.col(src_col).alias("_node"))
     ranks = nodes.select("_node", F.lit(int(rank_scale)).cast("bigint").alias("rank"))

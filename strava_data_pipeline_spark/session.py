@@ -12,8 +12,12 @@ import os
 
 from pyspark.sql import SparkSession
 
+from strava_data_pipeline_spark.config import Config, load_config
 
-def get_spark(app_name: str = "strava-data-pipeline-spark") -> SparkSession:
+
+def get_spark(
+    app_name: str = "strava-data-pipeline-spark", config: Config | None = None
+) -> SparkSession:
     """Build (or fetch) the session.
 
     Settings chosen for 100 TB readiness, not just local runs:
@@ -24,9 +28,18 @@ def get_spark(app_name: str = "strava-data-pipeline-spark") -> SparkSession:
       input splits that schedule independently.
     - shuffle partition count from env so cluster deploys size it to the
       executor fleet; AQE coalesces down when partitions run small.
+
+    Resource knobs resolve through the layered config
+    (config.py: YAML file + SPARK_GRAFT_SPARK_* env); the original
+    short-form env vars (SPARK_GRAFT_CPUS / _SHUFFLE_PARTITIONS /
+    _DRIVER_MEM, the driver's contract) keep highest precedence.
     """
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
-    shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
+    cfg = config if config is not None else load_config()
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", cfg.spark.cpus)
+    shuffle = os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS", str(cfg.spark.shuffle_partitions)
+    )
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", cfg.spark.driver_memory)
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
@@ -36,8 +49,8 @@ def get_spark(app_name: str = "strava-data-pipeline-spark") -> SparkSession:
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
-        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", cfg.spark.broadcast_threshold)
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )
