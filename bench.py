@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "pii_redact",
     "source_caps",
     "perplexity_buckets",
+    "q10_returned_items",
 ]
 
 

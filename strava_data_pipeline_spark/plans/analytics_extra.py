@@ -586,3 +586,64 @@ def parts_bought_together(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_orders").desc(), F.col("part_a").asc(), F.col("part_b").asc())
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------------
+# 122. q10_returned_items — TPC-H Q10: top customers by returned revenue
+# --------------------------------------------------------------------------
+_Q10_ORACLE = """
+SELECT c.c_custkey, c.c_name,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+       c.c_acctbal, n.n_name
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND l.l_returnflag = 'R'
+GROUP BY 1, 2, 4, 5
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+@register("q10_returned_items", oracle=_Q10_ORACLE, tags=("analytics",))
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: customers who returned the most revenue in a quarter.
+    Plan shape: the returnflag + quarter predicates prune BOTH fact
+    scans before the orderkey join (pushdown-pinned classes), the
+    customer join keys on o_custkey, nation broadcasts, and the top-20
+    rides TakeOrderedAndProject — no global sort. Deterministic
+    tie-break on c_custkey. Revenue is quantized to exact BIGINT cents
+    per row before the sum (the events_rolling_7d discipline): the
+    per-row double product is engine-identical, so the summed cents —
+    unlike an order-dependent double sum — hash-match exactly."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            (
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                        + F.lit(0.5)
+                    ).cast("bigint")
+                ).cast("double")
+                / 100.0
+            ).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )

@@ -139,6 +139,7 @@ def test_whole_stage_codegen_present(spark, name):
         "q3_shipping_priority",
         "top_customers_by_revenue",
         "q18_large_orders",
+        "q10_returned_items",
     ],
 )
 def test_topn_queries_avoid_global_sort(spark, name):
