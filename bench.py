@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "source_caps",
     "perplexity_buckets",
     "q10_returned_items",
+    "dedup_containment",
 ]
 
 

@@ -474,6 +474,53 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold_pct: int = 80,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """Asymmetric containment near-dup pairs: C(A→B) = |S_A ∩ S_B| /
+    |S_A| over distinct word-shingle sets — the doc-inside-doc case
+    (quote farms, boilerplate wrappers, page-of-a-book) that symmetric
+    jaccard misses because its length filter discards pairs whose sizes
+    differ by more than the threshold ratio.
+
+    Plan: one shingle explode; overlap counts via a shingle-keyed
+    self-join + pair groupBy (no arrays shuffled, only (doc, 3-word
+    shingle) rows); hot shingles capped BEFORE pair generation — a
+    boilerplate shingle in B docs would otherwise fan out B² rows.
+    Capping removes those shingles from overlap counts while |S_A|
+    stays uncapped, so containment is (deterministically) understated
+    for boilerplate-heavy docs — the standard trade, mirrored in the
+    oracle. The gate is integer cross-multiplication
+    (overlap·100 ≥ pct·|S_A|) — no float boundary.
+    """
+    sh = _spread(df).select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(tokens(F.col(text_col)))).alias("shingle"),
+    )
+    n_sh = sh.groupBy("doc").agg(F.count("*").cast("bigint").alias("n_sh"))
+    capped = cap_hot_buckets(sh, ["shingle"], max_bucket)
+    a, b = capped.alias("a"), capped.alias("b")
+    ov = (
+        a.join(b, "shingle")
+        .where(F.col("a.doc") != F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").cast("bigint").alias("overlap"))
+    )
+    return (
+        ov.join(n_sh.withColumnRenamed("doc", "doc_a"), "doc_a")
+        .where(F.col("overlap") * 100 >= F.lit(threshold_pct) * F.col("n_sh"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("overlap") / F.col("n_sh"), 4).alias("containment"),
+        )
+    )
+
+
 def doc_fingerprints(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5
 ) -> DataFrame:

@@ -2386,3 +2386,39 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
         .alias("bucket"),
     )
+
+
+# --------------------------------------------------------------------------
+# 123. dedup_containment — asymmetric doc-inside-doc containment
+# --------------------------------------------------------------------------
+_CONTAIN_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents
+), sh AS (
+    SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle FROM toks
+), n AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1
+), capped AS (
+    -- hot-bucket guard: mirrors operators/skew.cap_hot_buckets
+    SELECT * FROM sh
+    QUALIFY count(*) OVER (PARTITION BY shingle) <= {D.MAX_BUCKET}
+), ov AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS overlap
+    FROM capped a JOIN capped b USING (shingle)
+    WHERE a.doc_id != b.doc_id
+    GROUP BY 1, 2
+)
+SELECT ov.doc_a, ov.doc_b, round(ov.overlap * 1.0 / n.n_sh, 4) AS containment
+FROM ov JOIN n ON n.doc_id = ov.doc_a
+WHERE ov.overlap * 100 >= 80 * n.n_sh
+"""
+
+
+@register("dedup_containment", oracle=_CONTAIN_ORACLE, tags=("llm", "dedup"))
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment ≥ 0.8 pairs (directional: doc_a's shingle set is
+    ≥80% inside doc_b's) via operators/dedup.py::containment_pairs —
+    the asymmetric complement to dedup_ngram_jaccard for contained
+    documents whose sizes differ too much for any symmetric threshold."""
+    return D.containment_pairs(load_table(spark, sf_dir, "documents"))

@@ -164,6 +164,30 @@ def test_embedding_neardup_hot_bucket_capped(spark, vectors):
     )
 
 
+def test_containment_directional(spark):
+    """A doc that is a strict prefix of a bigger doc: containment is
+    1.0 small→big but below threshold big→small — the asymmetric case
+    jaccard's length filter can never emit."""
+    small = "alpha beta gamma delta epsilon zeta"
+    big = small + " " + " ".join(f"tail{i}" for i in range(40))
+    rows = [(1, small, "en"), (2, big, "en"), (3, "totally different words here now", "en")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    df = df.withColumn("n_chars", F.length("text").cast("bigint"))
+    got = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in D.containment_pairs(df).collect()
+    }
+    assert got == {(1, 2): 1.0}  # small inside big only; big not inside small
+
+
+def test_containment_hot_shingle_capped(spark, hot_docs):
+    # 40 identical docs: every shingle bucket holds 40 members; cap 10
+    # removes them all from pair generation ⇒ no pairs at all
+    assert D.containment_pairs(hot_docs, max_bucket=10).count() == 0
+    # uncapped: every ordered pair is fully contained (40·39 directional)
+    assert D.containment_pairs(hot_docs, max_bucket=1000).count() == 40 * 39
+
+
 def test_semdedup_hot_cluster_capped(spark, monkeypatch):
     """Planted degenerate cluster: with the cap shrunk below the real
     cluster sizes, every cluster drops out of pair generation, so NOTHING
