@@ -605,6 +605,54 @@ class TestPartitionedVersionedSink:
         assert latest == {1: 5.0, 2: 8.0}
 
 
+class TestCdfRollup:
+    """CDF consumer: folding snapshot_diff deltas into the rollup must
+    reproduce a full recompute bit-for-bit (exact-cents sums), across
+    inserts, value updates, a day-moving update, and deletes."""
+
+    def test_incremental_equals_recompute(self, spark, dirs):
+        from strava_data_pipeline_spark.sources import versioned as V
+        from strava_data_pipeline_spark.streaming import cdf
+
+        landing, target, ckpt = dirs
+        store = target + "_cdfstore"
+        v1 = spark.createDataFrame(
+            [
+                (1, datetime(2024, 1, 1, 10, 0), 7, "run", 5.0),
+                (2, datetime(2024, 1, 1, 11, 0), 7, "run", 3.25),
+                (3, datetime(2024, 1, 2, 10, 0), 8, "ride", 9.0),
+                (4, datetime(2024, 1, 2, 12, 0), 9, "hike", 2.5),
+            ],
+            EVENT_SCHEMA,
+        )
+        v2 = spark.createDataFrame(
+            [
+                (1, datetime(2024, 1, 1, 10, 0), 7, "run", 5.0),  # unchanged
+                (2, datetime(2024, 1, 1, 11, 30), 7, "run", 4.75),  # value upd
+                # 3 deleted
+                (4, datetime(2024, 1, 3, 12, 0), 9, "hike", 2.5),  # moved day
+                (5, datetime(2024, 1, 3, 9, 0), 9, "run", 1.0),  # insert
+            ],
+            EVENT_SCHEMA,
+        )
+        V.commit_snapshot(v1, store)
+        V.commit_snapshot(v2, store)
+
+        rollup_v1 = cdf.events_rollup_of(V.read_snapshot(spark, store, 1))
+        diff = V.snapshot_diff(spark, store, 1, 2, key="event_id")
+        incremental = cdf.apply_rollup_delta(
+            rollup_v1, cdf.rollup_delta_from_cdf(diff)
+        )
+        recomputed = cdf.events_rollup_of(V.read_snapshot(spark, store, 2))
+
+        key = lambda r: (str(r["p_day"]), r["event_type"])  # noqa: E731
+        inc = {key(r): (r["n_events"], r["value_cents"]) for r in incremental.collect()}
+        full = {key(r): (r["n_events"], r["value_cents"]) for r in recomputed.collect()}
+        assert inc == full
+        # the fully-deleted (2024-01-02, ride) group left no residue row
+        assert ("2024-01-02", "ride") not in inc
+
+
 class TestSnapshotDiff:
     def test_insert_update_delete_classified(self, spark, tmp_path):
         from strava_data_pipeline_spark.sources import versioned as V
