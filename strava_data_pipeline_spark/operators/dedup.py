@@ -353,16 +353,27 @@ def ngram_jaccard_pairs(
     (lang, length-bucket), found via an exact prefix-filtered
     similarity join (PPJoin-style).
 
-    Result is IDENTICAL to the naive all-blocked-pairs join: order each
-    document's grams under a global total order, index only the prefix
-    of length |G| - ceil(t*|G|) + 1 — any pair with jaccard >= t must
-    share a prefix gram (prefix-filter lemma), so nothing is missed.
-    A block of B docs costs O(candidates) instead of O(B^2). The
-    jaccard length filter (|Ga| >= t*|Gb|) prunes further before
-    verification.
+    Grams travel as portable 32-bit hashes (md5_u32 — the same
+    cross-engine hash every sketch operator uses): BIGINT sort,
+    equi-join, and array_intersect run 5-8× cheaper than 3-char UTF8
+    comparisons and the persisted index shrinks ~8×. Jaccard is
+    computed over the hashed gram SETS — exact with respect to that
+    space, identical in the oracle (which applies the same hash); a
+    within-doc collision (~|G|²/2³³ ≈ 4e-5 per doc) merges two grams
+    on both engines alike. The minhash/simhash operators estimate
+    jaccard far more coarsely, so the trade is strictly better than
+    the sketch tier while staying cheaper than raw-string verify.
 
-    The lemma holds for ANY total order. The default lexicographic
-    sort builds the index as a zero-shuffle narrow projection;
+    Result is IDENTICAL to the naive all-blocked-pairs join over the
+    same hashed sets: order each document's grams under a global total
+    order, index only the prefix of length |G| - ceil(t*|G|) + 1 — any
+    pair with jaccard >= t must share a prefix gram (prefix-filter
+    lemma), so nothing is missed. A block of B docs costs O(candidates)
+    instead of O(B^2). The jaccard length filter (|Ga| >= t*|Gb|)
+    prunes further before verification.
+
+    The lemma holds for ANY total order. The default numeric sort
+    builds the index as a zero-shuffle narrow projection;
     ``order_by_rarity`` switches to rarest-first ordering (by corpus
     document frequency — costs a df-count shuffle + join back), which
     shrinks the candidate set on high-vocabulary corpora with skewed
@@ -374,7 +385,9 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("doc"),
         F.col("lang"),
         F.floor(F.col("n_chars") / F.lit(64)).cast("int").alias("len_bucket"),
-        char_ngrams(F.col(text_col)).alias("grams"),
+        F.array_distinct(
+            F.transform(char_ngrams(F.col(text_col)), md5_u32)
+        ).alias("grams"),
     )
     if order_by_rarity:
         exploded = base.select(

@@ -238,11 +238,18 @@ def dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # 24. dedup_ngram_jaccard
 # --------------------------------------------------------------------------
+# Grams hash to portable u32 BIGINTs on BOTH engines (see
+# operators/dedup.py::ngram_jaccard_pairs — jaccard over the hashed
+# gram sets, identical here), so the comparison is exact.
+_DUCK_CHAR_GRAMS_HASHED = (
+    f"list_distinct(list_transform({_DUCK_CHAR_GRAMS}, "
+    f"g -> {md5_u32_duckdb('g')}))"
+)
 _JACCARD_ORACLE = f"""
 WITH g AS (
     SELECT doc_id, lang,
            CAST(floor(n_chars / 64.0) AS INT) AS len_bucket,
-           {_DUCK_CHAR_GRAMS} AS grams
+           {_DUCK_CHAR_GRAMS_HASHED} AS grams
     FROM documents
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
