@@ -1018,7 +1018,10 @@ _DECONTAM_ORACLE = f"""
 WITH toks AS (
     SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents
 ), sh AS (
-    SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle FROM toks
+    -- shingles travel as portable u32 hashes on BOTH engines (the
+    -- jaccard discipline): BIGINT distinct/join/broadcast, same result
+    SELECT doc_id, {md5_u32_duckdb('shingle')} AS shingle
+    FROM (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle FROM toks)
 ), bench AS (
     SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0
 ), overlap AS (
@@ -1046,8 +1049,9 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the scrub is auditable."""
     docs = load_table(spark, sf_dir, "documents")
     shingled = docs.select(
-        "doc_id", F.explode(T.word_shingles(T.tokens(F.col("text")))).alias("shingle")
-    )
+        "doc_id",
+        F.explode(T.word_shingles(T.tokens(F.col("text")))).alias("_sh"),
+    ).select("doc_id", md5_u32(F.col("_sh")).alias("shingle"))
     bench = (
         shingled.where(F.col("doc_id") % 97 == 0).select("shingle").distinct()
     )
