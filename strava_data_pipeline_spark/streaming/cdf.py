@@ -21,7 +21,9 @@ incremental and recomputed rollups drift in the last bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import re
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _CENT = 100
@@ -95,3 +97,74 @@ def apply_rollup_delta(rollup: DataFrame, delta: DataFrame) -> DataFrame:
         )
         .where(F.col("n_events") != 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental consumer: versioned store → versioned rollup, O(changes)
+# ---------------------------------------------------------------------------
+_CONSUMED = re.compile(r"_consumed_s(\d+)_r(\d+)$")
+
+
+def _last_consumed(spark: SparkSession, rollup_root: str) -> tuple[int, int] | None:
+    """Newest (store_version, rollup_version) pair this rollup has
+    consumed, from the atomic marker files ``_consumed_s<N>_r<M>``."""
+    from strava_data_pipeline_spark.sources.versioned import _fs
+
+    fs, jvm = _fs(spark, rollup_root)
+    root = jvm.org.apache.hadoop.fs.Path(rollup_root)
+    if not fs.exists(root):
+        return None
+    pairs = []
+    for status in fs.listStatus(root):
+        m = _CONSUMED.search(status.getPath().getName())
+        if m:
+            pairs.append((int(m.group(1)), int(m.group(2))))
+    return max(pairs) if pairs else None
+
+
+def refresh_rollup_from_store(
+    spark: SparkSession,
+    store_root: str,
+    rollup_root: str,
+    key: str = "event_id",
+) -> int | None:
+    """Advance the rollup to the store's current version by folding the
+    change feed since the last consumed version — never re-scanning the
+    store. Returns the store version refreshed to (None = nothing new).
+
+    The rollup itself is a versioned store: each refresh commits a new
+    rollup snapshot, then atomically records ``(store_v, rollup_v)`` in
+    a marker file. The fold BASE is always the rollup version named in
+    the newest marker — NOT blindly the latest rollup snapshot — so a
+    crash between the rollup commit and the marker leaves an orphan
+    snapshot the next refresh ignores instead of double-applying the
+    delta. First refresh bootstraps with one full recompute of the
+    current snapshot; every later refresh costs O(changes between
+    versions) + the rollup read.
+    """
+    from strava_data_pipeline_spark.sources import versioned as V
+
+    cur = V.current_version(spark, store_root)
+    if cur is None:
+        return None
+    last = _last_consumed(spark, rollup_root)
+    if last is not None and last[0] >= cur:
+        return None
+    if last is None:
+        new_rollup = events_rollup_of(V.read_snapshot(spark, store_root, cur))
+    else:
+        store_v, rollup_v = last
+        base = V.read_snapshot(spark, rollup_root, version=rollup_v)
+        delta = rollup_delta_from_cdf(
+            V.snapshot_diff(spark, store_root, store_v, cur, key=key)
+        )
+        new_rollup = apply_rollup_delta(base, delta)
+    rollup_v_new = V.commit_snapshot(new_rollup, rollup_root)
+    fs, jvm = V._fs(spark, rollup_root)
+    fs.create(
+        jvm.org.apache.hadoop.fs.Path(
+            f"{rollup_root}/_consumed_s{cur}_r{rollup_v_new}"
+        ),
+        False,
+    ).close()
+    return cur

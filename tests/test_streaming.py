@@ -653,6 +653,82 @@ class TestCdfRollup:
         assert ("2024-01-02", "ride") not in inc
 
 
+class TestIncrementalRollupConsumer:
+    """End-to-end lakehouse loop: partitioned versioned sink produces
+    versions; refresh_rollup_from_store folds only the CDF between
+    consumed versions into a versioned rollup. Incremental must equal
+    recompute at every step, including across the crash window."""
+
+    def test_sink_to_rollup_loop(self, spark, dirs):
+        from strava_data_pipeline_spark.sources import versioned as V
+        from strava_data_pipeline_spark.streaming import cdf
+        from strava_data_pipeline_spark.streaming.versioned_sink import (
+            start_versioned_sink,
+        )
+
+        landing, target, ckpt = dirs
+        store, rollup = target + "_store", target + "_rollup"
+
+        def run_sink():
+            # same checkpoint across runs: batch ids advance, so the
+            # replay markers don't suppress genuinely new batches
+            q = start_versioned_sink(
+                read_event_stream(spark, landing), store, ckpt,
+                partition_col="day",
+            )
+            q.awaitTermination(120)
+
+        def rollup_now():
+            return {
+                (str(r["p_day"]), r["event_type"]): (r["n_events"], r["value_cents"])
+                for r in V.read_snapshot(spark, rollup).collect()
+            }
+
+        def recompute():
+            snap = V.read_snapshot(spark, store).drop("day")
+            return {
+                (str(r["p_day"]), r["event_type"]): (r["n_events"], r["value_cents"])
+                for r in cdf.events_rollup_of(snap).collect()
+            }
+
+        _write_batch(
+            spark,
+            landing,
+            [
+                (1, datetime(2024, 1, 1, 10, 0), 7, "run", 5.0),
+                (2, datetime(2024, 1, 2, 10, 0), 8, "ride", 9.0),
+            ],
+        )
+        run_sink()
+        assert cdf.refresh_rollup_from_store(spark, store, rollup) == 1
+        assert rollup_now() == recompute()
+        # no new store version → refresh is a no-op
+        assert cdf.refresh_rollup_from_store(spark, store, rollup) is None
+
+        # second batch: update event 2's value + insert event 3 (new day)
+        _write_batch(
+            spark,
+            landing,
+            [
+                (2, datetime(2024, 1, 2, 12, 0), 8, "ride", 11.5),
+                (3, datetime(2024, 1, 3, 9, 0), 9, "hike", 2.0),
+            ],
+        )
+        run_sink()
+        assert cdf.refresh_rollup_from_store(spark, store, rollup) == 2
+        assert rollup_now() == recompute()
+
+        # crash window: drop the consumed marker (rollup snapshot already
+        # committed) — the re-refresh must fold from the MARKED base, not
+        # double-apply onto the orphan snapshot
+        fs, jvm = V._fs(spark, rollup)
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(f"{rollup}/_consumed_s2_r2"), False
+        )
+        assert cdf.refresh_rollup_from_store(spark, store, rollup) == 2
+        assert rollup_now() == recompute()
+
+
 class TestSnapshotDiff:
     def test_insert_update_delete_classified(self, spark, tmp_path):
         from strava_data_pipeline_spark.sources import versioned as V
