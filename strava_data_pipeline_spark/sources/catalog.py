@@ -5,6 +5,15 @@ The reference keeps its data in Postgres tables (``activities``,
 storage layer is columnar parquet read declaratively so Catalyst gets
 predicate pushdown + column pruning on every query; at cluster scale the
 same loader points at partitioned table roots instead of single files.
+
+REPO-WIDE CONTRACT: every logically-timestamp column leaves
+``load_table`` as plain ``TimestampType`` regardless of physical
+storage — TIMESTAMP(NANOS) files (Spark refuses outright) are repaired
+via ``nanosAsLong`` + µs truncation, and unadjusted ``timestamp[us]``
+files (which surface as TIMESTAMP_NTZ, rejecting every epoch-arithmetic
+expression) are cast back under the UTC-pinned session. Query code MUST
+reach timestamps through this loader, never a raw ``spark.read`` —
+tests/test_sources.py::TestCatalogTimestampContract pins the guarantee.
 """
 
 from __future__ import annotations
