@@ -147,3 +147,60 @@ def test_connected_components_matches_union_find(spark, pairs):
         r["node"]: r["label"] for r in connected_components(edges).collect()
     }
     assert got == _uf_components(pairs)
+
+
+# ---------------------------------------------------------------------------
+# CDF fold law: incremental rollup == full recompute for ANY edit script
+# ---------------------------------------------------------------------------
+
+_snap = st.dictionaries(
+    keys=st.integers(0, 12),  # event_id — overlap between versions likely
+    values=st.tuples(
+        st.integers(1, 3),  # day-of-month (groups move between days)
+        st.sampled_from(["run", "ride"]),
+        st.integers(0, 10000),  # value in exact cents
+    ),
+    max_size=10,
+)
+
+
+@given(v1=_snap, v2=_snap)
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_cdf_fold_equals_recompute(spark, v1, v2):
+    """For arbitrary before/after snapshots (any mix of inserts,
+    deletes, value updates, and day/type-moving updates — including
+    empty sides), folding snapshot_diff deltas into the v1 rollup must
+    reproduce the v2 recompute exactly (BIGINT cents, no float slack)."""
+    import tempfile
+    from datetime import datetime as dt
+
+    from strava_data_pipeline_spark.sources import versioned as V
+    from strava_data_pipeline_spark.streaming import cdf
+
+    root = tempfile.mkdtemp(prefix="cdfprop") + "/store"
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double"
+    )
+
+    def mk(d):
+        rows = [
+            (k, dt(2024, 1, day), 7, typ, cents / 100.0)
+            for k, (day, typ, cents) in sorted(d.items())
+        ]
+        return spark.createDataFrame(rows, schema)
+
+    V.commit_snapshot(mk(v1), root)
+    V.commit_snapshot(mk(v2), root)
+    base = cdf.events_rollup_of(V.read_snapshot(spark, root, 1))
+    inc = cdf.apply_rollup_delta(
+        base,
+        cdf.rollup_delta_from_cdf(
+            V.snapshot_diff(spark, root, 1, 2, key="event_id")
+        ),
+    )
+    full = cdf.events_rollup_of(V.read_snapshot(spark, root, 2))
+    key = lambda r: (str(r["p_day"]), r["event_type"])  # noqa: E731
+    assert {key(r): (r["n_events"], r["value_cents"]) for r in inc.collect()} == {
+        key(r): (r["n_events"], r["value_cents"]) for r in full.collect()
+    }
