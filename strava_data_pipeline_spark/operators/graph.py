@@ -179,7 +179,11 @@ def pagerank(
             .join(deg, src_col)
             .select(
                 F.col(dst_col).alias("_to"),
-                F.floor(F.col("rank") / F.col("_deg")).cast("bigint").alias("_c"),
+                # `div` = BIGINT division (ranks are non-negative, so this
+                # IS floor). `rank / deg` would route through DOUBLE,
+                # which stops being exact past 2^53 — reachable for a hub
+                # node once accumulated rank mass grows at scale.
+                F.expr("rank div _deg").cast("bigint").alias("_c"),
             )
             .groupBy("_to")
             .agg(F.sum("_c").cast("bigint").alias("_in"))
@@ -188,12 +192,16 @@ def pagerank(
             nodes.join(contrib, nodes["_node"] == contrib["_to"], "left")
             .select(
                 "_node",
+                # BIGINT `div`, not `/1000.0`: the damping product
+                # crosses 2^53 once a hub's in-rank exceeds ~1.06e13
+                # micro-units, and a DOUBLE there loses the last bit —
+                # which then compounds per iteration and diverges from
+                # the integer oracle.
                 (
                     F.lit(base)
-                    + F.floor(
-                        F.lit(damping_milli)
-                        * F.coalesce(F.col("_in"), F.lit(0))
-                        / F.lit(1000.0)
+                    + F.expr(
+                        f"({int(damping_milli)} * coalesce(_in, CAST(0 AS BIGINT)))"
+                        " div 1000"
                     )
                 )
                 .cast("bigint")

@@ -1142,12 +1142,12 @@ def _pagerank_oracle(iterations: int = 3) -> str:
         steps.append(
             f"""s{i} AS (
     SELECT e.dst AS node,
-           CAST(sum(CAST(floor({prev}.r * 1.0 / d.deg) AS BIGINT)) AS BIGINT) AS c
+           CAST(sum({prev}.r // d.deg) AS BIGINT) AS c
     FROM e JOIN {prev} ON e.src = {prev}.node JOIN deg d ON e.src = d.src
     GROUP BY 1
 ), r{i} AS (
     SELECT n.node,
-           CAST(150000 + floor(850 * coalesce(s{i}.c, 0) / 1000.0) AS BIGINT) AS r
+           CAST(150000 + (850 * coalesce(s{i}.c, 0)) // 1000 AS BIGINT) AS r
     FROM n LEFT JOIN s{i} ON n.node = s{i}.node
 )"""
         )

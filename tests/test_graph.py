@@ -97,3 +97,26 @@ class TestPagerank:
         )
         assert got == _pagerank_reference(und)
         assert got[3] > got[1] and got[4] > got[5]
+
+    def test_exactness_beyond_double_precision(self, spark):
+        # a 7-spoke star at rank_scale 1e15 pushes the hub's damping
+        # product past 2^53, where doubles round: routing either
+        # division through floats (the pre-r4 `/ 1000.0` bug) provably
+        # diverges from this arbitrary-precision Python reference at
+        # these exact parameters (verified by simulating both
+        # recurrences), while staying under BIGINT overflow
+        # (850 * 7 * scale < 2^63). BIGINT `div` must match exactly.
+        scale = 10**15
+        pairs = []
+        for leaf in range(1, 8):
+            pairs += [(0, leaf), (leaf, 0)]
+        got = dict(
+            (r["node"], r["rank"])
+            for r in G.pagerank(
+                _edges(spark, pairs), iterations=3, rank_scale=scale
+            ).collect()
+        )
+        want = _pagerank_reference(pairs, scale=scale)
+        assert got == want
+        assert 850 * 7 * scale > 2**53  # doubles round here
+        assert 850 * 7 * scale < 2**63  # BIGINT does not overflow

@@ -28,6 +28,18 @@ def test_inventory_complete(queries):
     assert expected <= set(queries)
 
 
+def test_priority_names_enumerate_first(queries):
+    # driver sampling is enumeration-order-sensitive; the never-checked
+    # set must lead both queries() and oracle coverage
+    names = list(queries)
+    head = registry._ENUMERATE_FIRST
+    assert set(head) <= set(names), "every priority name must be registered"
+    assert tuple(names[: len(head)]) == head
+    oracle_names = list(registry.all_oracles())
+    with_oracle = [n for n in head if n != "events_profile_approx"]
+    assert oracle_names[: len(with_oracle)] == with_oracle
+
+
 def test_every_query_has_oracle(queries):
     # sketch-based approx paths are the only sanctioned no-oracle
     # registrations (estimates are implementation-defined across
