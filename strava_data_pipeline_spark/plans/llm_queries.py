@@ -1617,6 +1617,34 @@ GROUP BY 1, 2
 """
 
 
+def _nearest_cid(qv, cents):
+    """Argmin centroid id WITHOUT row expansion: fold the broadcast
+    (cid, centroid-vector) array into a (dist2, cid) struct array and
+    take ``array_min`` — struct ordering gives min-dist2 with min-cid
+    tie-break, all inside whole-stage codegen. The alternative (join
+    the K centroids, window-rank per vec_id) materializes and shuffles
+    N×K rows each carrying the full vector: correct, but a
+    scale-killer once K grows past toy sizes (SemDeDup's production
+    K≈110k)."""
+    return F.array_min(
+        F.transform(
+            F.col(cents) if isinstance(cents, str) else cents,
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(qv) if isinstance(qv, str) else qv,
+                        c["cv"],
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x,
+                ).alias("dist2"),
+                c["cid"].alias("cid"),
+            ),
+        )
+    )["cid"]
+
+
 @register("kmeans_lloyd", oracle=_KM_ORACLE, tags=("llm", "ml"))
 def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two full Lloyd iterations of K=8 k-means over the embeddings —
@@ -1631,19 +1659,22 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     (order-independent — a raw double mean would vary with Spark's
     partial-agg order and cascade into different assignments), and
     centroids re-quantize via one deterministic double division per
-    (cluster, dim). Argmin ties break on cluster id through a
-    row_number window, mirrored verbatim in the oracle.
+    (cluster, dim). Argmin ties break on cluster id (min-cid wins),
+    mirrored by the oracle's row_number ORDER BY dist2, cid.
 
-    Scale shape: per iteration, the assign is a broadcast of K centroid
-    rows against one corpus scan (no shuffle), and the update shuffles
-    (cluster, dim, partial-sum) triples — map-side combined, so the
-    exchange is K×64 rows per task regardless of corpus size. The
-    centroid collect stays K×64 driver-side rows. Iterations are a
-    driver loop over a lineage the optimizer keeps narrow; at 100 TB
-    each round is one scan + one tiny shuffle, the textbook distributed
-    Lloyd profile."""
-    from pyspark.sql.window import Window
-
+    Scale shape: per iteration, the assign folds ONE broadcast 1-row
+    array-of-(cid, centroid) against each corpus row — ``array_min``
+    over a ``transform``-computed (dist2, cid) struct array, pure
+    whole-stage codegen, NO row expansion: the pre-r4 join+window
+    argmin materialized N×K rows each carrying the 64-dim vector and
+    then shuffled them for the per-vec_id window, a shape that dies at
+    the paper's K≈110k; this one's per-row cost is K distance folds and
+    its shuffle volume is zero. The update shuffles (cluster, dim,
+    partial-sum) triples — map-side combined, so the exchange is K×64
+    rows per task regardless of corpus size. The centroid collect stays
+    K×64 driver-side rows. Iterations are a driver loop over a lineage
+    the optimizer keeps narrow; at 100 TB each round is one scan + one
+    tiny shuffle, the textbook distributed Lloyd profile."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.select(
         "vec_id",
@@ -1659,19 +1690,9 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c_long = None
     for _ in range(_KM_ITERS):
-        dist2 = F.aggregate(
-            F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        )
-        scored = q.join(F.broadcast(cent)).select(
-            "vec_id", "qv", "cid", dist2.alias("dist2")
-        )
-        w = Window.partitionBy("vec_id").orderBy("dist2", "cid")
-        assigned = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("vec_id", "qv", "cid")
+        cent_arr = cent.agg(F.collect_list(F.struct("cid", "cv")).alias("cents"))
+        assigned = q.crossJoin(F.broadcast(cent_arr)).select(
+            "vec_id", "qv", _nearest_cid("qv", "cents").alias("cid")
         )
         ex = assigned.select(
             "cid", F.posexplode("qv").alias("dim0", "qval")
@@ -1998,11 +2019,12 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     scales by growing K with the corpus (k≈110k for LAION-scale), so
     per-cluster all-pairs stays O(1)-ish per row while nothing crosses
     cluster boundaries — no global pair shuffle exists in the plan.
+    The assignment itself is the zero-expansion ``_nearest_cid`` fold
+    (one broadcast 1-row centroid array, no N×K rows, no shuffle) so
+    the plan's cost is independent of K growing to paper scale.
     Keep-rule deviation from the paper: min vec_id survives (the paper
     keeps the farthest-from-centroid member); deterministic and
     engine-portable."""
-    from pyspark.sql.window import Window
-
     e = load_table(spark, sf_dir, "embeddings")
     q = e.select(
         "vec_id",
@@ -2014,18 +2036,9 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = q.where(F.col("vec_id") < _SEM_K).select(
         F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
     )
-    dist2 = F.aggregate(
-        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-    w = Window.partitionBy("vec_id").orderBy("dist2", "cid")
-    assigned = (
-        q.join(F.broadcast(seeds))
-        .select("vec_id", dist2.alias("dist2"), "cid")
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "cid")
+    seed_arr = seeds.agg(F.collect_list(F.struct("cid", "cv")).alias("cents"))
+    assigned = q.crossJoin(F.broadcast(seed_arr)).select(
+        "vec_id", _nearest_cid("qv", "cents").alias("cid")
     )
     v = e.select("vec_id", V.as_double(F.col("embedding")).alias("v"))
     # cap the blocking key BEFORE pair generation, like every other

@@ -238,3 +238,17 @@ def test_bucketed_join_has_no_exchange_before_the_join(spark):
     below = "\n".join(lines[smj:])
     assert "Exchange" not in below, "bucketed join sides still shuffle"
     assert "BroadcastHashJoin" not in plan, "merge hint ignored"
+
+
+def test_centroid_assignment_never_expands_rows(spark):
+    # the nearest-centroid argmin must be the zero-expansion array_min
+    # fold, NOT the join-K-rows-then-window shape that materializes and
+    # shuffles N×K vector-carrying rows (dies at SemDeDup's K≈110k).
+    # kmeans_lloyd has no per-vector window at all; semdedup keeps only
+    # cap_hot_buckets' cid-partitioned bucket-size window.
+    km = plan_of(spark, "kmeans_lloyd")
+    assert "Window" not in km, "kmeans assignment regressed to window argmin"
+    sd = plan_of(spark, "semdedup")
+    assert "windowspecdefinition(vec_id" not in sd, (
+        "semdedup assignment regressed to per-vec_id window argmin"
+    )
