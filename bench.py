@@ -153,6 +153,22 @@ def main() -> None:
         out["tier2_total"] = round(sum(tier2.values()), 3)
         out["tier2_queries"] = tier2
 
+    emit(out)
+
+
+def emit(out: dict) -> None:
+    """Print the one-line JSON contract AND write it to a file: the
+    stdout line is what the driver parses, but a clipped capture tail
+    can truncate it (r3 lost q1_pricing_summary's number that way) —
+    the file copy is the loss-proof record."""
+    local_path = os.environ.get("SPARK_GRAFT_BENCH_FILE", "BENCH_LOCAL.json")
+    if not os.path.isabs(local_path):
+        local_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), local_path
+        )
+    with open(local_path, "w") as f:
+        json.dump(out, f)
+        f.write("\n")
     print(json.dumps(out))
 
 

@@ -27,8 +27,12 @@ user_api_keys.go:36) are implemented exactly.
 
 from __future__ import annotations
 
+import base64
 import hashlib
+import secrets
+from collections.abc import Callable
 from datetime import datetime, timedelta
+from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -59,9 +63,19 @@ KEY_SCHEMA = StructType(
 class PipelineService:
     """Stateless facade over the engine; one instance per session."""
 
-    def __init__(self, spark: SparkSession, sf_dir: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        sf_dir: str,
+        jwt_secret: str = "spark-graft-hs256-secret",
+        token_duration: int = 60,
+    ):
         self.spark = spark
         self.sf_dir = sf_dir
+        # session-token settings (config.go Auth block: JWTSecret +
+        # TokenDuration minutes)
+        self.jwt_secret = jwt_secret
+        self.token_duration = token_duration
         # Admin-created keys are a driver-scale dim; kept as local rows
         # and rebuilt as a literal DataFrame per query, so a long-lived
         # service never accumulates an unbounded unionByName lineage.
@@ -109,10 +123,25 @@ class PipelineService:
 
     # -- api keys (user_api_keys.go) --------------------------------------
     def create_api_key(
-        self, description: str, expiry_days: int = 30, user_id: int | None = None
+        self,
+        description: str,
+        expiry_days: int = 30,
+        user_id: int | None = None,
+        generate: bool = False,
     ) -> str:
+        """Register a new API key; ``expiry_days <= 0`` means no expiry
+        (GenerateAPIKey, auth.go:39-59). ``generate=True`` mints the key
+        the way the reference does (auth.go:66-75
+        ``generateRandomString``): 32 random bytes, URL-safe base64 —
+        unguessable, unlike the default deterministic digest which
+        exists for reproducible fixtures."""
         now = datetime.utcnow()
-        key = hashlib.sha256(f"{description}:{now.isoformat()}".encode()).hexdigest()
+        if generate:
+            key = base64.urlsafe_b64encode(secrets.token_bytes(32)).decode()
+        else:
+            key = hashlib.sha256(
+                f"{description}:{now.isoformat()}".encode()
+            ).hexdigest()
         expires = now + timedelta(days=expiry_days) if expiry_days > 0 else None
         self._key_rows.append((key, description, now, expires, True, user_id))
         return key
@@ -129,6 +158,68 @@ class PipelineService:
 
     def keys_for_user(self, user_id: int) -> DataFrame:
         return self._keys.where(F.col("user_id") == user_id)
+
+    # -- session tokens (auth.go:110 GenerateJWT / :130 ValidateJWT) -------
+    # Compact HS256-style token: base64url(claims payload) + "." +
+    # sha256(payload + secret). Same signature discipline the vectorized
+    # jwt_validate registry query checks in bulk; these driver-side
+    # methods are the per-request path the middleware composes.
+    def generate_jwt(self, user_id: int, now: datetime | None = None) -> str:
+        now = now or datetime.utcnow()
+        exp = int((now + timedelta(minutes=self.token_duration)).timestamp())
+        payload = f"uid={user_id};exp={exp}"
+        sig = hashlib.sha256((payload + self.jwt_secret).encode()).hexdigest()
+        return base64.urlsafe_b64encode(payload.encode()).decode() + "." + sig
+
+    def validate_jwt(self, token: str, now: datetime | None = None) -> dict:
+        """Claims on success; raises ValueError on malformed/forged/
+        expired tokens (ValidateJWT, auth.go:130-151)."""
+        now = now or datetime.utcnow()
+        try:
+            b64, sig = token.split(".", 1)
+            payload = base64.urlsafe_b64decode(b64.encode()).decode()
+            fields = dict(kv.split("=", 1) for kv in payload.split(";"))
+            user_id, exp = int(fields["uid"]), int(fields["exp"])
+        except (ValueError, KeyError) as e:
+            raise ValueError(f"error parsing token: {e}") from e
+        want = hashlib.sha256((payload + self.jwt_secret).encode()).hexdigest()
+        if sig != want:
+            raise ValueError("invalid token: signature mismatch")
+        if exp <= int(now.timestamp()):
+            raise ValueError("invalid token: expired")
+        return {"user_id": user_id, "expires_at": exp}
+
+    # -- middleware composition (auth.go:79 AuthMiddleware / :152 JWT) -----
+    def authorized_call(
+        self,
+        credential: str | None,
+        fn: Callable[[int | None], Any],
+        now: datetime | None = None,
+    ) -> Any:
+        """Validate-then-execute, the reference's middleware chain as a
+        facade method: a ``Bearer <token>`` credential goes through JWT
+        validation (JWTMiddleware, auth.go:152 — including the
+        two-part header format check) and ``fn`` receives the
+        authenticated user id from the claims, exactly as the
+        middleware stashes it in the request context; anything else is
+        treated as an API key (AuthMiddleware, auth.go:79) and ``fn``
+        receives ``None``. Invalid/missing credentials raise
+        PermissionError — the 401 of this tier — and ``fn`` is never
+        invoked."""
+        if not credential:
+            raise PermissionError("API key required")
+        if credential.startswith("Bearer") or credential.startswith("bearer"):
+            parts = credential.split(" ")
+            if len(parts) != 2 or parts[0] != "Bearer":
+                raise PermissionError("Invalid authorization header format")
+            try:
+                claims = self.validate_jwt(parts[1], now=now)
+            except ValueError as e:
+                raise PermissionError(f"Invalid token: {e}") from e
+            return fn(claims["user_id"])
+        if not self.validate_api_key(credential, now=now):
+            raise PermissionError("Invalid API key")
+        return fn(None)
 
     # -- api-key lifecycle (user_api_keys.go:94,111,135,161) ---------------
     def read_api_key(self, key: str) -> DataFrame:

@@ -90,6 +90,26 @@ def _parse_scalar(raw: str) -> Any:
     return s
 
 
+def _strip_comment(line: str, ln: int) -> str:
+    """Drop a ``#`` comment, but only when it starts OUTSIDE a quoted
+    span — a secret like ``jwt_secret: "s3#cret"`` must survive intact
+    (naive ``split('#')`` truncated exactly the values this config
+    carries). A quote left unterminated after the scan raises instead
+    of silently yielding a malformed token."""
+    quote: str | None = None
+    for i, ch in enumerate(line):
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in "\"'":
+            quote = ch
+        elif ch == "#":
+            return line[:i]
+    if quote:
+        raise ValueError(f"line {ln}: unterminated {quote} quote")
+    return line
+
+
 def _parse_simple_yaml(text: str) -> dict[str, dict[str, Any]]:
     """Two-level YAML subset: ``section:`` headers with indented
     ``key: value`` scalars. Comments and blank lines are skipped;
@@ -97,7 +117,7 @@ def _parse_simple_yaml(text: str) -> dict[str, dict[str, Any]]:
     out: dict[str, dict[str, Any]] = {}
     section: str | None = None
     for ln, line in enumerate(text.splitlines(), 1):
-        stripped = line.split("#", 1)[0].rstrip()
+        stripped = _strip_comment(line, ln).rstrip()
         if not stripped.strip():
             continue
         indented = stripped[0] in " \t"

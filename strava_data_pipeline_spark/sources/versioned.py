@@ -20,6 +20,7 @@ store works on HDFS/S3A/local alike.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import re
 
@@ -28,11 +29,25 @@ from pyspark.sql import functions as F
 
 _MARKER = re.compile(r"_v_(\d+)\.committed$")
 
+_NULL_TOKEN = "__null__"
+
 
 def _part_token(val) -> str:
-    """Directory-safe token for one partition value (dates/ints/strings
-    round-trip cleanly; exotic characters collapse to ``_``)."""
-    return re.sub(r"[^A-Za-z0-9_.=-]", "_", str(val))
+    """Directory-safe token for one partition value. Clean values
+    (dates/ints/simple strings) keep their readable form so existing
+    manifests stay valid; a value that needed sanitizing gets a short
+    hash of the RAW value appended, so two distinct values that
+    sanitize identically (``a/b`` vs ``a_b``) can never collapse to
+    one manifest entry and silently overwrite each other's rows.
+    ``None`` maps to a reserved token (and the literal string that
+    collides with it is hash-disambiguated)."""
+    if val is None:
+        return _NULL_TOKEN
+    s = str(val)
+    safe = re.sub(r"[^A-Za-z0-9_.=-]", "_", s)
+    if safe != s or s == _NULL_TOKEN:
+        safe = f"{safe}-{hashlib.md5(s.encode()).hexdigest()[:8]}"
+    return safe
 
 
 def _fs(spark: SparkSession, root: str):
@@ -116,6 +131,7 @@ def commit_snapshot_partitioned(
     root: str,
     part_col: str,
     part_values: list | None = None,
+    migrate_legacy: bool = False,
 ) -> int:
     """Publish the next version rewriting ONLY the touched partitions.
 
@@ -128,10 +144,32 @@ def commit_snapshot_partitioned(
     The marker creation stays the single atomic publish step; a crash
     at any point leaves only invisible dirs and the previous manifest
     readable. ``part_values`` skips the distinct-scan when the caller
-    already knows the touched set (O(#partitions) metadata, cheap)."""
+    already knows the touched set (O(#partitions) metadata, cheap).
+
+    Committing on top of a legacy full-directory version raises unless
+    ``migrate_legacy=True``: the legacy snapshot has no partition dirs
+    to reuse, so a partial commit would silently drop every untouched
+    row. With ``migrate_legacy=True`` the caller asserts ``changed``
+    holds the COMPLETE table, materializing it into per-partition dirs
+    as the one-time migration step."""
     spark = changed.sparkSession
     prev = current_version(spark, root)
-    manifest = dict(read_manifest(spark, root, prev) or {}) if prev else {}
+    manifest: dict[str, str] = {}
+    if prev:
+        prev_manifest = read_manifest(spark, root, prev)
+        if prev_manifest is None and not migrate_legacy:
+            # a legacy full-directory snapshot has no per-partition dirs
+            # to reuse: starting an empty manifest here would publish a
+            # version that silently LOSES every untouched row
+            raise ValueError(
+                f"snapshot v={prev} under {root} is a legacy full-directory "
+                "version with no partition manifest; a partitioned commit "
+                "on top of it would drop all untouched partitions. Pass "
+                "migrate_legacy=True with the COMPLETE table contents to "
+                "materialize it into per-partition dirs once, or keep "
+                "using commit_snapshot."
+            )
+        manifest = dict(prev_manifest or {})
     ver = (prev or 0) + 1
     changed = changed.persist()
     try:
@@ -142,8 +180,10 @@ def commit_snapshot_partitioned(
             rel = f"seg/v{ver}/{token}"
             # overwrite, not error: the dir is invisible until the marker
             # exists, and a replayed batch that crashed mid-write must be
-            # able to redo its own half-written dir
-            changed.where(F.col(part_col) == F.lit(val)).write.mode(
+            # able to redo its own half-written dir. eqNullSafe: a null
+            # partition value (to_date of a null ts) must land in its
+            # reserved dir, not silently match nothing and vanish.
+            changed.where(F.col(part_col).eqNullSafe(F.lit(val))).write.mode(
                 "overwrite"
             ).parquet(f"{root}/{rel}")
             manifest[token] = rel

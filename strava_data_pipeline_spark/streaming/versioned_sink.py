@@ -35,6 +35,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from strava_data_pipeline_spark.operators.upsert import merge_latest_wins
 from strava_data_pipeline_spark.sources.versioned import (
+    _part_token,
     batch_committed,
     commit_snapshot,
     commit_snapshot_partitioned,
@@ -52,6 +53,7 @@ def start_versioned_sink(
     key: str = "event_id",
     ts_col: str = "ts",
     partition_col: str | None = None,
+    partition_immutable: bool = False,
 ) -> StreamingQuery:
     """Stream → versioned store: each micro-batch merges latest-wins
     into the current snapshot and publishes the result as the next
@@ -66,7 +68,19 @@ def start_versioned_sink(
     batch then merges against ONLY the day partitions it touches and
     the new version's manifest reuses every untouched partition dir
     verbatim — O(touched days) per trigger, which is what survives a
-    100 TB table with 0.1% daily churn."""
+    100 TB table with 0.1% daily churn.
+
+    A key whose partition value CHANGES between versions (a late
+    correction moving an event across midnight) leaves a stale copy in
+    its old day if the merge only sees the batch's own partitions. By
+    default the sink detects moves with a key+partition column-pruned
+    scan of the snapshot (a two-narrow-columns parquet read, NOT a full
+    table read) and folds the affected old partitions into the merge,
+    so latest-wins holds store-wide. Callers whose partition value is
+    an immutable function of the key (ingest-once event time) set
+    ``partition_immutable=True`` to skip the detection scan entirely;
+    at larger scale the upgrade path is a hash-bucketed key locator
+    index, which replaces the scan with O(batch-buckets) reads."""
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -88,8 +102,29 @@ def start_versioned_sink(
                 else batch.withColumn(partition_col, F.to_date(F.col(ts_col)))
             )
             touched = [r[0] for r in b.select(partition_col).distinct().collect()]
+            has_store = current_version(spark, store_root) is not None
+            if has_store and not partition_immutable:
+                # find partitions (outside the touched set) still holding
+                # a row for a batch key: those keys MOVED and their old
+                # day must join the rewrite or it keeps the stale copy
+                touched_tokens = {_part_token(v) for v in touched}
+                locator = read_snapshot(spark, store_root).select(key, partition_col)
+                moved = (
+                    locator.join(
+                        F.broadcast(b.select(key).distinct()), key, "left_semi"
+                    )
+                    .select(partition_col)
+                    .distinct()
+                    .collect()
+                )
+                stale_parts = [
+                    r[0]
+                    for r in moved
+                    if _part_token(r[0]) not in touched_tokens
+                ]
+                touched = touched + stale_parts
             base = None
-            if current_version(spark, store_root) is not None:
+            if has_store:
                 base = read_snapshot_parts(spark, store_root, touched)
             if base is None:
                 base = b.limit(0)

@@ -77,3 +77,21 @@ def test_fallback_parser_shape_guard():
         _parse_simple_yaml("  k: 1\n")
     with pytest.raises(ValueError, match="top-level scalars"):
         _parse_simple_yaml("k: 1\n")
+
+
+def test_fallback_parser_quoted_hash_survives():
+    # '#' inside a quoted value is DATA (exactly the secrets this config
+    # carries), not a comment; only an unquoted '#' starts one
+    parsed = _parse_simple_yaml(
+        'auth:\n  jwt_secret: "s3#cret"  # real comment\n'
+        "  token_duration: 120\n"
+        "strava:\n  client_secret: 'a#b#c'\n"
+    )
+    assert parsed["auth"]["jwt_secret"] == "s3#cret"
+    assert parsed["auth"]["token_duration"] == 120
+    assert parsed["strava"]["client_secret"] == "a#b#c"
+
+
+def test_fallback_parser_unterminated_quote_raises():
+    with pytest.raises(ValueError, match="unterminated"):
+        _parse_simple_yaml('auth:\n  jwt_secret: "s3#cret\n')

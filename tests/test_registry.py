@@ -111,3 +111,20 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert "sum_qty" in df.columns
+
+
+def test_bench_emit_writes_loss_proof_file(tmp_path, monkeypatch, capsys):
+    # the stdout JSON line is the driver contract; the file copy must
+    # hold the identical payload so a clipped stdout tail loses nothing
+    import json
+
+    import bench
+
+    target = tmp_path / "bench_out.json"
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_FILE", str(target))
+    payload = {"metric": "headline_queries_total", "value": 1.5,
+               "unit": "sec", "queries": {"q1_pricing_summary": 1.5}, "sf": 0.1}
+    bench.emit(payload)
+    printed = json.loads(capsys.readouterr().out.strip())
+    on_disk = json.loads(target.read_text())
+    assert printed == on_disk == payload

@@ -221,3 +221,68 @@ class TestVersionedSnapshots:
         assert V.committed_versions(spark, root) == [2, 3]
         assert not glob.glob(f"{root}/v=1")
         assert V.read_snapshot(spark, root).count() == 6
+
+
+class TestVersionedPartitionedGuards:
+    """ADVICE r3 hardening: token collisions, null partitions, legacy
+    manifest-less base — each was a silent-data-loss path."""
+
+    def test_part_token_collisions_disambiguated(self):
+        from strava_data_pipeline_spark.sources.versioned import _part_token
+
+        # distinct raw values may never share a token (second writer
+        # would clobber the first partition's dir)
+        assert _part_token("a/b") != _part_token("a_b")
+        assert _part_token(None) != _part_token("None")
+        assert _part_token("__null__") != _part_token(None)
+        # clean values keep their readable, manifest-stable form
+        assert _part_token("2024-01-01") == "2024-01-01"
+        assert _part_token(7) == "7"
+
+    def test_partitioned_commit_on_legacy_snapshot_raises(self, spark, tmp_path):
+        import pytest
+        from pyspark.sql import functions as F
+
+        from strava_data_pipeline_spark.sources import versioned as V
+
+        root = str(tmp_path / "legacy_store")
+        V.commit_snapshot(spark.range(5), root)  # legacy full-dir version
+        part = spark.range(2).withColumn("p", F.lit(0))
+        with pytest.raises(ValueError, match="legacy full-directory"):
+            V.commit_snapshot_partitioned(part, root, "p")
+        # explicit migration with the COMPLETE table materializes it
+        full = spark.range(5).withColumn("p", (F.col("id") % 2).cast("int"))
+        v = V.commit_snapshot_partitioned(full, root, "p", migrate_legacy=True)
+        assert V.read_snapshot(spark, root, v).count() == 5
+        # and partial commits on top now reuse untouched dirs
+        p0 = spark.range(0, 10, 2).withColumn("p", F.lit(0).cast("int"))
+        v2 = V.commit_snapshot_partitioned(p0, root, "p", part_values=[0])
+        got = sorted(r["id"] for r in V.read_snapshot(spark, root, v2).collect())
+        assert got == [0, 1, 2, 3, 4, 6, 8]  # p=1 rows (1,3) untouched
+
+    def test_null_partition_value_round_trips(self, spark, tmp_path):
+        from strava_data_pipeline_spark.sources import versioned as V
+
+        root = str(tmp_path / "null_store")
+        df = spark.createDataFrame(
+            [(1, "a"), (2, None), (3, None)], "id bigint, p string"
+        )
+        V.commit_snapshot_partitioned(df, root, "p")
+        snap = V.read_snapshot(spark, root)
+        assert snap.count() == 3, "null-partition rows were dropped"
+        assert snap.where("p IS NULL").count() == 2
+        nulls = V.read_snapshot_parts(spark, root, [None])
+        assert nulls is not None and nulls.count() == 2
+
+    def test_colliding_string_partitions_both_survive(self, spark, tmp_path):
+        from strava_data_pipeline_spark.sources import versioned as V
+
+        root = str(tmp_path / "collide_store")
+        df = spark.createDataFrame(
+            [(1, "a/b"), (2, "a_b")], "id bigint, p string"
+        )
+        V.commit_snapshot_partitioned(df, root, "p")
+        got = {(r["id"], r["p"]) for r in V.read_snapshot(spark, root).collect()}
+        assert got == {(1, "a/b"), (2, "a_b")}
+        only = V.read_snapshot_parts(spark, root, ["a/b"])
+        assert [r["id"] for r in only.collect()] == [1]

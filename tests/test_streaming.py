@@ -537,6 +537,58 @@ class TestPartitionedVersionedSink:
         }
         assert v1 == {1: 5.0, 2: 6.0, 3: 7.0}
 
+    def test_cross_day_update_relocates_key(self, spark, dirs):
+        # ADVICE r3: a key whose to_date(ts) MOVES (late correction
+        # crossing midnight) must not leave its stale row in the old
+        # day partition — read_snapshot would return two rows for one
+        # event_id and rollups would double-count.
+        from strava_data_pipeline_spark.sources import versioned as V
+
+        landing, target, ckpt = dirs
+        store = target + "_pstore"
+        _write_batch(
+            spark,
+            landing,
+            [
+                (1, datetime(2024, 1, 1, 23, 0), 7, "run", 5.0),
+                (2, datetime(2024, 1, 1, 10, 0), 7, "run", 6.0),
+                (3, datetime(2024, 1, 3, 12, 0), 8, "ride", 7.0),
+                (4, datetime(2024, 1, 4, 8, 0), 9, "swim", 3.0),
+            ],
+        )
+        self._start(spark, landing, store, ckpt)
+        # batch 2: event 1 moves Jan1→Jan2 (newer ts wins, relocates);
+        # event 3 gets an OLDER out-of-order row on Jan2 (must lose to
+        # the existing Jan3 copy — no relocation, no duplicate)
+        _write_batch(
+            spark,
+            landing,
+            [
+                (1, datetime(2024, 1, 2, 1, 0), 7, "run", 9.0),
+                (3, datetime(2024, 1, 2, 9, 0), 8, "ride", 1.0),
+            ],
+        )
+        self._start(spark, landing, store, ckpt)
+
+        by_id: dict[int, list] = {}
+        for r in V.read_snapshot(spark, store).collect():
+            by_id.setdefault(r["event_id"], []).append(r)
+        assert len(by_id[1]) == 1, "stale copy left in the old day"
+        assert by_id[1][0]["value"] == 9.0
+        assert str(by_id[1][0]["day"]) == "2024-01-02"
+        assert len(by_id[3]) == 1, "out-of-order row duplicated the key"
+        assert by_id[3][0]["value"] == 7.0  # newest ts won
+        assert str(by_id[3][0]["day"]) == "2024-01-03"
+        assert len(by_id[2]) == 1 and by_id[2][0]["value"] == 6.0
+        # the moved key's OLD day was rewritten in v2 (it had to shed
+        # the stale row), and event 3's prior day joined the merge (its
+        # batch row had to lose to the existing copy); a day holding NO
+        # batch key (2024-01-04) keeps its v1 dir byte-identical
+        m1 = V.read_manifest(spark, store, 1)
+        m2 = V.read_manifest(spark, store, 2)
+        assert m2["2024-01-01"].startswith("seg/v2/")
+        assert m2["2024-01-04"] == m1["2024-01-04"]
+
     def test_replay_is_idempotent(self, spark, dirs):
         from strava_data_pipeline_spark.sources import versioned as V
 

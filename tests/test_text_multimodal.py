@@ -190,6 +190,79 @@ class TestKeyLifecycle:
         assert not svc.delete_api_key(key)
 
 
+class TestAuthMiddleware:
+    """Middleware-chain parity: auth.go:79 AuthMiddleware, :152
+    JWTMiddleware, :39 GenerateAPIKey — validate-then-execute with the
+    reference's rejection paths, plus minted-key round-trip."""
+
+    def test_minted_key_round_trip(self, spark, sf_dir):
+        svc = PipelineService(spark, sf_dir)
+        key = svc.create_api_key("minted", expiry_days=1, user_id=7, generate=True)
+        # 32 random bytes, URL-safe base64 (auth.go:66-75)
+        import base64 as b64
+
+        assert len(b64.urlsafe_b64decode(key.encode())) == 32
+        assert svc.validate_api_key(key)
+        # two mints never collide
+        assert key != svc.create_api_key("minted", expiry_days=1, generate=True)
+        # expires like any other key, and deletes
+        assert not svc.validate_api_key(
+            key, now=datetime.utcnow() + timedelta(days=2)
+        )
+        assert svc.delete_api_key(key)
+        assert not svc.validate_api_key(key)
+
+    def test_api_key_path_valid_invokes_fn(self, spark, sf_dir):
+        svc = PipelineService(spark, sf_dir)
+        key = svc.create_api_key("mw", expiry_days=30, user_id=7)
+        assert svc.authorized_call(key, lambda uid: ("ran", uid)) == ("ran", None)
+
+    def test_missing_and_invalid_key_rejected(self, spark, sf_dir):
+        svc = PipelineService(spark, sf_dir)
+        ran = []
+        with pytest.raises(PermissionError, match="API key required"):
+            svc.authorized_call("", lambda uid: ran.append(1))
+        with pytest.raises(PermissionError, match="Invalid API key"):
+            svc.authorized_call("nope", lambda uid: ran.append(1))
+        assert ran == [], "fn must never run on a rejected credential"
+
+    def test_expired_and_inactive_key_rejected(self, spark, sf_dir):
+        svc = PipelineService(spark, sf_dir)
+        key = svc.create_api_key("mw", expiry_days=1, user_id=7)
+        with pytest.raises(PermissionError, match="Invalid API key"):
+            svc.authorized_call(
+                key, lambda uid: uid, now=datetime.utcnow() + timedelta(days=2)
+            )
+        svc.update_api_key(key, is_active=False)
+        with pytest.raises(PermissionError, match="Invalid API key"):
+            svc.authorized_call(key, lambda uid: uid)
+
+    def test_jwt_path_passes_user_id_from_claims(self, spark, sf_dir):
+        svc = PipelineService(spark, sf_dir)
+        token = svc.generate_jwt(42)
+        assert svc.authorized_call(f"Bearer {token}", lambda uid: uid) == 42
+
+    def test_jwt_rejections(self, spark, sf_dir):
+        svc = PipelineService(spark, sf_dir)
+        token = svc.generate_jwt(42)
+        with pytest.raises(PermissionError, match="format"):
+            svc.authorized_call(f"Bearer {token} extra", lambda uid: uid)
+        with pytest.raises(PermissionError, match="Invalid token"):
+            svc.authorized_call("Bearer not.a.token", lambda uid: uid)
+        # forged: signed under a different secret
+        other = PipelineService(spark, sf_dir, jwt_secret="other")
+        forged = other.generate_jwt(42)
+        with pytest.raises(PermissionError, match="Invalid token"):
+            svc.authorized_call(f"Bearer {forged}", lambda uid: uid)
+        # expired: token_duration minutes in the past
+        with pytest.raises(PermissionError, match="expired"):
+            svc.authorized_call(
+                f"Bearer {token}",
+                lambda uid: uid,
+                now=datetime.utcnow() + timedelta(minutes=61),
+            )
+
+
 class TestPIIRedaction:
     """Planted-fixture contract for redact_pii/pii_counts: the corpus
     has no PII, so the behavior is pinned here instead of an oracle."""
