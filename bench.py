@@ -155,6 +155,35 @@ def main() -> None:
 
     emit(out)
 
+    # Opt-in per-round regression gate (SPARK_GRAFT_REGRESSION_GATE=1):
+    # compare this UNCONTENDED run against the recorded floor and fail
+    # loudly if any query regressed past 1.5x. Off by default — the
+    # driver's contended run shares the box with other work, and a
+    # uniform ~1.6x contention tax (VERDICT r3) is not a regression.
+    if os.environ.get("SPARK_GRAFT_REGRESSION_GATE"):
+        raise SystemExit(gate(out["queries"]))
+
+
+def gate(timings: dict, floor_path: str | None = None) -> int:
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+    from bench_compare import compare
+
+    floor_path = floor_path or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BASELINE_BENCH.json"
+    )
+    if not os.path.exists(floor_path):
+        print(f"regression gate: no floor at {floor_path}, skipping", file=sys.stderr)
+        return 0
+    with open(floor_path) as f:
+        floor = json.load(f)["queries"]
+    # 0.5s absolute cutoff: sub-second queries jitter multiplicatively
+    regressed = compare(floor, timings, ratio=1.5, min_abs_sec=0.5)
+    if regressed:
+        print(f"regression gate FAILED: {sorted(regressed)}", file=sys.stderr)
+        return 1
+    print("regression gate: clean", file=sys.stderr)
+    return 0
+
 
 def emit(out: dict) -> None:
     """Print the one-line JSON contract AND write it to a file: the

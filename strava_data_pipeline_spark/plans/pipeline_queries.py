@@ -1194,7 +1194,13 @@ def user_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     single conditional-aggregate scan per table (left join to the
     broadcast list, no second pass). Emits the per-table audit record a
     deletion job must produce. Cites reference internal/db/user.go:125
-    (DeleteUser) — the FK cascade, made explicit and measurable."""
+    (DeleteUser) — the FK cascade, made explicit and measurable.
+
+    The matching WRITE path is ``sources.versioned.erase_keys``: the
+    same broadcast anti-join applied per versioned table, rewriting
+    only the partitions that hold the subject's rows (manifest reuse
+    for the rest, manifest drop for fully-erased partitions) — run it
+    per table in this audit, then ``vacuum`` to make erasure physical."""
     ids = (
         load_table(spark, sf_dir, "customer")
         .where(F.col("c_custkey") % 50 == 7)

@@ -132,6 +132,7 @@ def commit_snapshot_partitioned(
     part_col: str,
     part_values: list | None = None,
     migrate_legacy: bool = False,
+    drop_part_values: list | None = None,
 ) -> int:
     """Publish the next version rewriting ONLY the touched partitions.
 
@@ -151,7 +152,14 @@ def commit_snapshot_partitioned(
     to reuse, so a partial commit would silently drop every untouched
     row. With ``migrate_legacy=True`` the caller asserts ``changed``
     holds the COMPLETE table, materializing it into per-partition dirs
-    as the one-time migration step."""
+    as the one-time migration step.
+
+    ``drop_part_values`` removes whole partitions from the new version's
+    manifest without writing anything for them — the partition-drop
+    primitive behind retention and erasure (a fully-erased partition
+    must disappear from the manifest, not become an empty dir that
+    breaks schema inference). Dropped dirs stay on disk for time travel
+    until :func:`vacuum` reclaims them."""
     spark = changed.sparkSession
     prev = current_version(spark, root)
     manifest: dict[str, str] = {}
@@ -189,6 +197,8 @@ def commit_snapshot_partitioned(
             manifest[token] = rel
     finally:
         changed.unpersist()
+    for val in drop_part_values or []:
+        manifest.pop(_part_token(val), None)
     _write_manifest(spark, root, ver, manifest)
     fs, jvm = _fs(spark, root)
     fs.create(jvm.org.apache.hadoop.fs.Path(f"{root}/_v_{ver}.committed"), False).close()
@@ -343,3 +353,114 @@ def snapshot_diff(
         )
         .where(F.col("change") != "unchanged")
     )
+
+
+def erase_keys(
+    spark: SparkSession,
+    root: str,
+    key: str,
+    ids,
+    part_col: str | None = None,
+) -> dict:
+    """Right-to-be-forgotten delete writer: publish a new version with
+    every row whose ``key`` is in the erasure list removed. This is the
+    write path :func:`plans.pipeline_queries.user_erasure` dry-runs as
+    an audit, and the pipeline-scale form of the reference's
+    ``DeleteUser`` FK cascade (internal/db/user.go:125).
+
+    Scale shape: the erasure list is subject-sized (people, not rows) →
+    broadcast. On a manifest-based store a column-pruned semi-join scan
+    of (key, part_col) first finds the TOUCHED partitions; only those
+    are anti-joined and rewritten, every untouched partition's manifest
+    entry is reused byte-identical — O(subject's partitions), not
+    O(table), which is the difference between a minutes-job and a
+    full-table rewrite at 100 TB. A partition whose every row is erased
+    is dropped from the manifest rather than written empty. The old
+    version stays readable for time travel until :func:`vacuum` — run
+    vacuum to make erasure physical, as GDPR requires.
+
+    ``ids`` is a DataFrame with column ``key`` or a plain list of key
+    values. Returns an audit dict: new ``version`` (``None`` when no
+    row matched — nothing is published), ``rows_erased``,
+    ``partitions_rewritten``, ``partitions_dropped``.
+    """
+    if not isinstance(ids, DataFrame):
+        field = read_snapshot(spark, root).schema[key]
+        ids = spark.createDataFrame(
+            [(v,) for v in ids], schema=f"{key} {field.dataType.simpleString()}"
+        )
+    ids = ids.select(key).distinct()
+
+    manifest = read_manifest(spark, root, current_version(spark, root) or 0)
+    if manifest is not None and part_col is None:
+        raise ValueError(
+            f"store under {root} is partition-manifest based; pass part_col so "
+            "erasure rewrites only the touched partitions"
+        )
+
+    if manifest is None:
+        # legacy full-directory snapshot: one anti-join, full rewrite
+        snap = read_snapshot(spark, root)
+        erased = snap.join(F.broadcast(ids), key, "left_semi").count()
+        if erased == 0:
+            return {
+                "version": None,
+                "rows_erased": 0,
+                "partitions_rewritten": 0,
+                "partitions_dropped": 0,
+            }
+        kept = snap.join(F.broadcast(ids), key, "left_anti")
+        ver = commit_snapshot(kept, root)
+        return {
+            "version": ver,
+            "rows_erased": erased,
+            "partitions_rewritten": 0,
+            "partitions_dropped": 0,
+        }
+
+    # column-pruned probe: which partitions hold the subject's rows?
+    snap = read_snapshot(spark, root)
+    touched = [
+        r[0]
+        for r in snap.select(key, part_col)
+        .join(F.broadcast(ids), key, "left_semi")
+        .select(part_col)
+        .distinct()
+        .collect()
+    ]
+    if not touched:
+        return {
+            "version": None,
+            "rows_erased": 0,
+            "partitions_rewritten": 0,
+            "partitions_dropped": 0,
+        }
+    parts = read_snapshot_parts(spark, root, touched)
+    kept = parts.join(F.broadcast(ids), key, "left_anti").persist()
+    try:
+        erased = parts.count() - kept.count()
+        survivors = {
+            r[0]
+            for r in kept.select(part_col).distinct().collect()
+        }
+        rewrite = [v for v in touched if v in survivors]
+        drop = [v for v in touched if v not in survivors]
+        # ``kept`` holds exactly the surviving rows of the touched
+        # partitions (read_snapshot_parts read nothing else), so it is
+        # the complete post-erasure contents of the rewrite set; no
+        # prefilter (isin would silently drop a null partition value).
+        ver = commit_snapshot_partitioned(
+            kept,
+            root,
+            part_col,
+            part_values=rewrite,
+            drop_part_values=drop,
+        )
+    finally:
+        kept.unpersist()
+    return {
+        "version": ver,
+        "rows_erased": erased,
+        "partitions_rewritten": len(rewrite),
+        "partitions_dropped": len(drop),
+    }

@@ -128,3 +128,35 @@ def test_bench_emit_writes_loss_proof_file(tmp_path, monkeypatch, capsys):
     printed = json.loads(capsys.readouterr().out.strip())
     on_disk = json.loads(target.read_text())
     assert printed == on_disk == payload
+
+
+def test_regression_gate_compare_logic(tmp_path):
+    # the gate flags only real regressions: >1.5x the floor AND above
+    # the absolute-jitter cutoff; new queries and faster queries pass
+    import json
+
+    import bench
+
+    floor = {"queries": {"a": 10.0, "b": 2.0, "c": 0.1}}
+    fp = tmp_path / "floor.json"
+    fp.write_text(json.dumps(floor))
+    # a regressed (20s > 1.5*10), b improved, c doubled but sub-cutoff,
+    # d is new (no floor -> not a regression)
+    assert bench.gate({"a": 20.0, "b": 1.0, "c": 0.2, "d": 5.0}, str(fp)) == 1
+    assert bench.gate({"a": 10.1, "b": 1.0, "c": 0.2, "d": 5.0}, str(fp)) == 0
+    # missing floor file -> skip, not fail
+    assert bench.gate({"a": 99.0}, str(tmp_path / "absent.json")) == 0
+
+
+def test_bench_compare_tool_flags_regressions(tmp_path):
+    import sys
+
+    sys.path.insert(0, "tools")
+    from bench_compare import compare
+
+    base = {"x": 4.0, "y": 1.0}
+    assert compare(base, {"x": 7.0, "y": 1.2}) == ["x"]
+    assert compare(base, {"x": 5.0, "y": 1.2}) == []
+    # min_abs_sec suppresses sub-threshold jitter
+    assert compare({"z": 0.1}, {"z": 0.3}) == ["z"]
+    assert compare({"z": 0.1}, {"z": 0.3}, min_abs_sec=0.5) == []

@@ -286,3 +286,85 @@ class TestVersionedPartitionedGuards:
         assert got == {(1, "a/b"), (2, "a_b")}
         only = V.read_snapshot_parts(spark, root, ["a/b"])
         assert [r["id"] for r in only.collect()] == [1]
+
+
+class TestEraseKeys:
+    """The right-to-be-forgotten delete writer (user_erasure's audit made
+    physical): partition-scoped anti-join rewrite, manifest reuse for
+    untouched days, manifest drop for fully-erased days, time travel."""
+
+    @staticmethod
+    def _store(spark, tmp_path):
+        from strava_data_pipeline_spark.sources import versioned as V
+
+        root = str(tmp_path / "erase_store")
+        rows = [
+            # (event_id, user_id, day)  — user 7 on d1+d2, user 9 alone on d3
+            (1, 7, "d1"),
+            (2, 8, "d1"),
+            (3, 7, "d2"),
+            (4, 8, "d2"),
+            (5, 9, "d3"),
+        ]
+        df = spark.createDataFrame(rows, "event_id bigint, user_id bigint, p string")
+        V.commit_snapshot_partitioned(df, root, "p")
+        return V, root
+
+    def test_erase_rewrites_only_touched_and_keeps_time_travel(self, spark, tmp_path):
+        V, root = self._store(spark, tmp_path)
+        before = V.read_manifest(spark, root, 1)
+        audit = V.erase_keys(spark, root, "user_id", [7], part_col="p")
+        assert audit["version"] == 2
+        assert audit["rows_erased"] == 2
+        assert audit["partitions_rewritten"] == 2  # d1, d2 keep user 8
+        assert audit["partitions_dropped"] == 0
+        snap = V.read_snapshot(spark, root)
+        assert snap.where("user_id = 7").count() == 0
+        assert sorted(r["event_id"] for r in snap.collect()) == [2, 4, 5]
+        # untouched d3 reuses the previous version's dir byte-identical
+        after = V.read_manifest(spark, root, 2)
+        assert after["d3"] == before["d3"]
+        assert after["d1"] != before["d1"]
+        # time travel still shows the pre-erasure rows until vacuum
+        assert V.read_snapshot(spark, root, version=1).where("user_id = 7").count() == 2
+        removed = V.vacuum(spark, root, keep_last=1)
+        assert removed == [1]
+
+    def test_fully_erased_partition_dropped_from_manifest(self, spark, tmp_path):
+        V, root = self._store(spark, tmp_path)
+        audit = V.erase_keys(spark, root, "user_id", [9], part_col="p")
+        assert audit["partitions_dropped"] == 1  # d3 had only user 9
+        assert audit["partitions_rewritten"] == 0
+        assert "d3" not in V.read_manifest(spark, root, audit["version"])
+        snap = V.read_snapshot(spark, root)
+        assert snap.count() == 4 and snap.where("p = 'd3'").count() == 0
+
+    def test_no_match_publishes_nothing(self, spark, tmp_path):
+        V, root = self._store(spark, tmp_path)
+        audit = V.erase_keys(spark, root, "user_id", [999], part_col="p")
+        assert audit == {
+            "version": None,
+            "rows_erased": 0,
+            "partitions_rewritten": 0,
+            "partitions_dropped": 0,
+        }
+        assert V.current_version(spark, root) == 1
+
+    def test_manifest_store_requires_part_col(self, spark, tmp_path):
+        import pytest
+
+        V, root = self._store(spark, tmp_path)
+        with pytest.raises(ValueError, match="part_col"):
+            V.erase_keys(spark, root, "user_id", [7])
+
+    def test_legacy_store_full_rewrite(self, spark, tmp_path):
+        from strava_data_pipeline_spark.sources import versioned as V
+
+        root = str(tmp_path / "legacy_erase")
+        df = spark.createDataFrame(
+            [(1, 7), (2, 8), (3, 7)], "event_id bigint, user_id bigint"
+        )
+        V.commit_snapshot(df, root)
+        audit = V.erase_keys(spark, root, "user_id", [7])
+        assert audit["version"] == 2 and audit["rows_erased"] == 2
+        assert [r["event_id"] for r in V.read_snapshot(spark, root).collect()] == [2]

@@ -25,6 +25,22 @@ def _queries(path: str) -> dict[str, float]:
     raise SystemExit(f"{path}: no 'queries' key found")
 
 
+def compare(
+    base: dict[str, float],
+    cur: dict[str, float],
+    ratio: float = 1.5,
+    min_abs_sec: float = 0.0,
+) -> list[str]:
+    """Names of queries slower than ``ratio``× their baseline.
+    ``min_abs_sec`` ignores sub-threshold absolute times — a 0.1s query
+    jittering to 0.2s is scheduler noise, not a plan regression."""
+    return [
+        n
+        for n, c in cur.items()
+        if n in base and c > ratio * base[n] and c >= min_abs_sec
+    ]
+
+
 def main() -> int:
     if len(sys.argv) < 3:
         print(__doc__)
@@ -33,17 +49,14 @@ def main() -> int:
     cur = _queries(sys.argv[2])
     ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
 
-    regressed = []
+    regressed = set(compare(base, cur, ratio))
     for name in sorted(cur):
         b = base.get(name)
         c = cur[name]
         if b is None:
             print(f"  new     {name:32s} {c:8.2f}s")
         else:
-            mark = ""
-            if c > ratio * b:
-                mark = f"  REGRESSED >{ratio}x"
-                regressed.append(name)
+            mark = f"  REGRESSED >{ratio}x" if name in regressed else ""
             print(f"  {c / b:5.2f}x  {name:32s} {c:8.2f}s  (base {b:.2f}s){mark}")
     common = [n for n in cur if n in base]
     print(
@@ -52,7 +65,7 @@ def main() -> int:
         f"({len(common)} queries; {len(cur) - len(common)} new)"
     )
     if regressed:
-        print(f"regressions: {regressed}")
+        print(f"regressions: {sorted(regressed)}")
         return 1
     return 0
 

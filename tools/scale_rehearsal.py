@@ -1,0 +1,207 @@
+"""sf1 scaling rehearsal for the pair-join tier (VERDICT r3 item 4).
+
+The bucket caps, prefix filters and pointer-jumping loops all claim
+"no quadratic anywhere" — this tool is the measurement that backs the
+claim before anyone extrapolates to 100 TB. It synthesizes a corpus
+``m``× the size of sf0.1 (default m=10 ≈ sf1), runs the eight most
+expensive queries at both scales, and records the per-query scaling
+exponent ``log(t_big/t_base)/log(m)`` — 1.0 is linear, ~1.1-1.3 is
+n·log n territory, 2.0 is the quadratic the design forbids.
+
+Scaled data is REPLICATED-WITH-MUTATION, not duplicated: copy k of a
+document vowel-rotates its text (every shingle changes → the copies
+are genuinely new content, intra-copy near-dup structure preserved),
+copy k of an embedding rotates the vector k positions (norm kept,
+direction new), lineitem copies offset all graph keys into disjoint
+key ranges. A plain 10× duplication would be a pathological corpus —
+every doc with 9 exact clones — that measures the caps, not the
+scaling law.
+
+Usage:
+    python tools/scale_rehearsal.py [--mult 10] [--out .scratch/sfX]
+        [--base /root/testdata/sf0.1] [--queries a,b,c] [--report FILE]
+
+Writes the report JSON (default SCALING_LOCAL.json at repo root) and
+prints it as one line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+HEAVY_QUERIES = [
+    "dedup_ngram_jaccard",
+    "dedup_minhash",
+    "dedup_simhash64",
+    "dedup_containment",
+    "dedup_clusters",
+    "semdedup",
+    "dedup_substring",
+    "pagerank_parts",
+]
+
+# vowel rotations per copy index: text -> distinct "dialect", length kept
+_VOWELS = "aeiou"
+
+
+def _rot(s: str, k: int) -> str:
+    k %= len(s)
+    return s[k:] + s[:k]
+
+
+def build_scaled(spark, base: str, out: str, mult: int) -> dict[str, int]:
+    """Materialize mult× copies of documents / embeddings / lineitem."""
+    from pyspark.sql import functions as F
+
+    counts: dict[str, int] = {}
+
+    docs = spark.read.parquet(f"{base}/documents.parquet")
+    n_docs = docs.count()
+    doc_copies = []
+    for k in range(mult):
+        c = docs.withColumn("doc_id", F.col("doc_id") + F.lit(k * n_docs))
+        if k:
+            # translate changes every character occurrence of a vowel →
+            # every k-shingle differs from the original's; length (and
+            # n_chars) preserved, so quality/length distributions hold
+            c = c.withColumn(
+                "text", F.translate("text", _VOWELS, _rot(_VOWELS, k))
+            )
+        doc_copies.append(c)
+    scaled_docs = doc_copies[0]
+    for c in doc_copies[1:]:
+        scaled_docs = scaled_docs.unionByName(c)
+    scaled_docs.repartition(32).write.mode("overwrite").parquet(
+        f"{out}/documents.parquet"
+    )
+    counts["documents"] = n_docs * mult
+
+    emb = spark.read.parquet(f"{base}/embeddings.parquet")
+    n_emb = emb.count()
+    dim = len(emb.select("embedding").first()[0])
+    emb_copies = []
+    for k in range(mult):
+        c = emb.withColumn("vec_id", F.col("vec_id") + F.lit(k * n_emb))
+        if k:
+            rot = k % dim
+            c = c.withColumn(
+                "embedding",
+                F.concat(
+                    F.slice("embedding", rot + 1, dim - rot),
+                    F.slice("embedding", 1, rot),
+                ),
+            )
+        emb_copies.append(c)
+    scaled_emb = emb_copies[0]
+    for c in emb_copies[1:]:
+        scaled_emb = scaled_emb.unionByName(c)
+    scaled_emb.repartition(32).write.mode("overwrite").parquet(
+        f"{out}/embeddings.parquet"
+    )
+    counts["embeddings"] = n_emb * mult
+
+    li = spark.read.parquet(f"{base}/lineitem.parquet")
+    n_li = li.count()
+    mx = li.agg(
+        *[F.max(c).alias(c) for c in ("l_orderkey", "l_partkey", "l_suppkey")]
+    ).first()
+    li_copies = []
+    for k in range(mult):
+        li_copies.append(
+            li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(k * (mx[0] + 1)))
+            .withColumn("l_partkey", F.col("l_partkey") + F.lit(k * (mx[1] + 1)))
+            .withColumn("l_suppkey", F.col("l_suppkey") + F.lit(k * (mx[2] + 1)))
+        )
+    scaled_li = li_copies[0]
+    for c in li_copies[1:]:
+        scaled_li = scaled_li.unionByName(c)
+    scaled_li.repartition(32).write.mode("overwrite").parquet(
+        f"{out}/lineitem.parquet"
+    )
+    counts["lineitem"] = n_li * mult
+    return counts
+
+
+def time_queries(spark, queries, names, sf_dir: str) -> dict[str, float]:
+    out: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        out[name] = round(time.time() - t0, 3)
+        spark.catalog.clearCache()
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mult", type=int, default=10)
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--queries", default=",".join(HEAVY_QUERIES))
+    ap.add_argument("--report", default="SCALING_LOCAL.json")
+    ap.add_argument("--skip-build", action="store_true")
+    args = ap.parse_args()
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_dir = args.out or os.path.join(repo, ".scratch", f"sfx{args.mult}")
+    names = [n for n in args.queries.split(",") if n]
+
+    from strava_data_pipeline_spark.plans import registry
+    from strava_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("scale-rehearsal")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = registry.all_queries()
+
+    if not args.skip_build:
+        counts = build_scaled(spark, args.base, out_dir, args.mult)
+    else:
+        counts = {}
+
+    # warm once so JVM/codegen startup lands on neither measurement
+    queries[names[0]](spark, args.base).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    spark.catalog.clearCache()
+
+    base_t = time_queries(spark, queries, names, args.base)
+    big_t = time_queries(spark, queries, names, out_dir)
+
+    report = {
+        "mult": args.mult,
+        "base": args.base,
+        "scaled_rows": counts,
+        "queries": {},
+    }
+    worst = 0.0
+    for n in names:
+        ratio = big_t[n] / base_t[n] if base_t[n] > 0 else float("inf")
+        exponent = round(math.log(ratio) / math.log(args.mult), 3)
+        worst = max(worst, exponent)
+        report["queries"][n] = {
+            "base_sec": base_t[n],
+            "scaled_sec": big_t[n],
+            "ratio": round(ratio, 2),
+            "exponent": exponent,
+        }
+    report["worst_exponent"] = round(worst, 3)
+
+    path = args.report
+    if not os.path.isabs(path):
+        path = os.path.join(repo, path)
+    with open(path, "w") as f:
+        json.dump(report, f, indent=1)
+        f.write("\n")
+    print(json.dumps(report))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
