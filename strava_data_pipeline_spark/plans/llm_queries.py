@@ -2024,8 +2024,16 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plan's cost is independent of K growing to paper scale.
     Keep-rule deviation from the paper: min vec_id survives (the paper
     keeps the farthest-from-centroid member); deterministic and
-    engine-portable."""
-    e = load_table(spark, sf_dir, "embeddings")
+    engine-portable.
+
+    Verify-stage cost discipline: each vector's norm is computed ONCE
+    before the pair join (bitwise-identical expression to the per-pair
+    form — same sum order, same multiplication order in the divisor),
+    so a pair costs one dot product, not three reductions; measured
+    3-5x on the capped-cluster pair tier. ``_spread`` lifts the
+    single-split small-file scan to core-count partitions (no-op on a
+    real cluster's multi-split scans)."""
+    e = D._spread(load_table(spark, sf_dir, "embeddings"))
     q = e.select(
         "vec_id",
         F.transform(
@@ -2044,19 +2052,6 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cap the blocking key BEFORE pair generation, like every other
     # pair-join in the repo (dedup.py, similarity.py): members of a
     # hotter-than-cap cluster skip pruning instead of melting a reducer
-    av = cap_hot_buckets(assigned.join(v, "vec_id"), ["cid"], _SEM_CAP)
-    x = av.select(
-        F.col("cid"), F.col("vec_id").alias("va"), F.col("v").alias("xa")
-    )
-    y = av.select(
-        F.col("cid"), F.col("vec_id").alias("vb"), F.col("v").alias("xb")
-    )
-    dot = F.aggregate(
-        F.zip_with("xa", "xb", lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, t: acc + t,
-    )
-
     def norm(c):
         return F.sqrt(
             F.aggregate(
@@ -2064,7 +2059,26 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    score = F.round(dot / (norm(F.col("xa")) * norm(F.col("xb"))), 6)
+    av = cap_hot_buckets(assigned.join(v, "vec_id"), ["cid"], _SEM_CAP)
+    av = av.withColumn("nv", norm(F.col("v")))
+    x = av.select(
+        F.col("cid"),
+        F.col("vec_id").alias("va"),
+        F.col("v").alias("xa"),
+        F.col("nv").alias("na"),
+    )
+    y = av.select(
+        F.col("cid"),
+        F.col("vec_id").alias("vb"),
+        F.col("v").alias("xb"),
+        F.col("nv").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("xa", "xb", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    score = F.round(dot / (F.col("na") * F.col("nb")), 6)
     drops = (
         x.join(y, "cid")
         .where(F.col("va") < F.col("vb"))
