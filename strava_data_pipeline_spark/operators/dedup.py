@@ -23,7 +23,10 @@ from strava_data_pipeline_spark.functions.hashing import (
     perm_params,
 )
 from strava_data_pipeline_spark.functions.text import char_ngrams, tokens, word_shingles
-from strava_data_pipeline_spark.operators.skew import cap_hot_buckets
+from strava_data_pipeline_spark.operators.skew import (
+    cap_hot_buckets,
+    spread_small_scan,
+)
 
 N_PERMS = 16
 N_BANDS = 4
@@ -36,25 +39,9 @@ ROWS_PER_BAND = N_PERMS // N_BANDS
 MAX_BUCKET = 500
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Ensure the doc frame has at least core-count partitions before
-    the explode-heavy hashing stages.
-
-    Parallelism before the first shuffle follows input splits; a small
-    corpus file arrives as ONE split, so the 50×-amplifying shingle
-    explode + md5 would run on one task (observed: 6s single-threaded
-    at sf0.1). On a real cluster the scan already has ≥cores splits
-    and this is a no-op — the repartition only fires on the
-    pathological small-file case, so it never adds a full-corpus
-    shuffle at 100 TB. The split estimate is ``inputFiles()`` (a
-    listing, no plan→RDD conversion — ``df.rdd`` would force one per
-    call); it undercounts multi-split files, which only matters below
-    ``target`` files where the extra shuffle is small by construction.
-    """
-    target = min(df.sparkSession.sparkContext.defaultParallelism, 32)
-    if len(df.inputFiles()) < target:
-        return df.repartition(target)
-    return df
+# the split-count guard every explode-heavy operator applies to its
+# input scan (moved to skew.py so the similarity tier shares it)
+_spread = spread_small_scan
 
 
 def dedup_exact(

@@ -14,7 +14,10 @@ from pyspark.sql import functions as F
 
 from strava_data_pipeline_spark.functions.hashing import MINHASH_PRIME
 from strava_data_pipeline_spark.functions import vectors as V
-from strava_data_pipeline_spark.operators.skew import cap_hot_buckets
+from strava_data_pipeline_spark.operators.skew import (
+    cap_hot_buckets,
+    spread_small_scan,
+)
 
 DIM = 64
 N_PLANES = 8
@@ -44,22 +47,28 @@ def ann_topk_bruteforce(
 
     The corpus is scanned once; ranking is a per-query-key window over
     |queries|·|corpus| scored rows. Ordering key is the *rounded* score
-    (+ id tiebreak) so ranks are reproducible cross-engine.
+    (+ id tiebreak) so ranks are reproducible cross-engine. Each side's
+    norm is computed ONCE per vector before the pair expansion — a
+    corpus row's norm would otherwise be re-folded per query (|Q|×
+    waste); the hoisted expression is bitwise-identical (see
+    vectors.cosine_rounded_hoisted) so scores are unchanged.
     """
     q = queries.select(
         F.col("vec_id").alias("query_id"), V.as_double(F.col("embedding")).alias("qv")
-    )
-    c = corpus.select(
+    ).withColumn("qn", V.norm(F.col("qv")))
+    c = spread_small_scan(corpus).select(
         F.col("vec_id").alias("neighbor_id"),
         V.as_double(F.col("embedding")).alias("cv"),
-    )
+    ).withColumn("cn", V.norm(F.col("cv")))
     scored = c.crossJoin(F.broadcast(q)).where(
         F.col("query_id") != F.col("neighbor_id")
     )
     scored = scored.select(
         "query_id",
         "neighbor_id",
-        V.cosine_rounded(F.col("qv"), F.col("cv")).alias("score"),
+        V.cosine_rounded_hoisted(
+            F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+        ).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
@@ -98,13 +107,23 @@ def ann_topk_lsh(
     the candidate join (observed metric ``ann_lsh_skew``) — a degenerate
     bucket (e.g. a mass of near-zero vectors landing on one sign
     pattern) would otherwise multiply against every query probing it."""
-    q = queries.select(
-        F.col("vec_id").alias("query_id"), V.as_double(F.col("embedding")).alias("qv")
-    ).withColumn("bucket", _bucket_expr("qv"))
-    c = corpus.select(
-        F.col("vec_id").alias("neighbor_id"),
-        V.as_double(F.col("embedding")).alias("cv"),
-    ).withColumn("bucket", _bucket_expr("cv"))
+    q = (
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            V.as_double(F.col("embedding")).alias("qv"),
+        )
+        .withColumn("bucket", _bucket_expr("qv"))
+        .withColumn("qn", V.norm(F.col("qv")))
+    )
+    c = (
+        spread_small_scan(corpus)
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            V.as_double(F.col("embedding")).alias("cv"),
+        )
+        .withColumn("bucket", _bucket_expr("cv"))
+        .withColumn("cn", V.norm(F.col("cv")))
+    )
     c = cap_hot_buckets(c, ["bucket"], max_bucket, "ann_lsh_skew")
     scored = (
         c.join(F.broadcast(q), "bucket")
@@ -112,7 +131,9 @@ def ann_topk_lsh(
         .select(
             "query_id",
             "neighbor_id",
-            V.cosine_rounded(F.col("qv"), F.col("cv")).alias("score"),
+            V.cosine_rounded_hoisted(
+                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -143,43 +164,81 @@ def ann_topk_ivf(
     partition-pruned scan of ~1/n_centroids of the data. Assignment
     ranks by the *rounded* cosine (+ centroid-id tiebreak) so list
     membership is reproducible cross-engine.
+
+    Assignment shape: the ranked-centroid list folds ONE broadcast
+    1-row array-of-(cid, centroid, norm) against each row —
+    ``array_sort`` over a ``transform``-computed struct array, pure
+    whole-stage codegen, NO row expansion (the kmeans_lloyd/semdedup
+    argmin idiom). The previous join+window form materialized N×K rows
+    each carrying the 64-dim vector and shuffled them for a per-row
+    window — a scale-killer once K grows past toy sizes (a production
+    IVF index is K≈√N lists). The sort key is the rounded cosine
+    quantized to exact BIGINT micro-units (round-6dp × 1e6 is an
+    integer recovered exactly by floor(x+0.5): the double product sits
+    within ~4e-10 of it), negated so ascending struct order equals the
+    oracle's ``ccos DESC, cid ASC`` — list membership is bit-identical
+    to the window form.
     """
-    c = corpus.select(
+    c = spread_small_scan(corpus).select(
         F.col("vec_id").alias("neighbor_id"),
         V.as_double(F.col("embedding")).alias("cv"),
-    )
+    ).withColumn("cn", V.norm(F.col("cv")))
     cent = c.where(F.col("neighbor_id") < n_centroids).select(
-        F.col("neighbor_id").alias("cid"), F.col("cv").alias("centv")
+        F.col("neighbor_id").alias("cid"),
+        F.col("cv").alias("centv"),
+        F.col("cn").alias("centn"),
+    )
+    cent_arr = cent.agg(
+        F.collect_list(F.struct("cid", "centv", "centn")).alias("cents")
     )
 
-    def assign(df: DataFrame, id_col: str, vec_col: str, top: int) -> DataFrame:
-        scored = df.crossJoin(F.broadcast(cent)).select(
-            id_col,
-            vec_col,
-            "cid",
-            V.cosine_rounded(F.col(vec_col), F.col("centv")).alias("ccos"),
+    def nearest_cids(vec_col: str, norm_col: str, top: int) -> F.Column:
+        ranked = F.array_sort(
+            F.transform(
+                F.col("cents"),
+                lambda ct: F.struct(
+                    (
+                        -F.floor(
+                            F.round(
+                                V.dot(F.col(vec_col), ct["centv"])
+                                / (F.col(norm_col) * ct["centn"]),
+                                6,
+                            )
+                            * F.lit(1000000.0)
+                            + F.lit(0.5)
+                        ).cast("bigint")
+                    ).alias("neg_ccos_micro"),
+                    ct["cid"].alias("cid"),
+                ),
+            )
         )
-        w = Window.partitionBy(id_col).orderBy(
-            F.col("ccos").desc(), F.col("cid").asc()
-        )
-        return (
-            scored.withColumn("crank", F.row_number().over(w))
-            .where(F.col("crank") <= top)
-            .drop("ccos", "crank")
-        )
+        return F.transform(F.slice(ranked, 1, top), lambda s: s["cid"])
 
-    corpus_lists = assign(c, "neighbor_id", "cv", 1)
+    corpus_lists = c.crossJoin(F.broadcast(cent_arr)).select(
+        "neighbor_id",
+        "cv",
+        "cn",
+        F.element_at(nearest_cids("cv", "cn", 1), 1).alias("cid"),
+    )
     q = queries.select(
-        F.col("vec_id").alias("query_id"), V.as_double(F.col("embedding")).alias("qv")
+        F.col("vec_id").alias("query_id"),
+        V.as_double(F.col("embedding")).alias("qv"),
+    ).withColumn("qn", V.norm(F.col("qv")))
+    probes = q.crossJoin(F.broadcast(cent_arr)).select(
+        "query_id",
+        "qv",
+        "qn",
+        F.explode(nearest_cids("qv", "qn", n_probe)).alias("cid"),
     )
-    probes = assign(q, "query_id", "qv", n_probe)
     scored = (
-        corpus_lists.join(probes, "cid")
+        corpus_lists.join(F.broadcast(probes), "cid")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            V.cosine_rounded(F.col("qv"), F.col("cv")).alias("score"),
+            V.cosine_rounded_hoisted(
+                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -213,9 +272,9 @@ def embedding_neardup_pairs(
     production near-dup thresholds (τ ≥ 0.9) raise ``bits_per_band`` to
     8-16 so per-band buckets stay small at corpus scale.
     """
-    e = embeddings.select(
+    e = spread_small_scan(embeddings).select(
         "vec_id", "label", V.as_double(F.col("embedding")).alias("v")
-    )
+    ).withColumn("nv", V.norm(F.col("v")))
     bucketed = e.select(
         "vec_id",
         "label",
@@ -242,15 +301,27 @@ def embedding_neardup_pairs(
         )
         .distinct()
     )
-    va = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    vb = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    # verify join with per-vector norms hoisted out of the pair rows:
+    # one dot fold per candidate instead of three 64-element reductions
+    va = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("nv").alias("na"),
+    )
+    vb = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("nv").alias("nb"),
+    )
     return (
         cand.join(va, "vec_a")
         .join(vb, "vec_b")
         .select(
             "vec_a",
             "vec_b",
-            V.cosine_rounded(F.col("va"), F.col("vb")).alias("score"),
+            V.cosine_rounded_hoisted(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            ).alias("score"),
         )
         .where(F.col("score") >= threshold)
     )

@@ -75,6 +75,27 @@ def salted_join(
     return l.join(r, on + [_SALT], how).drop(_SALT)
 
 
+def spread_small_scan(df: DataFrame, target_max: int = 32) -> DataFrame:
+    """Ensure a frame has at least core-count partitions before an
+    explode-/fold-heavy narrow stage.
+
+    Parallelism before the first shuffle follows input splits; a small
+    corpus file arrives as ONE split, so a 50×-amplifying explode or a
+    per-row 64-element fold would run on one task (observed: 6s
+    single-threaded at sf0.1). On a real cluster the scan already has
+    ≥cores splits and this is a no-op — the repartition only fires on
+    the pathological small-file case, so it never adds a full-corpus
+    shuffle at 100 TB. The split estimate is ``inputFiles()`` (a
+    listing, no plan→RDD conversion — ``df.rdd`` would force one per
+    call); it undercounts multi-split files, which only matters below
+    ``target`` files where the extra shuffle is small by construction.
+    """
+    target = min(df.sparkSession.sparkContext.defaultParallelism, target_max)
+    if len(df.inputFiles()) < target:
+        return df.repartition(target)
+    return df
+
+
 def cap_hot_buckets(
     df: DataFrame,
     key_cols: Sequence[str],

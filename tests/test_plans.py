@@ -252,3 +252,10 @@ def test_centroid_assignment_never_expands_rows(spark):
     assert "windowspecdefinition(vec_id" not in sd, (
         "semdedup assignment regressed to per-vec_id window argmin"
     )
+    # ann_ivf's list assignment is the same fold: the only windows left
+    # are the per-query_id top-k ranks — never a per-corpus-row
+    # (neighbor_id-partitioned) window, which was the N×K shape.
+    ivf = plan_of(spark, "ann_ivf")
+    assert "windowspecdefinition(neighbor_id" not in ivf, (
+        "ann_ivf corpus-list assignment regressed to window argmax"
+    )
