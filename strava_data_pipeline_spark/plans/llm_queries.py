@@ -24,8 +24,21 @@ from strava_data_pipeline_spark.functions.hashing import (
 from strava_data_pipeline_spark.operators import dedup as D
 from strava_data_pipeline_spark.operators import similarity as S
 from strava_data_pipeline_spark.operators.skew import cap_hot_buckets
+from strava_data_pipeline_spark.operators.skew import spread_small_scan
 from strava_data_pipeline_spark.plans.registry import register
 from strava_data_pipeline_spark.sources.catalog import load_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents load with the single-split scan guard: the tokenize /
+    shingle / regex stages these queries run are CPU-bound per row, and
+    a small corpus file arrives as ONE input split, serializing them on
+    a single task (see skew.spread_small_scan — a no-op on a real
+    cluster's multi-split scans). Used by the queries that do their own
+    inline text processing; the dedup/similarity operators apply the
+    same guard internally, so their registry entries load plainly."""
+    return spread_small_scan(load_table(spark, sf_dir, "documents"))
+
 
 # ---------------------------------------------------------------------------
 # Shared DuckDB fragments (the oracle-side twins of functions/text.py)
@@ -496,7 +509,7 @@ FROM votes
 @register("lang_id", oracle=_lang_id_oracle(), tags=("llm", "text"))
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-stopword language-ID vote per document."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     toks = T.tokens(F.col("text"))
     return docs.select(
         "doc_id",
@@ -531,7 +544,7 @@ FROM base
 @register("text_quality", oracle=_QUALITY_ORACLE, tags=("llm", "text"))
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length/punctuation/stopword quality features + composite score."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     toks = T.tokens(F.col("text"))
     markers = F.array(*[F.lit(m) for m in _ALL_MARKERS])
     base = docs.select(
@@ -578,7 +591,7 @@ FROM documents
 @register("token_count", oracle=_TOKEN_ORACLE, tags=("llm", "text"))
 def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace + BPE-style pre-tokenizer token counts."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id",
         T.ws_token_count(F.col("text")).alias("ws_tokens"),
@@ -635,7 +648,7 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload metadata plumbing: the documents' text bytes stand
     in for an opaque media blob (see operators/multimodal.py for the
     decode pipeline; real codecs are stubbed per environment)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     x = md5_u32(F.col("text"))
     payload = F.col("text").cast("binary")
     return docs.select(
@@ -685,7 +698,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver's cross-engine gate, not just pytest."""
     from strava_data_pipeline_spark.operators import multimodal as M
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return M.extract_features(M.attach_payload(docs))
 
 
@@ -737,7 +750,7 @@ def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Power-of-two histogram of per-doc token counts — the corpus
     profile a training-data budget is planned from. One narrow scan,
     one tiny agg."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     tc = docs.select(T.ws_token_count(F.col("text")).alias("n"))
     bucket = (
         F.when(F.col("n") > 0, F.floor(F.log2("n"))).otherwise(F.lit(-1)).cast("int")
@@ -855,7 +868,7 @@ def corpus_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs, retries, and engines. At 100 TB, shard count scales with the
     cluster and each shard's window stays an independent task chain.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     tc = docs.select(
         "doc_id",
         T.ws_token_count(F.col("text")).alias("n_tokens"),
@@ -1047,7 +1060,7 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     never shuffles, it streams through an explode + broadcast-hash
     probe + per-doc count. Every training doc is emitted (zeros kept)
     so the scrub is auditable."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     shingled = docs.select(
         "doc_id",
         F.explode(T.word_shingles(T.tokens(F.col("text")))).alias("_sh"),
@@ -1109,7 +1122,7 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     = AND of all. Ratios are exact rationals of bigints so the rule
     booleans are deterministic across engines; one scan, zero shuffles,
     zero UDFs."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     toks = T.tokens(F.col("text"))
     base = docs.select(
         "doc_id",
@@ -1168,7 +1181,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hashed term. Ranking keys on the ROUNDED score in both engines
     (term as tiebreak) so an ulp of ln() can't reorder ranks. Top-5 per
     source is a bounded window — partitioned, not global."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     tok = docs.select(
         "doc_id", "source", F.explode(T.tokens(F.col("text"))).alias("term")
     )
@@ -1365,7 +1378,7 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins back on the term (zipf-bounded, broadcastable), the token
     total is a 1-row broadcast. Every occurrence counts — fluency, not
     set overlap — so no distinct anywhere."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     tok = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
     freq = tok.groupBy("term").agg(F.count("*").cast("bigint").alias("cnt"))
     n = tok.agg(F.count("*").cast("bigint").alias("n_total"))
@@ -1412,7 +1425,7 @@ def corpus_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum(ceil(n_i/stride)) rows, perfectly data-parallel, zero shuffles,
     zero UDFs; the final partial window is kept (training pads, RAG
     retrieves it either way)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     toks = T.tokens(F.col("text"))
     t = docs.select("doc_id", toks.alias("t"))
     seqd = t.select(
@@ -1477,7 +1490,7 @@ def boilerplate_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary-sized, exactly like a stopword table; the reference
     pattern is the repeated-line filter of C4 applied at the granularity
     this corpus has (single-line templated docs)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     toks = docs.select("doc_id", T.tokens(F.col("text")).alias("t")).persist()
     total = docs.agg(F.count("*").alias("n_docs"))
     df = (
@@ -1540,7 +1553,7 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical cross-engine, no rounding needed. At scale the vocab
     build is the only shuffle (token, count) and K stays
     human-constant."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     toks = docs.select("doc_id", T.tokens(F.col("text")).alias("t"))
     freq = (
         toks.select(F.explode("t").alias("tok"))
@@ -1798,7 +1811,7 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full posting lists would write out bucketed by token instead of
     truncating — the build plan (explode → one token-keyed shuffle) is
     identical."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     tok = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("token"))
     return tok.groupBy("token").agg(
         F.countDistinct("doc_id").cast("bigint").alias("df"),
@@ -1873,7 +1886,7 @@ def repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     are bounded by document length, then a doc_id-keyed merge — no
     UDFs, all codegen. At 100 TB each doc contributes O(len) gram rows
     and nothing is quadratic."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     toks = T.tokens(F.col("text"))
 
     def all_grams(n: int):
@@ -2152,7 +2165,7 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     length, a (doc_id, hash) map-combined count, a hash-keyed doc-
     frequency agg reusing the same shuffle key, and a doc_id merge —
     nothing quadratic, nothing carries span text past the map side."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     t = docs.select("doc_id", T.tokens(F.col("text")).alias("t"))
     spans = F.when(
         F.size("t") >= _SUBSTR_N,
@@ -2254,7 +2267,7 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     at any scale. Real pipelines extend the battery (SSNs, IBANs,
     street addresses) the same way: one more PII_PATTERNS row, same
     plan shape."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     uid = F.col("doc_id")
     planted = docs.select(
         "doc_id",
@@ -2387,7 +2400,7 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-lang window sort is the cost; the production path
     thresholds on sampled logprob quantiles instead of ranking every
     row, with identical bucket semantics to sampling error."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     tok = docs.select(
         "doc_id", "lang", F.explode(T.tokens(F.col("text"))).alias("term")
     )
