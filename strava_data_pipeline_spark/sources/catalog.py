@@ -6,6 +6,16 @@ storage layer is columnar parquet read declaratively so Catalyst gets
 predicate pushdown + column pruning on every query; at cluster scale the
 same loader points at partitioned table roots instead of single files.
 
+Deliberately NOT applied here: the single-split scan guard
+(skew.spread_small_scan) that the text/embedding pipelines use.
+Measured r4 over 20 TPC-H/events queries at sf0.1: spreading the fact
+scans regressed nearly everything (q1 0.56s→1.06s, q21 0.89s→2.11s)
+— vectorized parquet decode + map-side partial aggregation is cheaper
+single-threaded than paying a full-row round-robin exchange, unlike
+the per-row regex/tokenize stages where the guard wins 2-4×. Operators
+that ARE scan-CPU-bound opt in at their own layer (plans/llm_queries
+``_docs``, dedup/similarity ``_spread``).
+
 REPO-WIDE CONTRACT: every logically-timestamp column leaves
 ``load_table`` as plain ``TimestampType`` regardless of physical
 storage — TIMESTAMP(NANOS) files (Spark refuses outright) are repaired
