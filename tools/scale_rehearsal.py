@@ -47,6 +47,24 @@ HEAVY_QUERIES = [
     "pagerank_parts",
 ]
 
+# Second tier: the window/join-heavy events queries and the TPC-H
+# shapes whose FK joins survive the scaled build (lineitem and orders
+# offset their orderkeys by the SAME base, so copies join their own
+# order copies; events keep user_id, so per-user windows grow mult× —
+# exactly the per-key growth a window operator must absorb linearly).
+ANALYTICS_QUERIES = [
+    "events_sessionize",
+    "events_rolling_7d",
+    "scd2_intervals",
+    "sessions_overlap_windows",
+    "retention_cohorts",
+    "heavy_hitters",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q18_large_orders",
+    "parts_bought_together",
+]
+
 # vowel rotations per copy index: text -> distinct "dialect", length kept
 _VOWELS = "aeiou"
 
@@ -57,8 +75,11 @@ def _rot(s: str, k: int) -> str:
 
 
 def build_scaled(spark, base: str, out: str, mult: int) -> dict[str, int]:
-    """Materialize mult× copies of documents / embeddings / lineitem."""
+    """Materialize mult× copies of documents/embeddings/lineitem/orders/
+    events (+ the fixed-size dims verbatim)."""
     from pyspark.sql import functions as F
+
+    from strava_data_pipeline_spark.sources.catalog import load_table
 
     counts: dict[str, int] = {}
 
@@ -107,17 +128,28 @@ def build_scaled(spark, base: str, out: str, mult: int) -> dict[str, int]:
     )
     counts["embeddings"] = n_emb * mult
 
-    li = spark.read.parquet(f"{base}/lineitem.parquet")
+    # lineitem + orders share ONE orderkey offset base so every copy's
+    # lineitems join their own order copies (q3/q18 FK integrity);
+    # o_custkey is kept, so customers get mult× hotter — the realistic
+    # growth direction, and the broadcast-dim side stays fixed.
+    li = load_table(spark, base, "lineitem")
+    od = load_table(spark, base, "orders")
     n_li = li.count()
+    n_od = od.count()
     mx = li.agg(
         *[F.max(c).alias(c) for c in ("l_orderkey", "l_partkey", "l_suppkey")]
     ).first()
+    ok_base = max(mx[0], od.agg(F.max("o_orderkey")).first()[0]) + 1
     li_copies = []
+    od_copies = []
     for k in range(mult):
         li_copies.append(
-            li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(k * (mx[0] + 1)))
+            li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(k * ok_base))
             .withColumn("l_partkey", F.col("l_partkey") + F.lit(k * (mx[1] + 1)))
             .withColumn("l_suppkey", F.col("l_suppkey") + F.lit(k * (mx[2] + 1)))
+        )
+        od_copies.append(
+            od.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(k * ok_base))
         )
     scaled_li = li_copies[0]
     for c in li_copies[1:]:
@@ -126,6 +158,42 @@ def build_scaled(spark, base: str, out: str, mult: int) -> dict[str, int]:
         f"{out}/lineitem.parquet"
     )
     counts["lineitem"] = n_li * mult
+    scaled_od = od_copies[0]
+    for c in od_copies[1:]:
+        scaled_od = scaled_od.unionByName(c)
+    scaled_od.repartition(32).write.mode("overwrite").parquet(
+        f"{out}/orders.parquet"
+    )
+    counts["orders"] = n_od * mult
+
+    # events: new event_ids, SAME user_ids (per-user state grows mult×,
+    # the dimension that stresses partitioned windows / sessionizers),
+    # timestamps staggered +k minutes so copies don't stack on
+    # identical instants (which would collapse into one session and
+    # under-exercise the gap logic).
+    ev = load_table(spark, base, "events")
+    n_ev = ev.count()
+    ev_copies = []
+    for k in range(mult):
+        c = ev.withColumn("event_id", F.col("event_id") + F.lit(k * n_ev))
+        if k:
+            c = c.withColumn(
+                "ts", F.col("ts") + F.expr(f"INTERVAL {k} MINUTE")
+            )
+        ev_copies.append(c)
+    scaled_ev = ev_copies[0]
+    for c in ev_copies[1:]:
+        scaled_ev = scaled_ev.unionByName(c)
+    scaled_ev.repartition(32).write.mode("overwrite").parquet(
+        f"{out}/events.parquet"
+    )
+    counts["events"] = n_ev * mult
+
+    # dims the analytics tier joins: copied verbatim (fixed-size sides)
+    for dim in ("customer", "supplier", "part", "nation", "region"):
+        spark.read.parquet(f"{base}/{dim}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{out}/{dim}.parquet")
     return counts
 
 
@@ -157,7 +225,14 @@ def main() -> int:
     ap.add_argument("--mult", type=int, default=10)
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default=None)
-    ap.add_argument("--queries", default=",".join(HEAVY_QUERIES))
+    ap.add_argument(
+        "--tier",
+        choices=("pairs", "analytics"),
+        default="pairs",
+        help="pairs = the 8 pair-join dedup/graph queries; "
+        "analytics = window/join-heavy events + TPC-H shapes",
+    )
+    ap.add_argument("--queries", default=None)
     ap.add_argument("--report", default="SCALING_LOCAL.json")
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--skip-build", action="store_true")
@@ -165,7 +240,12 @@ def main() -> int:
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out_dir = args.out or os.path.join(repo, ".scratch", f"sfx{args.mult}")
-    names = [n for n in args.queries.split(",") if n]
+    default_names = HEAVY_QUERIES if args.tier == "pairs" else ANALYTICS_QUERIES
+    names = (
+        [n for n in args.queries.split(",") if n]
+        if args.queries
+        else default_names
+    )
 
     from strava_data_pipeline_spark.plans import registry
     from strava_data_pipeline_spark.session import get_spark
