@@ -99,6 +99,8 @@ BENCH_QUERIES = [
     "perplexity_buckets",
     "q10_returned_items",
     "dedup_containment",
+    # round-4 additions
+    "dedup_incremental",
 ]
 
 

@@ -160,6 +160,90 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_incremental_pairs(
+    sig: DataFrame,
+    new_col: str = "is_new",
+    id_col: str = "doc_id",
+    n_bands: int = N_BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """Candidate near-dup pairs for a NEW BATCH against the full corpus
+    — the production dedup shape: a 100 TB corpus's band index is built
+    once (at scale: read from the stored index, not recomputed), and
+    each incoming batch generates candidates from ITS bands only, so
+    per-batch work is O(batch × bucket), never O(corpus).
+
+    ``sig`` is a minhash signature frame (minhash_signatures) carrying
+    a boolean ``new_col`` marking batch membership. Returns
+    ``(new_doc, partner, est_jaccard)`` where ``partner`` is an index
+    doc (any id) or an earlier batch doc (lower id) — index always
+    wins, within the batch the lower id wins, so every batch doc gets
+    a deterministic verdict and index docs are never re-judged.
+
+    Buckets are capped over the FULL band table (index + batch) before
+    the batch side splits off, identical to the oracle's QUALIFY —
+    a hot band drops for both sides alike.
+    """
+    sig = sig.persist()
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"mh_{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("bkey"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = sig.select(
+        F.col(id_col), F.col(new_col), F.explode(band_structs).alias("bk")
+    ).select(
+        id_col, new_col, F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
+    )
+    bands = cap_hot_buckets(bands, ["band", "bkey"], max_bucket, "minhash_inc_skew")
+    a, b_ = bands.where(F.col(new_col)).alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (
+                ~F.col(f"b.{new_col}")
+                | (F.col(f"b.{id_col}") < F.col(f"a.{id_col}"))
+            ),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("new_doc"),
+            F.col(f"b.{id_col}").alias("partner"),
+        )
+        .distinct()
+    )
+    n_perms = n_bands * rows_per_band
+    sa = sig.alias("sa")
+    sb = sig.alias("sb")
+    eq_sum = sum(
+        F.when(F.col(f"sa.mh_{j}") == F.col(f"sb.mh_{j}"), 1).otherwise(0)
+        for j in range(n_perms)
+    )
+    return (
+        pairs.join(sa, F.col("new_doc") == F.col(f"sa.{id_col}"))
+        .join(sb, F.col("partner") == F.col(f"sb.{id_col}"))
+        .select(
+            "new_doc",
+            "partner",
+            F.round(eq_sum / F.lit(float(n_perms)), 4).alias("est_jaccard"),
+        )
+    )
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """32-bit SimHash: per-token hash bit votes, weighted by occurrence.
 

@@ -134,6 +134,105 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 124. dedup_incremental — batch-vs-corpus dedup (the production shape)
+# --------------------------------------------------------------------------
+def _incremental_oracle(threshold: float = 0.75) -> str:
+    params = perm_params(D.N_PERMS)
+    mh_cols = ",\n        ".join(
+        f"min((x * {a} + {b}) % {MINHASH_PRIME}) AS mh_{j}"
+        for j, (a, b) in enumerate(params)
+    )
+    bands = "\n    UNION ALL\n".join(
+        "    SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS bkey FROM sig".format(
+            b=b,
+            cols=", ".join(
+                f"mh_{b * D.ROWS_PER_BAND + r}" for r in range(D.ROWS_PER_BAND)
+            ),
+        )
+        for b in range(D.N_BANDS)
+    )
+    eq = " + ".join(
+        f"(CASE WHEN sa.mh_{j} = sb.mh_{j} THEN 1 ELSE 0 END)"
+        for j in range(D.N_PERMS)
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents
+), sh AS (
+    SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle FROM toks
+), hx AS (
+    SELECT doc_id, {md5_u32_duckdb('shingle')} AS x FROM sh
+), sig AS (
+    SELECT doc_id,
+        {mh_cols}
+    FROM hx GROUP BY doc_id
+), bands AS (
+{bands}
+), capped AS (
+    -- hot-bucket guard over the FULL band table (index + batch),
+    -- mirroring operators/skew.cap_hot_buckets applied before the
+    -- batch side splits off
+    SELECT * FROM bands
+    QUALIFY count(*) OVER (PARTITION BY band, bkey) <= {D.MAX_BUCKET}
+), pairs AS (
+    -- batch doc × (any index doc | earlier batch doc)
+    SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS partner
+    FROM capped a JOIN capped b
+      ON a.band = b.band AND a.bkey = b.bkey
+     AND a.doc_id % 10 = 0
+     AND (b.doc_id % 10 <> 0 OR b.doc_id < a.doc_id)
+), conf AS (
+    SELECT p.new_doc, CAST(count(*) AS BIGINT) AS n_dup_partners
+    FROM pairs p
+    JOIN sig sa ON sa.doc_id = p.new_doc
+    JOIN sig sb ON sb.doc_id = p.partner
+    WHERE round(({eq}) / {float(D.N_PERMS)}, 4) >= {threshold}
+    GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(c.n_dup_partners, 0) AS BIGINT) AS n_dup_partners,
+       c.new_doc IS NULL AS keep
+FROM documents d LEFT JOIN conf c ON c.new_doc = d.doc_id
+WHERE d.doc_id % 10 = 0
+"""
+
+
+@register("dedup_incremental", oracle=_incremental_oracle(), tags=("llm", "dedup"))
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: judge an incoming BATCH (doc_id % 10 == 0
+    stands in for the day's crawl) against the existing corpus index +
+    earlier batch members, emitting one deterministic keep verdict per
+    batch doc. This is the operator a production pipeline actually
+    runs daily — full-corpus re-dedup at 100 TB is a non-starter; here
+    the corpus band index is built once (at scale: read from the
+    stored index) and each batch generates candidates from its own
+    bands only, so per-trigger work is O(batch × bucket). Index docs
+    always beat batch docs; within the batch the lower id wins —
+    verdicts never depend on join order. Batch docs too short to
+    shingle have no signature and trivially keep (nothing to match)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = D.minhash_signatures(docs).withColumn(
+        "is_new", F.col("doc_id") % 10 == 0
+    )
+    confident = D.minhash_incremental_pairs(sig).where(
+        F.col("est_jaccard") >= 0.75
+    )
+    verdicts = confident.groupBy("new_doc").agg(
+        F.count("*").cast("bigint").alias("n_dup_partners")
+    )
+    batch = docs.where(F.col("doc_id") % 10 == 0).select("doc_id")
+    return batch.join(
+        verdicts, batch["doc_id"] == verdicts["new_doc"], "left"
+    ).select(
+        "doc_id",
+        F.coalesce("n_dup_partners", F.lit(0)).cast("bigint").alias(
+            "n_dup_partners"
+        ),
+        F.col("new_doc").isNull().alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
 # 23. dedup_simhash
 # --------------------------------------------------------------------------
 def _simhash_oracle() -> str:

@@ -49,6 +49,7 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # they enumerate FIRST until the official record covers them.  Every other
 # query follows in registration (module-import) order.
 _ENUMERATE_FIRST: tuple[str, ...] = (
+    "dedup_incremental",  # new in r4 — no driver row yet
     "ann_filtered",
     "boilerplate_prune",
     "bucketed_join",

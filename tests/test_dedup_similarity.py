@@ -42,6 +42,65 @@ def test_minhash_identical_docs_full_agreement(spark, docs):
     assert (1, 4) not in pairs and (2, 4) not in pairs
 
 
+class TestMinhashIncremental:
+    """Batch-vs-index pairs: index always wins, lower batch id wins
+    within the batch, index docs are never judged."""
+
+    @pytest.fixture(scope="class")
+    def sig(self, spark):
+        # index: 1 (DOC), 4 (OTHER); batch: 10 (dup of index DOC),
+        # 20+30 (identical to each other, novel vs index), 40 (novel)
+        novel = (
+            "an entirely new batch document with unique vocabulary about "
+            "mountain rivers glaciers and the migration routes of birds"
+        )
+        rows = [
+            (1, DOC),
+            (4, OTHER),
+            (10, NEAR),
+            (20, novel),
+            (30, novel),
+            (40, "short words that match nothing else in this corpus at all today"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        return D.minhash_signatures(df).withColumn(
+            "is_new", F.col("doc_id") >= 10
+        )
+
+    def test_verdicts(self, spark, sig):
+        pairs = {
+            (r["new_doc"], r["partner"]): r["est_jaccard"]
+            for r in D.minhash_incremental_pairs(sig).collect()
+        }
+        # batch near-dup of an index doc is found against the index side
+        assert (10, 1) in pairs and pairs[(10, 1)] >= 0.5
+        # identical batch pair: only the HIGHER id is judged, against the lower
+        assert (30, 20) in pairs and pairs[(30, 20)] == 1.0
+        assert (20, 30) not in pairs
+        # index docs never appear on the judged side
+        assert all(nd >= 10 for nd, _ in pairs)
+        # novel batch docs match nothing
+        assert not any(nd == 40 for nd, _ in pairs)
+
+    def test_matches_full_lsh_pair_set(self, spark, sig):
+        # every incremental pair must exist in the full pair set (same
+        # bands, same caps) oriented (lo, hi); and every full pair with
+        # a batch member on the judged side must be found
+        inc = {
+            tuple(sorted((r["new_doc"], r["partner"])))
+            for r in D.minhash_incremental_pairs(sig).collect()
+        }
+        full = {
+            (r["doc_a"], r["doc_b"])
+            for r in D.minhash_lsh_pairs(sig.drop("is_new")).collect()
+        }
+        assert inc <= full
+        expected = {
+            (a, b) for a, b in full if b >= 10  # hi side is batch → judged
+        } | {(a, b) for a, b in full if a >= 10}
+        assert inc == expected
+
+
 def test_simhash_near_dup(spark, docs):
     pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in D.simhash_pairs(D.simhash(docs)).collect()}
     assert pairs[(1, 2)] == 0
