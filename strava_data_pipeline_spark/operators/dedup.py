@@ -167,6 +167,7 @@ def minhash_incremental_pairs(
     n_bands: int = N_BANDS,
     rows_per_band: int = ROWS_PER_BAND,
     max_bucket: int = MAX_BUCKET,
+    persist_sig: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs for a NEW BATCH against the full corpus
     — the production dedup shape: a 100 TB corpus's band index is built
@@ -184,8 +185,15 @@ def minhash_incremental_pairs(
     Buckets are capped over the FULL band table (index + batch) before
     the batch side splits off, identical to the oracle's QUALIFY —
     a hot band drops for both sides alike.
+
+    ``sig`` feeds the band explode and both est-jaccard joins, so it is
+    persisted here by default; callers that manage the frame's
+    lifecycle themselves (the streaming sink, which must unpersist
+    between micro-batches) pass ``persist_sig=False`` and persist
+    before the call.
     """
-    sig = sig.persist()
+    if persist_sig:
+        sig = sig.persist()
     band_structs = F.array(
         *[
             F.struct(

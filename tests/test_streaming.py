@@ -819,3 +819,77 @@ class TestSnapshotDiff:
         V.commit_snapshot(d2.withColumnRenamed("s", "t"), root)
         with _pytest.raises(ValueError):
             V.snapshot_diff(spark, root, 2, 3, key="k")
+
+
+class TestStreamingDedupIndex:
+    """Streaming minhash dedup against the versioned signature index:
+    verdicts match the batch operator's rules across micro-batches,
+    kept-dir writes are replay-idempotent, the index only ever holds
+    survivors."""
+
+    DOC = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest while the sun sets slowly behind hills"
+    )
+    NEAR = DOC.replace("green", "blue")
+    OTHER = (
+        "completely different content about spark query engines and their "
+        "catalyst optimizer rules for distributed columnar execution plans"
+    )
+
+    def _run(self, spark, landing, index_root, kept, ckpt):
+        from strava_data_pipeline_spark.streaming.dedup_index import (
+            read_doc_stream,
+            start_minhash_dedup_sink,
+        )
+
+        q = start_minhash_dedup_sink(
+            read_doc_stream(spark, landing), index_root, kept, ckpt
+        )
+        q.awaitTermination(120)
+
+    def test_cross_batch_dedup_and_replay(self, spark, tmp_path):
+        from strava_data_pipeline_spark.sources import versioned as V
+        from strava_data_pipeline_spark.streaming.dedup_index import (
+            DOC_SCHEMA,
+            read_kept_docs,
+        )
+
+        landing = str(tmp_path / "landing")
+        index_root = str(tmp_path / "index")
+        kept = str(tmp_path / "kept")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(landing)
+
+        # batch 1: 2 is an exact dup of 1 (lower id wins); 3 is novel
+        spark.createDataFrame(
+            [(1, self.DOC), (2, self.DOC), (3, self.OTHER)], DOC_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(landing)
+        self._run(spark, landing, index_root, kept, ckpt)
+        assert {
+            r["doc_id"] for r in read_kept_docs(spark, kept).collect()
+        } == {1, 3}
+
+        # batch 2: 10 near-dups an INDEX doc (dropped against history),
+        # 11 is novel, 12 is too short to shingle (trivially kept)
+        spark.createDataFrame(
+            [(10, self.NEAR), (11, "completely novel text about alpine "
+              "meadows and the seasonal migration of shepherd flocks"),
+             (12, "hi")],
+            DOC_SCHEMA,
+        ).coalesce(1).write.mode("append").parquet(landing)
+        self._run(spark, landing, index_root, kept, ckpt)
+        assert {
+            r["doc_id"] for r in read_kept_docs(spark, kept).collect()
+        } == {1, 3, 11, 12}
+
+        # index holds exactly the shingle-able survivors' signatures
+        idx = {r["doc_id"] for r in V.read_snapshot(spark, index_root).collect()}
+        assert idx == {1, 3, 11}
+        versions_before = V.committed_versions(spark, index_root)
+
+        # replay: re-run with the same checkpoint and no new files —
+        # no new version, no duplicate kept rows
+        self._run(spark, landing, index_root, kept, ckpt)
+        assert V.committed_versions(spark, index_root) == versions_before
+        assert read_kept_docs(spark, kept).count() == 4
