@@ -163,10 +163,10 @@ def main() -> None:
     # driver's contended run shares the box with other work, and a
     # uniform ~1.6x contention tax (VERDICT r3) is not a regression.
     if os.environ.get("SPARK_GRAFT_REGRESSION_GATE"):
-        raise SystemExit(gate(out["queries"]))
+        raise SystemExit(gate(out["queries"], tier2=out.get("tier2_queries")))
 
 
-def gate(timings: dict, floor_path: str | None = None) -> int:
+def gate(timings: dict, floor_path: str | None = None, tier2: dict | None = None) -> int:
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
     from bench_compare import compare
 
@@ -177,9 +177,20 @@ def gate(timings: dict, floor_path: str | None = None) -> int:
         print(f"regression gate: no floor at {floor_path}, skipping", file=sys.stderr)
         return 0
     with open(floor_path) as f:
-        floor = json.load(f)["queries"]
+        floor_doc = json.load(f)
     # 0.5s absolute cutoff: sub-second queries jitter multiplicatively
-    regressed = compare(floor, timings, ratio=1.5, min_abs_sec=0.5)
+    regressed = set(
+        compare(floor_doc["queries"], timings, ratio=1.5, min_abs_sec=0.5)
+    )
+    # tier2 (all-registry sf0.01) compares when BOTH sides carry it —
+    # the non-headline queries' only perf guard
+    if tier2 and floor_doc.get("tier2_queries"):
+        regressed |= {
+            f"tier2:{n}"
+            for n in compare(
+                floor_doc["tier2_queries"], tier2, ratio=1.5, min_abs_sec=0.5
+            )
+        }
     if regressed:
         print(f"regression gate FAILED: {sorted(regressed)}", file=sys.stderr)
         return 1

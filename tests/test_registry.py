@@ -148,6 +148,28 @@ def test_regression_gate_compare_logic(tmp_path):
     assert bench.gate({"a": 99.0}, str(tmp_path / "absent.json")) == 0
 
 
+def test_regression_gate_covers_tier2(tmp_path):
+    # tier2 (all-registry sf0.01) compares only when both the floor and
+    # the run carry it — the non-headline queries' only perf guard
+    import json
+
+    import bench
+
+    fp = tmp_path / "floor.json"
+    fp.write_text(
+        json.dumps(
+            {"queries": {"a": 10.0}, "tier2_queries": {"x": 2.0, "y": 0.1}}
+        )
+    )
+    assert bench.gate({"a": 10.0}, str(fp), tier2={"x": 4.0, "y": 0.1}) == 1
+    assert bench.gate({"a": 10.0}, str(fp), tier2={"x": 2.1, "y": 0.4}) == 0
+    assert bench.gate({"a": 10.0}, str(fp)) == 0
+    # floor without tier2 ignores the run's tier2
+    fp2 = tmp_path / "floor2.json"
+    fp2.write_text(json.dumps({"queries": {"a": 10.0}}))
+    assert bench.gate({"a": 10.0}, str(fp2), tier2={"x": 99.0}) == 0
+
+
 def test_bench_compare_tool_flags_regressions(tmp_path):
     import sys
 
