@@ -202,16 +202,22 @@ def emit(out: dict) -> None:
     """Print the one-line JSON contract AND write it to a file: the
     stdout line is what the driver parses, but a clipped capture tail
     can truncate it (r3 lost q1_pricing_summary's number that way) —
-    the file copy is the loss-proof record."""
+    the file copy is the loss-proof record. The stdout line goes FIRST
+    and the file write may not kill it: an unwritable
+    SPARK_GRAFT_BENCH_FILE must not throw away the whole run's numbers
+    after ~90s of benchmark work."""
+    print(json.dumps(out))
     local_path = os.environ.get("SPARK_GRAFT_BENCH_FILE", "BENCH_LOCAL.json")
     if not os.path.isabs(local_path):
         local_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), local_path
         )
-    with open(local_path, "w") as f:
-        json.dump(out, f)
-        f.write("\n")
-    print(json.dumps(out))
+    try:
+        with open(local_path, "w") as f:
+            json.dump(out, f)
+            f.write("\n")
+    except OSError as e:
+        print(f"bench: could not write {local_path}: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":

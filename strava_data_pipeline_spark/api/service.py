@@ -128,15 +128,19 @@ class PipelineService:
         expiry_days: int = 30,
         user_id: int | None = None,
         generate: bool = False,
+        key: str | None = None,
     ) -> str:
         """Register a new API key; ``expiry_days <= 0`` means no expiry
         (GenerateAPIKey, auth.go:39-59). ``generate=True`` mints the key
         the way the reference does (auth.go:66-75
         ``generateRandomString``): 32 random bytes, URL-safe base64 —
         unguessable, unlike the default deterministic digest which
-        exists for reproducible fixtures."""
+        exists for reproducible fixtures. An explicit ``key`` registers
+        a caller-supplied value (imports, fixtures)."""
         now = datetime.utcnow()
-        if generate:
+        if key is not None:
+            pass
+        elif generate:
             key = base64.urlsafe_b64encode(secrets.token_bytes(32)).decode()
         else:
             key = hashlib.sha256(
@@ -208,9 +212,14 @@ class PipelineService:
         invoked."""
         if not credential:
             raise PermissionError("API key required")
-        if credential.startswith("Bearer") or credential.startswith("bearer"):
-            parts = credential.split(" ")
-            if len(parts) != 2 or parts[0] != "Bearer":
+        # route on the SCHEME TOKEN, not a prefix: the auth scheme is
+        # case-insensitive (RFC 7235), so "bearer <jwt>" is a JWT — and
+        # an API key that merely STARTS with "Bearer" (no space can
+        # follow in a base64url key, but a future key alphabet might)
+        # must not be hijacked into the JWT branch and auto-rejected.
+        parts = credential.split(" ")
+        if parts[0].lower() == "bearer":
+            if len(parts) != 2 or not parts[1]:
                 raise PermissionError("Invalid authorization header format")
             try:
                 claims = self.validate_jwt(parts[1], now=now)

@@ -94,17 +94,33 @@ def _strip_comment(line: str, ln: int) -> str:
     """Drop a ``#`` comment, but only when it starts OUTSIDE a quoted
     span — a secret like ``jwt_secret: "s3#cret"`` must survive intact
     (naive ``split('#')`` truncated exactly the values this config
-    carries). A quote left unterminated after the scan raises instead
+    carries).
+
+    YAML-faithful details that matter for real values:
+    - a quote only OPENS a span at the start of a value (right after
+      ``:`` + spaces) or at line start — a mid-word apostrophe
+      (``name: o'brien``) is plain-scalar content, not an unterminated
+      quote;
+    - ``#`` only starts a comment at line start or after whitespace —
+      ``url: http://x#frag`` keeps its fragment, per YAML plain-scalar
+      rules.
+    A quote OPENED at value start but never closed still raises instead
     of silently yielding a malformed token."""
     quote: str | None = None
+    at_value_start = True  # line start (before key) or just after ':'
     for i, ch in enumerate(line):
         if quote:
             if ch == quote:
                 quote = None
-        elif ch in "\"'":
-            quote = ch
-        elif ch == "#":
+            continue
+        if ch == "#" and (i == 0 or line[i - 1] in " \t"):
             return line[:i]
+        if ch in "\"'" and at_value_start:
+            quote = ch
+        elif ch == ":":
+            at_value_start = True
+        elif ch not in " \t":
+            at_value_start = False
     if quote:
         raise ValueError(f"line {ln}: unterminated {quote} quote")
     return line

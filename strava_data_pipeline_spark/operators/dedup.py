@@ -223,6 +223,12 @@ def minhash_incremental_pairs(
             b_,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bkey") == F.col("b.bkey"))
+            # self-pairs must be excluded EXPLICITLY, not implied by the
+            # batch/index split: a crash-replayed streaming batch sees
+            # its own survivors already in the index under the same ids,
+            # and without this guard every one of them would self-match
+            # at est 1.0 and be dropped on replay (data loss)
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
             & (
                 ~F.col(f"b.{new_col}")
                 | (F.col(f"b.{id_col}") < F.col(f"a.{id_col}"))

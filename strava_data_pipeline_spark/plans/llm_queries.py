@@ -2145,7 +2145,7 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-5x on the capped-cluster pair tier. ``_spread`` lifts the
     single-split small-file scan to core-count partitions (no-op on a
     real cluster's multi-split scans)."""
-    e = D._spread(load_table(spark, sf_dir, "embeddings"))
+    e = spread_small_scan(load_table(spark, sf_dir, "embeddings"))
     q = e.select(
         "vec_id",
         F.transform(
@@ -2164,15 +2164,10 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cap the blocking key BEFORE pair generation, like every other
     # pair-join in the repo (dedup.py, similarity.py): members of a
     # hotter-than-cap cluster skip pruning instead of melting a reducer
-    def norm(c):
-        return F.sqrt(
-            F.aggregate(
-                F.transform(c, lambda t: t * t), F.lit(0.0), lambda acc, t: acc + t
-            )
-        )
-
     av = cap_hot_buckets(assigned.join(v, "vec_id"), ["cid"], _SEM_CAP)
-    av = av.withColumn("nv", norm(F.col("v")))
+    # shared V.norm/V.dot: the fold order and divisor order ARE the
+    # cross-engine contract — one spelling, not per-query copies
+    av = av.withColumn("nv", V.norm(F.col("v")))
     x = av.select(
         F.col("cid"),
         F.col("vec_id").alias("va"),
@@ -2185,12 +2180,9 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("xb"),
         F.col("nv").alias("nb"),
     )
-    dot = F.aggregate(
-        F.zip_with("xa", "xb", lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, t: acc + t,
+    score = F.round(
+        V.dot(F.col("xa"), F.col("xb")) / (F.col("na") * F.col("nb")), 6
     )
-    score = F.round(dot / (F.col("na") * F.col("nb")), 6)
     drops = (
         x.join(y, "cid")
         .where(F.col("va") < F.col("vb"))

@@ -40,7 +40,16 @@ def _part_token(val) -> str:
     sanitize identically (``a/b`` vs ``a_b``) can never collapse to
     one manifest entry and silently overwrite each other's rows.
     ``None`` maps to a reserved token (and the literal string that
-    collides with it is hash-disambiguated)."""
+    collides with it is hash-disambiguated).
+
+    FORMAT NOTE (r4): the hash suffix changed the token for values that
+    REQUIRE sanitizing. Date/int partitions — every store this repo
+    writes — are unaffected (their tokens are the clean form, byte-
+    identical to pre-r4). A pre-r4 store that used unsafe STRING
+    partition values would resolve those partitions to new tokens and
+    must be rewritten once (read_snapshot → commit) before further
+    partitioned commits; committing blind would orphan the old entry
+    and duplicate its rows in read_snapshot's union."""
     if val is None:
         return _NULL_TOKEN
     s = str(val)

@@ -109,8 +109,13 @@ def start_minhash_dedup_sink(
         new_kept_sigs = sig_new.drop("is_new").join(
             F.broadcast(kept.select("doc_id")), "doc_id", "left_semi"
         )
+        # dropDuplicates on the id: a crash-replayed batch's survivors
+        # are ALREADY in the index — the union must re-merge them as a
+        # no-op by value, not grow a second signature row per doc
         kept_sigs = (
-            index.unionByName(new_kept_sigs) if index is not None else new_kept_sigs
+            index.unionByName(new_kept_sigs).dropDuplicates(["doc_id"])
+            if index is not None
+            else new_kept_sigs
         )
         commit_snapshot(kept_sigs, index_root)
         mark_batch(spark, index_root, batch_id)

@@ -129,8 +129,22 @@ def start_versioned_sink(
             if base is None:
                 base = b.limit(0)
             merged = merge_latest_wins(base, b, keys=[key], order_by=[ts_col])
+            # a partition a moved key VACATED can end up with zero rows
+            # after the merge: it must be DROPPED from the manifest, not
+            # written as an empty dir the next partition-pruned read
+            # chokes on (no part files → parquet schema inference fails).
+            # One O(#touched-days) collect, same cost class as `touched`.
+            present = {
+                _part_token(r[0])
+                for r in merged.select(partition_col).distinct().collect()
+            }
+            emptied = [v for v in touched if _part_token(v) not in present]
             commit_snapshot_partitioned(
-                merged, store_root, partition_col, part_values=touched
+                merged,
+                store_root,
+                partition_col,
+                part_values=[v for v in touched if _part_token(v) in present],
+                drop_part_values=emptied,
             )
         mark_batch(spark, store_root, batch_id)
 

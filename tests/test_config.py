@@ -95,3 +95,21 @@ def test_fallback_parser_quoted_hash_survives():
 def test_fallback_parser_unterminated_quote_raises():
     with pytest.raises(ValueError, match="unterminated"):
         _parse_simple_yaml('auth:\n  jwt_secret: "s3#cret\n')
+
+
+def test_fallback_parser_midvalue_apostrophe_is_plain_scalar():
+    # a quote only OPENS a span at value start: an unquoted value with
+    # one apostrophe (o'brien) is plain-scalar content, not an
+    # unterminated-quote error
+    parsed = _parse_simple_yaml("auth:\n  owner: o'brien's run\n")
+    assert parsed["auth"]["owner"] == "o'brien's run"
+
+
+def test_fallback_parser_hash_needs_preceding_whitespace():
+    # YAML plain-scalar rule: '#' glued to the value is data, '#' after
+    # whitespace is a comment
+    parsed = _parse_simple_yaml(
+        "strava:\n  redirect: http://x/y#frag\n  name: abc # trailing\n"
+    )
+    assert parsed["strava"]["redirect"] == "http://x/y#frag"
+    assert parsed["strava"]["name"] == "abc"

@@ -589,6 +589,48 @@ class TestPartitionedVersionedSink:
         assert m2["2024-01-01"].startswith("seg/v2/")
         assert m2["2024-01-04"] == m1["2024-01-04"]
 
+    def test_vacated_day_is_dropped_not_emptied(self, spark, dirs):
+        # a day whose ONLY key moves away must leave the manifest, not
+        # become an empty dir (no part files) that kills the next
+        # partition-pruned read with a parquet schema-inference error
+        from strava_data_pipeline_spark.sources import versioned as V
+
+        landing, target, ckpt = dirs
+        store = target + "_pstore"
+        _write_batch(
+            spark,
+            landing,
+            [
+                (1, datetime(2024, 1, 1, 23, 0), 7, "run", 5.0),
+                (2, datetime(2024, 1, 2, 10, 0), 7, "run", 6.0),
+            ],
+        )
+        self._start(spark, landing, store, ckpt)
+        # event 1 was Jan 1's ONLY row; the correction moves it to Jan 2
+        _write_batch(
+            spark, landing, [(1, datetime(2024, 1, 2, 1, 0), 7, "run", 9.0)]
+        )
+        self._start(spark, landing, store, ckpt)
+
+        m2 = V.read_manifest(spark, store, 2)
+        assert "2024-01-01" not in m2, "vacated day left in the manifest"
+        rows = {
+            r["event_id"]: (r["value"], str(r["day"]))
+            for r in V.read_snapshot(spark, store).collect()
+        }
+        assert rows == {1: (9.0, "2024-01-02"), 2: (6.0, "2024-01-02")}
+        # a partition-pruned read of the vacated day must be a clean
+        # miss (None), not an AnalysisException on an empty dir
+        from datetime import date
+
+        assert V.read_snapshot_parts(spark, store, [date(2024, 1, 1)]) is None
+        # time travel still sees the pre-move layout
+        v1 = {
+            r["event_id"]: str(r["day"])
+            for r in V.read_snapshot(spark, store, version=1).collect()
+        }
+        assert v1 == {1: "2024-01-01", 2: "2024-01-02"}
+
     def test_replay_is_idempotent(self, spark, dirs):
         from strava_data_pipeline_spark.sources import versioned as V
 
@@ -893,3 +935,24 @@ class TestStreamingDedupIndex:
         self._run(spark, landing, index_root, kept, ckpt)
         assert V.committed_versions(spark, index_root) == versions_before
         assert read_kept_docs(spark, kept).count() == 4
+
+        # crash replay: index committed but batch marker lost (the
+        # crash window between commit_snapshot and mark_batch). The
+        # replayed batch sees ITS OWN survivors already in the index
+        # under the same ids — they must NOT self-match at est 1.0 and
+        # vanish from the kept dir.
+        fs, jvm = V._fs(spark, index_root)
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(f"{index_root}/_batch_1.committed"),
+            False,
+        )
+        self._run(spark, landing, index_root, kept, ckpt + "_replay")
+        assert {
+            r["doc_id"] for r in read_kept_docs(spark, kept).collect()
+        } == {1, 3, 11, 12}, "crash replay dropped its own survivors"
+        idx_rows = [
+            r["doc_id"] for r in V.read_snapshot(spark, index_root).collect()
+        ]
+        assert sorted(idx_rows) == [1, 3, 11], (
+            "replay duplicated or lost index signatures"
+        )

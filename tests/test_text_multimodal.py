@@ -241,6 +241,16 @@ class TestAuthMiddleware:
         svc = PipelineService(spark, sf_dir)
         token = svc.generate_jwt(42)
         assert svc.authorized_call(f"Bearer {token}", lambda uid: uid) == 42
+        # the scheme token is case-insensitive (RFC 7235)
+        assert svc.authorized_call(f"bearer {token}", lambda uid: uid) == 42
+
+    def test_bearer_prefixed_api_key_routes_to_key_path(self, spark, sf_dir):
+        # a credential merely STARTING with "Bearer" (no space) is an
+        # API key, not a malformed JWT header
+        svc = PipelineService(spark, sf_dir)
+        key = "Bearer-shaped-key-value"
+        svc.create_api_key("mw", expiry_days=30, user_id=7, key=key)
+        assert svc.authorized_call(key, lambda uid: ("ran", uid)) == ("ran", None)
 
     def test_jwt_rejections(self, spark, sf_dir):
         svc = PipelineService(spark, sf_dir)
