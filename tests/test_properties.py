@@ -204,3 +204,53 @@ def test_cdf_fold_equals_recompute(spark, v1, v2):
     assert {key(r): (r["n_events"], r["value_cents"]) for r in inc.collect()} == {
         key(r): (r["n_events"], r["value_cents"]) for r in full.collect()
     }
+
+
+_vocab = ["alpha", "brown", "cedar", "delta", "ember", "frost", "grove", "haze"]
+_doc_texts = st.lists(
+    st.lists(st.sampled_from(_vocab), min_size=3, max_size=8).map(" ".join),
+    min_size=2,
+    max_size=8,
+)
+
+
+@given(texts=_doc_texts, batch_mask=st.integers(min_value=1, max_value=255))
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_incremental_pairs_equal_batch_slice_of_full(spark, texts, batch_mask):
+    """minhash_incremental_pairs must find EXACTLY the batch-involving
+    slice of the full LSH pair set (same bands, same caps, same est):
+    oriented (judged=new_doc, partner), index wins, lower id wins
+    in-batch, never a self-pair — for arbitrary corpora and arbitrary
+    batch membership."""
+    from pyspark.sql import functions as F
+
+    from strava_data_pipeline_spark.operators.dedup import (
+        minhash_incremental_pairs,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    is_new = {i: bool((batch_mask >> (i % 8)) & 1) for i, _ in rows}
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sig = minhash_signatures(df)
+    sig_flagged = sig.withColumn(
+        "is_new",
+        F.col("doc_id").isin([i for i, v in is_new.items() if v]),
+    )
+    inc = {
+        (r["new_doc"], r["partner"]): r["est_jaccard"]
+        for r in minhash_incremental_pairs(sig_flagged).collect()
+    }
+    full = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(sig).collect()
+    }
+    expected = {}
+    for (a, b), est in full.items():  # a < b by construction
+        if is_new[b]:
+            expected[(b, a)] = est  # judged against lower id / index
+        elif is_new[a]:
+            expected[(a, b)] = est  # judged against an index partner
+    assert inc == expected
+    assert all(j != p for j, p in inc)
