@@ -92,12 +92,27 @@ def commit_snapshot(df: DataFrame, root: str) -> int:
     writers are not arbitrated here — at cluster scale wrap the marker
     step in a lock service or use a transactional table format; the
     single-writer / many-readers contract matches the reference's one
-    sync job (internal/strava/strava.go:261)."""
+    sync job (internal/strava/strava.go:261).
+
+    ``mode("overwrite")``, NOT ``mode("error")``: a crash after the
+    data write but before the marker leaves ``v=N`` on disk while
+    ``current_version`` still says N-1 — the replay recomputes the SAME
+    version number and must be able to redo the half-written dir, or
+    the store is wedged forever (every retry fails path-exists). The
+    dir is invisible until the marker exists, so overwriting it is
+    race-free under the single-writer contract. A stale ORPHAN MANIFEST
+    at this version (a crashed partitioned commit that got as far as
+    its manifest write) is deleted for the same reason: read_snapshot
+    prefers the manifest, which would otherwise shadow this full
+    snapshot with the crashed commit's partial data."""
     spark = df.sparkSession
     ver = (current_version(spark, root) or 0) + 1
     data_dir = f"{root}/v={ver}"
-    df.write.mode("error").parquet(data_dir)
+    df.write.mode("overwrite").parquet(data_dir)
     fs, jvm = _fs(spark, root)
+    orphan = _manifest_path(jvm, root, ver)
+    if fs.exists(orphan):
+        fs.delete(orphan, False)
     marker = jvm.org.apache.hadoop.fs.Path(f"{root}/_v_{ver}.committed")
     fs.create(marker, False).close()
     return ver
@@ -254,6 +269,13 @@ def read_snapshot_parts(
         return None
     if version is None:
         version = versions[-1]
+    elif version not in versions:
+        # same contract as read_snapshot: an uncommitted version number
+        # must never resolve — a crashed partitioned commit can leave an
+        # orphan manifest whose data dirs were never published
+        raise FileNotFoundError(
+            f"snapshot version {version} not committed under {root}"
+        )
     manifest = read_manifest(spark, root, version)
     if manifest is None:
         raise ValueError(
@@ -298,22 +320,40 @@ def vacuum(spark: SparkSession, root: str, keep_last: int = 2) -> list[int]:
     return victims
 
 
-def batch_committed(spark: SparkSession, root: str, batch_id: int) -> bool:
+def _batch_marker(root: str, batch_id: int, app_id: str | None) -> str:
+    prefix = f"_batch_{_part_token(app_id)}_" if app_id else "_batch_"
+    return f"{root}/{prefix}{batch_id}.committed"
+
+
+def batch_committed(
+    spark: SparkSession, root: str, batch_id: int, app_id: str | None = None
+) -> bool:
     """Whether a streaming micro-batch id has already been applied to
     this store (see :func:`mark_batch`)."""
     fs, jvm = _fs(spark, root)
-    return fs.exists(jvm.org.apache.hadoop.fs.Path(f"{root}/_batch_{batch_id}.committed"))
+    return fs.exists(
+        jvm.org.apache.hadoop.fs.Path(_batch_marker(root, batch_id, app_id))
+    )
 
 
-def mark_batch(spark: SparkSession, root: str, batch_id: int) -> None:
+def mark_batch(
+    spark: SparkSession, root: str, batch_id: int, app_id: str | None = None
+) -> None:
     """Record that micro-batch ``batch_id`` is fully applied. Written
     AFTER the snapshot marker: a crash between the two replays the
     batch on restart, and the replay sees ``batch_committed`` False and
     re-merges — latest-wins merging makes the replay idempotent, so the
-    store converges to exactly-once contents either way."""
+    store converges to exactly-once contents either way.
+
+    ``app_id`` scopes the marker to one logical stream (Delta's
+    txnAppId idea): batch ids restart at 0 under a fresh checkpoint, so
+    WITHOUT an app id, re-pointing a rebuilt stream at an existing
+    store would find the old run's ``_batch_0`` marker and silently
+    skip its first batches. Sinks pass their checkpoint-stable identity
+    here; ``None`` keeps the legacy single-stream marker name."""
     fs, jvm = _fs(spark, root)
     fs.create(
-        jvm.org.apache.hadoop.fs.Path(f"{root}/_batch_{batch_id}.committed"), False
+        jvm.org.apache.hadoop.fs.Path(_batch_marker(root, batch_id, app_id)), False
     ).close()
 
 

@@ -141,6 +141,14 @@ def refresh_rollup_from_store(
     delta. First refresh bootstraps with one full recompute of the
     current snapshot; every later refresh costs O(changes between
     versions) + the rollup read.
+
+    Vacuum resilience: if the last-consumed store version (or the
+    rollup base it pairs with) has been vacuumed away while the rollup
+    lagged, the refresh falls back to one full recompute of the current
+    snapshot instead of raising forever — the lakehouse equivalent of a
+    CDC consumer whose log retention expired re-seeding from a
+    snapshot. Keep ``vacuum(keep_last=...)`` deeper than the longest
+    expected consumer lag to stay on the O(changes) path.
     """
     from strava_data_pipeline_spark.sources import versioned as V
 
@@ -150,15 +158,20 @@ def refresh_rollup_from_store(
     last = _last_consumed(spark, rollup_root)
     if last is not None and last[0] >= cur:
         return None
-    if last is None:
-        new_rollup = events_rollup_of(V.read_snapshot(spark, store_root, cur))
-    else:
+    new_rollup = None
+    if last is not None:
         store_v, rollup_v = last
-        base = V.read_snapshot(spark, rollup_root, version=rollup_v)
-        delta = rollup_delta_from_cdf(
-            V.snapshot_diff(spark, store_root, store_v, cur, key=key)
-        )
-        new_rollup = apply_rollup_delta(base, delta)
+        if store_v in V.committed_versions(
+            spark, store_root
+        ) and rollup_v in V.committed_versions(spark, rollup_root):
+            base = V.read_snapshot(spark, rollup_root, version=rollup_v)
+            delta = rollup_delta_from_cdf(
+                V.snapshot_diff(spark, store_root, store_v, cur, key=key)
+            )
+            new_rollup = apply_rollup_delta(base, delta)
+    if new_rollup is None:
+        # bootstrap OR re-seed after vacuum outran the consumer
+        new_rollup = events_rollup_of(V.read_snapshot(spark, store_root, cur))
     rollup_v_new = V.commit_snapshot(new_rollup, rollup_root)
     fs, jvm = V._fs(spark, rollup_root)
     fs.create(

@@ -68,6 +68,7 @@ def start_minhash_dedup_sink(
     kept_dir: str,
     checkpoint_dir: str,
     threshold: float = 0.75,
+    app_id: str | None = None,
 ) -> StreamingQuery:
     """Stream → (kept docs, signature index). Each micro-batch:
 
@@ -83,7 +84,7 @@ def start_minhash_dedup_sink(
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        if batch_committed(spark, index_root, batch_id):
+        if batch_committed(spark, index_root, batch_id, app_id=app_id):
             return
         batch = batch.persist()
         sig_new = minhash_signatures(batch).withColumn("is_new", F.lit(True))
@@ -118,7 +119,7 @@ def start_minhash_dedup_sink(
             else new_kept_sigs
         )
         commit_snapshot(kept_sigs, index_root)
-        mark_batch(spark, index_root, batch_id)
+        mark_batch(spark, index_root, batch_id, app_id=app_id)
         sig_all.unpersist()
         batch.unpersist()
 

@@ -20,24 +20,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def attribute_to_prior_event(
+def _attribution_join(
     lead: DataFrame,
     follow: DataFrame,
-    *,
-    max_delay: str = "30 minutes",
-    watermark: str = "1 hour",
-    key: str = "user_id",
+    how: str,
+    max_delay: str,
+    watermark: str,
+    key: str,
 ) -> DataFrame:
-    """Join each ``follow`` event to ``lead`` events of the same key
-    that happened within ``(follow.ts - max_delay, follow.ts]``.
-
-    Both inputs are streaming frames with ``ts`` event time. Watermarks
-    on BOTH sides plus the range conjunct bound the buffered state to
-    ``watermark + max_delay`` of history per side; late rows beyond the
-    watermark drop (counted by the sink's metrics, not silently
-    corrupting attribution). Inner semantics: unattributed follows are
-    the anti-side and stay queryable from the raw stream.
-    """
+    """Shared plan for both attribution variants: the projections, the
+    key + time-range conjunct, and the output shape must stay identical
+    between the inner and left-outer feeds — one spelling here keeps a
+    condition fix from silently giving the two feeds different
+    semantics."""
     l = (
         lead.withWatermark("ts", watermark)
         .select(
@@ -62,7 +57,7 @@ def attribute_to_prior_event(
         & (F.col("lead_ts") <= F.col("follow_ts"))
         & (F.col("lead_ts") >= F.col("follow_ts") - F.expr(f"interval {max_delay}"))
     )
-    return f.join(l, cond, "inner").select(
+    return f.join(l, cond, how).select(
         F.col("f_key").alias("user_id"),
         "follow_id",
         "follow_type",
@@ -72,6 +67,27 @@ def attribute_to_prior_event(
         "lead_type",
         "lead_ts",
     )
+
+
+def attribute_to_prior_event(
+    lead: DataFrame,
+    follow: DataFrame,
+    *,
+    max_delay: str = "30 minutes",
+    watermark: str = "1 hour",
+    key: str = "user_id",
+) -> DataFrame:
+    """Join each ``follow`` event to ``lead`` events of the same key
+    that happened within ``(follow.ts - max_delay, follow.ts]``.
+
+    Both inputs are streaming frames with ``ts`` event time. Watermarks
+    on BOTH sides plus the range conjunct bound the buffered state to
+    ``watermark + max_delay`` of history per side; late rows beyond the
+    watermark drop (counted by the sink's metrics, not silently
+    corrupting attribution). Inner semantics: unattributed follows are
+    the anti-side and stay queryable from the raw stream.
+    """
+    return _attribution_join(lead, follow, "inner", max_delay, watermark, key)
 
 
 def attribute_with_unmatched(
@@ -94,37 +110,6 @@ def attribute_with_unmatched(
     inherent to correctness, not a perf bug; the state bound stays
     ``watermark + max_delay`` per side, same as the inner join.
     """
-    l = (
-        lead.withWatermark("ts", watermark)
-        .select(
-            F.col(key).alias("l_key"),
-            F.col("ts").alias("lead_ts"),
-            F.col("event_id").alias("lead_id"),
-            F.col("event_type").alias("lead_type"),
-        )
-    )
-    f = (
-        follow.withWatermark("ts", watermark)
-        .select(
-            F.col(key).alias("f_key"),
-            F.col("ts").alias("follow_ts"),
-            F.col("event_id").alias("follow_id"),
-            F.col("event_type").alias("follow_type"),
-            F.col("value").alias("follow_value"),
-        )
-    )
-    cond = (
-        (F.col("f_key") == F.col("l_key"))
-        & (F.col("lead_ts") <= F.col("follow_ts"))
-        & (F.col("lead_ts") >= F.col("follow_ts") - F.expr(f"interval {max_delay}"))
-    )
-    return f.join(l, cond, "left_outer").select(
-        F.col("f_key").alias("user_id"),
-        "follow_id",
-        "follow_type",
-        "follow_ts",
-        "follow_value",
-        "lead_id",
-        "lead_type",
-        "lead_ts",
+    return _attribution_join(
+        lead, follow, "left_outer", max_delay, watermark, key
     )

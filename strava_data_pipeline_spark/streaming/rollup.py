@@ -22,7 +22,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from strava_data_pipeline_spark.streaming.sync import _hadoop_path_exists
+from strava_data_pipeline_spark.streaming.sync import (
+    _hadoop_path_exists,
+    _hadoop_touch,
+    day_filter,
+)
 
 
 def start_rollup_maintenance(
@@ -31,11 +35,25 @@ def start_rollup_maintenance(
     checkpoint_dir: str,
 ):
     """Maintain a (p_day, event_type) → (n_events, total_value) rollup
-    from the event stream, exactly-once per micro-batch (foreachBatch
-    runs under the stream's checkpointed batch id)."""
+    from the event stream.
+
+    Replay guard: an additive fold is NOT value-idempotent (latest-wins
+    merges are; sums are not), so each applied batch leaves a
+    ``_batch_<id>.applied`` marker in the rollup dir (underscore prefix
+    — invisible to the parquet reader) and a replayed batch id is
+    skipped. This closes foreachBatch's common at-least-once window
+    (batch applied, checkpoint offset not yet committed). The residual
+    window — a crash BETWEEN the partition overwrite and the marker —
+    would still double-apply on replay; a deployment that cannot accept
+    that uses streaming/cdf.py::refresh_rollup_from_store, whose
+    consumed-version marker commits atomically AFTER the rollup
+    snapshot and therefore re-folds instead of re-adding."""
 
     def merge_rollup(batch: DataFrame, batch_id: int) -> None:
         sess = batch.sparkSession
+        marker = f"{rollup_dir}/_batch_{batch_id}.applied"
+        if _hadoop_path_exists(sess, marker):
+            return
         delta = (
             batch.groupBy(
                 F.to_date("ts").alias("p_day"), F.col("event_type")
@@ -50,7 +68,7 @@ def start_rollup_maintenance(
         if _hadoop_path_exists(sess, rollup_dir):
             base = (
                 sess.read.parquet(rollup_dir)
-                .where(F.col("p_day").isin(days))
+                .where(day_filter("p_day", days))
                 .select("p_day", "event_type", "n_events", "total_value")
             )
             merged = (
@@ -71,6 +89,7 @@ def start_rollup_maintenance(
             .partitionBy("p_day")
             .parquet(rollup_dir)
         )
+        _hadoop_touch(sess, marker)
 
     return (
         stream.writeStream.foreachBatch(merge_rollup)

@@ -69,12 +69,24 @@ def track_sessions(stream: DataFrame, timeout_minutes: int = 30) -> DataFrame:
             state.get if state.exists else (0, 0.0, None, None)
         )
         for pdf in pdfs:
+            # a null ts carries no event time: it can't place the event
+            # in a session, and NaT.astype(int64) either raises (pandas
+            # >=1.x) or yields a year-1677 sentinel — drop such rows
+            # instead of crash-looping the query on replay
+            pdf = pdf[pdf["ts"].notna()]
+            if pdf.empty:
+                continue
             ts_us = pdf["ts"].astype("int64") // 1000
             n += len(pdf)
             total += float(pdf["value"].sum())
             lo, hi = int(ts_us.min()), int(ts_us.max())
             start_us = lo if start_us is None else min(start_us, lo)
             end_us = hi if end_us is None else max(end_us, hi)
+        if n == 0:
+            # the whole group was null-ts rows: no event time, no
+            # session — leaving no state avoids a timeout later trying
+            # to build timestamps from None
+            return
         state.update((n, total, start_us, end_us))
         state.setTimeoutDuration(timeout_minutes * 60 * 1000)
         yield pd.DataFrame(

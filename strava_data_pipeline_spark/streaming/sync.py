@@ -75,6 +75,27 @@ def _hadoop_path_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(hpath))
 
 
+def _hadoop_touch(spark, path: str) -> None:
+    """Create an empty marker file through the Hadoop FileSystem API."""
+    hpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.create(hpath, True).close()
+
+
+def day_filter(col: str, days: list) -> F.Column:
+    """Null-safe membership filter for a partition-day list: ``isin``
+    never matches NULL, so a batch containing a null-ts event (p_day
+    NULL, stored under Hive's default partition) would silently exclude
+    the stored NULL-day rows from the merge base — and the dynamic
+    overwrite would then replace that partition with the batch's rows
+    alone, losing history."""
+    non_null = [d for d in days if d is not None]
+    cond = F.col(col).isin(non_null) if non_null else F.lit(False)
+    if any(d is None for d in days):
+        cond = cond | F.col(col).isNull()
+    return cond
+
+
 def start_incremental_sync(
     stream: DataFrame,
     target_dir: str,
@@ -101,7 +122,7 @@ def start_incremental_sync(
             # partition-pruned read: only the days this batch touches
             base = (
                 sess.read.parquet(target_dir)
-                .where(F.col("p_day").isin(days))
+                .where(day_filter("p_day", days))
                 .select(*data_cols, "p_day")
             )
             # eager localCheckpoint materializes the (batch-bounded)

@@ -54,6 +54,7 @@ def start_versioned_sink(
     ts_col: str = "ts",
     partition_col: str | None = None,
     partition_immutable: bool = False,
+    app_id: str | None = None,
 ) -> StreamingQuery:
     """Stream → versioned store: each micro-batch merges latest-wins
     into the current snapshot and publishes the result as the next
@@ -80,11 +81,17 @@ def start_versioned_sink(
     an immutable function of the key (ingest-once event time) set
     ``partition_immutable=True`` to skip the detection scan entirely;
     at larger scale the upgrade path is a hash-bucketed key locator
-    index, which replaces the scan with O(batch-buckets) reads."""
+    index, which replaces the scan with O(batch-buckets) reads.
+
+    ``app_id`` scopes the replay markers to this logical stream
+    (sources/versioned.py::mark_batch): set it whenever more than one
+    stream may ever write the store, or a rebuilt checkpoint restarts
+    batch ids at 0 — a stale same-numbered marker from the old run
+    would otherwise silently swallow the new stream's first batches."""
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        if batch_committed(spark, store_root, batch_id):
+        if batch_committed(spark, store_root, batch_id, app_id=app_id):
             return
         if partition_col is None:
             if current_version(spark, store_root) is None:
@@ -146,7 +153,7 @@ def start_versioned_sink(
                 part_values=[v for v in touched if _part_token(v) in present],
                 drop_part_values=emptied,
             )
-        mark_batch(spark, store_root, batch_id)
+        mark_batch(spark, store_root, batch_id, app_id=app_id)
 
     return (
         stream.writeStream.foreachBatch(apply_batch)

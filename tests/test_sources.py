@@ -368,3 +368,77 @@ class TestEraseKeys:
         audit = V.erase_keys(spark, root, "user_id", [7])
         assert audit["version"] == 2 and audit["rows_erased"] == 2
         assert [r["event_id"] for r in V.read_snapshot(spark, root).collect()] == [2]
+
+
+class TestCrashRecoveryPaths:
+    """Review-found crash windows in the versioned store (r4)."""
+
+    def test_commit_after_half_written_dir_recovers(self, spark, tmp_path):
+        # crash AFTER the v=N data write, BEFORE the marker: the replay
+        # recomputes the SAME version number and must be able to redo
+        # the dir — mode('error') would wedge the store forever
+        from strava_data_pipeline_spark.sources import versioned as V
+
+        root = str(tmp_path / "tbl")
+        V.commit_snapshot(
+            spark.createDataFrame([(1, "a")], "k long, s string"), root
+        )
+        # simulate the half-written v=2: data lands, no marker
+        spark.createDataFrame([(9, "halfway")], "k long, s string").write.parquet(
+            f"{root}/v=2"
+        )
+        assert V.current_version(spark, root) == 1
+        ver = V.commit_snapshot(
+            spark.createDataFrame([(2, "b")], "k long, s string"), root
+        )
+        assert ver == 2
+        rows = {r["k"] for r in V.read_snapshot(spark, root).collect()}
+        assert rows == {2}, "replayed commit must supersede the crashed dir"
+
+    def test_orphan_manifest_cannot_shadow_full_snapshot(self, spark, tmp_path):
+        # a partitioned commit that crashed after its manifest write
+        # leaves _v_N.manifest with no marker; a later FULL snapshot at
+        # N must not be shadowed by the crashed commit's partial data
+        from strava_data_pipeline_spark.sources import versioned as V
+
+        root = str(tmp_path / "tbl")
+        V.commit_snapshot(
+            spark.createDataFrame([(1, "a")], "k long, s string"), root
+        )
+        spark.createDataFrame([(9, "crashed")], "k long, s string").write.parquet(
+            f"{root}/seg/v2/oldpart"
+        )
+        V._write_manifest(spark, root, 2, {"oldpart": "seg/v2/oldpart"})
+        ver = V.commit_snapshot(
+            spark.createDataFrame([(2, "b")], "k long, s string"), root
+        )
+        assert ver == 2
+        rows = {r["k"] for r in V.read_snapshot(spark, root, version=2).collect()}
+        assert rows == {2}, "orphan manifest shadowed the committed snapshot"
+
+    def test_read_snapshot_parts_rejects_uncommitted_version(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from strava_data_pipeline_spark.sources import versioned as V
+
+        root = str(tmp_path / "tbl")
+        df = spark.createDataFrame(
+            [(1, "2024-01-01")], "k long, d string"
+        ).withColumn("d", F.to_date("d"))
+        V.commit_snapshot_partitioned(df, root, "d")
+        V._write_manifest(spark, root, 2, {"x": "seg/v2/x"})  # orphan
+        with _pytest.raises(FileNotFoundError):
+            V.read_snapshot_parts(
+                spark, root, [None], version=2
+            )
+
+    def test_batch_markers_scoped_by_app_id(self, spark, tmp_path):
+        from strava_data_pipeline_spark.sources import versioned as V
+
+        root = str(tmp_path / "tbl")
+        spark.createDataFrame([(1,)], "k long").write.parquet(f"{root}/v=0x")
+        V.mark_batch(spark, root, 0, app_id="old-run")
+        assert V.batch_committed(spark, root, 0, app_id="old-run")
+        # a NEW stream identity restarting at batch 0 is NOT blocked
+        assert not V.batch_committed(spark, root, 0, app_id="new-run")
+        assert not V.batch_committed(spark, root, 0)

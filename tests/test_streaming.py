@@ -956,3 +956,133 @@ class TestStreamingDedupIndex:
         assert sorted(idx_rows) == [1, 3, 11], (
             "replay duplicated or lost index signatures"
         )
+
+
+class TestReviewHardening:
+    """r4 review findings: null-day merges, rollup replay, stateful
+    null-ts, vacuumed-consumer fallback."""
+
+    def _sync(self, spark, landing, target, ckpt):
+        from strava_data_pipeline_spark.streaming.sync import (
+            read_event_stream,
+            start_incremental_sync,
+        )
+
+        q = start_incremental_sync(read_event_stream(spark, landing), target, ckpt)
+        q.awaitTermination(120)
+
+    def test_null_ts_day_rows_survive_later_null_batches(self, spark, dirs):
+        # isin() never matches NULL: without the null-safe day filter, a
+        # second batch containing a null-ts event would overwrite the
+        # NULL-day partition with only its own rows
+        landing, target, ckpt = dirs
+        _write_batch(
+            spark,
+            landing,
+            [
+                (1, None, 7, "run", 5.0),
+                (2, datetime(2024, 1, 1, 10), 7, "ride", 6.0),
+            ],
+        )
+        self._sync(spark, landing, target, ckpt)
+        _write_batch(spark, landing, [(3, None, 8, "swim", 1.0)])
+        self._sync(spark, landing, target, ckpt)
+        rows = {r["event_id"] for r in spark.read.parquet(target).collect()}
+        assert rows == {1, 2, 3}, "stored NULL-day rows were lost"
+
+    def test_rollup_replay_marker_prevents_double_count(self, spark, dirs):
+        from strava_data_pipeline_spark.streaming.rollup import (
+            start_rollup_maintenance,
+        )
+        from strava_data_pipeline_spark.streaming.sync import read_event_stream
+
+        landing, target, ckpt = dirs
+        _write_batch(
+            spark, landing, [(1, datetime(2024, 1, 1, 10), 7, "run", 5.0)]
+        )
+        q = start_rollup_maintenance(
+            read_event_stream(spark, landing), target, ckpt
+        )
+        q.awaitTermination(120)
+        # fresh checkpoint re-delivers batch 0: the additive fold is NOT
+        # value-idempotent, so only the applied-marker stops +5.0 again
+        q = start_rollup_maintenance(
+            read_event_stream(spark, landing), target, ckpt + "_replay"
+        )
+        q.awaitTermination(120)
+        rows = spark.read.parquet(target).collect()
+        assert len(rows) == 1
+        assert rows[0]["n_events"] == 1 and rows[0]["total_value"] == 5.0
+
+    def test_stateful_sessions_ignore_null_ts(self, spark, dirs):
+        from strava_data_pipeline_spark.streaming.stateful import track_sessions
+        from strava_data_pipeline_spark.streaming.sync import read_event_stream
+
+        landing, _, ckpt = dirs
+        _write_batch(
+            spark,
+            landing,
+            [
+                (1, datetime(2024, 1, 1, 10, 0), 7, "run", 5.0),
+                (2, None, 7, "run", 3.0),   # no event time: dropped
+                (3, None, 99, "ride", 1.0),  # whole group null: no state
+            ],
+        )
+        sessions = track_sessions(read_event_stream(spark, landing))
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName("null_ts_sessions")
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # availableNow closes before the processing-time timeout fires,
+        # so no rows emit — the assertion is that NaT didn't crash the
+        # batch (pre-fix: ValueError in astype int64 fails the query)
+        assert spark.table("null_ts_sessions").count() == 0
+
+    def test_cdf_refresh_reseeds_after_vacuum(self, spark, dirs):
+        from strava_data_pipeline_spark.sources import versioned as V
+        from strava_data_pipeline_spark.streaming.cdf import (
+            events_rollup_of,
+            refresh_rollup_from_store,
+        )
+
+        landing, target, ckpt = dirs
+        store, rollup = target + "_store", target + "_rollup"
+        d1 = spark.createDataFrame(
+            [(1, datetime(2024, 1, 1, 10), 7, "run", 5.0)],
+            "event_id long, ts timestamp, user_id long, event_type string, value double",
+        )
+        V.commit_snapshot(d1, store)
+        assert refresh_rollup_from_store(spark, store, rollup) == 1
+        # store advances twice more while the consumer sleeps, then
+        # vacuum removes the consumed version (1)
+        V.commit_snapshot(
+            d1.unionByName(
+                spark.createDataFrame(
+                    [(2, datetime(2024, 1, 2, 9), 8, "ride", 2.0)],
+                    d1.schema,
+                )
+            ),
+            store,
+        )
+        V.commit_snapshot(
+            spark.createDataFrame(
+                [(2, datetime(2024, 1, 2, 9), 8, "ride", 2.0)], d1.schema
+            ),
+            store,
+        )
+        V.vacuum(spark, store, keep_last=1)
+        assert refresh_rollup_from_store(spark, store, rollup) == 3
+        got = {
+            (str(r["p_day"]), r["event_type"]): (r["n_events"], r["value_cents"])
+            for r in V.read_snapshot(spark, rollup).collect()
+        }
+        want = {
+            (str(r["p_day"]), r["event_type"]): (r["n_events"], r["value_cents"])
+            for r in events_rollup_of(V.read_snapshot(spark, store)).collect()
+        }
+        assert got == want, "post-vacuum re-seed diverged from recompute"
