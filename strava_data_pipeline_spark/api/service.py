@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import base64
 import hashlib
+import hmac
 import secrets
 from collections.abc import Callable
 from datetime import datetime, timedelta
@@ -151,14 +152,24 @@ class PipelineService:
         return key
 
     def validate_api_key(self, key: str, now: datetime | None = None) -> bool:
-        """is_active AND (no expiry OR expiry in future) — user_api_keys.go:36."""
+        """is_active AND (no expiry OR expiry in future) — user_api_keys.go:36.
+
+        Driver-local scan, NOT a Spark job: this sits on the
+        per-request middleware path (authorized_call), where paying
+        createDataFrame + plan + job-submit latency to answer a
+        membership question over a driver-held list would add hundreds
+        of ms per call. The DataFrame views (keys_for_user,
+        read_api_key) remain for the analytical paths."""
         now = now or datetime.utcnow()
-        matched = self._keys.where(
-            (F.col("key") == key)
-            & F.col("is_active")
-            & (F.col("expires_at").isNull() | (F.col("expires_at") > F.lit(now)))
-        )
-        return bool(matched.take(1))
+        for row in self._key_rows:
+            k, _desc, _created, expires_at, is_active, _uid = row
+            if (
+                hmac.compare_digest(k, key)
+                and is_active
+                and (expires_at is None or expires_at > now)
+            ):
+                return True
+        return False
 
     def keys_for_user(self, user_id: int) -> DataFrame:
         return self._keys.where(F.col("user_id") == user_id)
@@ -187,7 +198,10 @@ class PipelineService:
         except (ValueError, KeyError) as e:
             raise ValueError(f"error parsing token: {e}") from e
         want = hashlib.sha256((payload + self.jwt_secret).encode()).hexdigest()
-        if sig != want:
+        # constant-time compare: ordinary != short-circuits at the first
+        # differing hex char, leaking a timing channel an attacker can
+        # use to recover a valid digest byte-by-byte
+        if not hmac.compare_digest(sig, want):
             raise ValueError("invalid token: signature mismatch")
         if exp <= int(now.timestamp()):
             raise ValueError("invalid token: expired")

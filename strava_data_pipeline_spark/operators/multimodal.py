@@ -95,7 +95,12 @@ def fake_decode(payload: bytes) -> dict:
 
     Returns the same shape of result a real decoder feeds downstream,
     so the Arrow/mapInPandas plumbing is fully exercised in tests.
+    A null payload (a doc with no media / null text upstream) decodes
+    to the zero-feature row instead of TypeError-ing the executor —
+    one bad row must never kill the batch.
     """
+    if payload is None:
+        return {"n_bytes": 0, "mean_byte": 0, "hist": [0, 0, 0, 0]}
     n = len(payload)
     mean = int(sum(payload) / n) if n else 0
     hist = [0, 0, 0, 0]

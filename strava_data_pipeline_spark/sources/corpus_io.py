@@ -63,8 +63,12 @@ def read_jsonl_corpus(
         F.from_json("value", _with_corrupt(schema)).alias("_d"),
         F.col("value"),
     )
+    # iterate the DATA fields only: a caller schema that already
+    # declares _corrupt_record would otherwise emit the column twice
+    # and break every df[CORRUPT_COL] reference with AMBIGUOUS_REFERENCE
+    data_fields = [f for f in schema.fields if f.name != CORRUPT_COL]
     return parsed.select(
-        *[F.col(f"_d.{f.name}").alias(f.name) for f in schema.fields],
+        *[F.col(f"_d.{f.name}").alias(f.name) for f in data_fields],
         # from_json stores the raw line in the struct's corrupt field;
         # surface it top-level (fall back to the raw line: a line that is
         # valid JSON but not an OBJECT parses to a null struct instead)
@@ -96,32 +100,79 @@ def read_csv_table(
     schema: T.StructType,
     header: bool = True,
     delimiter: str = ",",
+    multi_line: bool = False,
 ) -> DataFrame:
     """Read a CSV dim/fact with an explicit schema (no inference scan);
     malformed rows quarantine in ``_corrupt_record`` like the JSONL
-    reader, multiline quoted fields supported."""
-    return (
-        spark.read.schema(_with_corrupt(schema))
-        .option("header", str(header).lower())
-        .option("sep", delimiter)
-        .option("quote", '"')
-        .option("escape", '"')
-        .option("multiLine", "true")
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", CORRUPT_COL)
-        .csv(path)
+    reader.
+
+    Default path: a line-splittable text scan + ``from_csv`` — the same
+    restructuring the JSONL reader uses, for the same two reasons: the
+    corrupt column stays an ordinary expression (the native CSV source
+    raises QUERY_ONLY_CORRUPT_RECORD_COLUMN the moment a plan prunes to
+    it — even ``good_docs(df).count()`` dies), and the scan byte-range
+    splits. The header line is dropped by matching the schema's exact
+    header string (what :func:`write_csv_table` emits); a data row that
+    IS that exact line would be dropped too — declare ``header=False``
+    for headerless feeds.
+
+    ``multi_line=True`` switches to the native record-aware source for
+    quoted embedded newlines — accepting BOTH costs: one task per file
+    (multiLine parsing cannot split) and no corrupt-column-only
+    queries. Keep it off unless the data genuinely contains them.
+    """
+    data_fields = [f for f in schema.fields if f.name != CORRUPT_COL]
+    if multi_line:
+        return (
+            spark.read.schema(_with_corrupt(schema))
+            .option("header", str(header).lower())
+            .option("sep", delimiter)
+            .option("quote", '"')
+            .option("escape", '"')
+            .option("multiLine", "true")
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", CORRUPT_COL)
+            .csv(path)
+        )
+    raw = spark.read.text(path)
+    if header:
+        hdr = delimiter.join(f.name for f in data_fields)
+        raw = raw.where(F.col("value") != hdr)
+    opts = {
+        "sep": delimiter,
+        "quote": '"',
+        "escape": '"',
+        "mode": "PERMISSIVE",
+        "columnNameOfCorruptRecord": CORRUPT_COL,
+    }
+    parsed = raw.select(
+        F.from_csv("value", _with_corrupt(schema).simpleString(), opts).alias("_d"),
+        F.col("value"),
+    )
+    return parsed.select(
+        *[F.col(f"_d.{f.name}").alias(f.name) for f in data_fields],
+        F.when(
+            F.col("_d").isNull() | F.col(f"_d.{CORRUPT_COL}").isNotNull(),
+            F.col("value"),
+        ).alias(CORRUPT_COL),
     )
 
 
 def write_csv_table(
-    df: DataFrame, path: str, header: bool = True, mode: str = "overwrite"
+    df: DataFrame,
+    path: str,
+    header: bool = True,
+    mode: str = "overwrite",
+    delimiter: str = ",",
 ) -> None:
     """Write CSV with RFC-4180 quote-doubling (escape='"') so the output
     round-trips through :func:`read_csv_table` — Spark's default
-    backslash escaping does not."""
+    backslash escaping does not. ``delimiter`` must match the reader's
+    for the round-trip to hold."""
     (
         df.write.mode(mode)
         .option("header", str(header).lower())
+        .option("sep", delimiter)
         .option("quote", '"')
         .option("escape", '"')
         .csv(path)

@@ -57,12 +57,22 @@ def write_bucketed(
     Overwrite must also clear an *orphaned* managed location: a table
     written by a previous session lives in the warehouse dir but not in
     this session's in-memory catalog, and saveAsTable then fails with
-    LOCATION_ALREADY_EXISTS instead of overwriting."""
+    LOCATION_ALREADY_EXISTS instead of overwriting. The orphan path is
+    derived with the metastore's rules — lowercased name, default
+    database at the warehouse root — so ``MyTable`` still resolves;
+    qualified ``db.tbl`` names are rejected because their managed
+    location lives under ``<db>.db/`` and a wrong guess would delete
+    the wrong directory."""
     spark = df.sparkSession
+    if "." in table_name:
+        raise ValueError(
+            "write_bucketed manages default-database tables only; "
+            f"got qualified name {table_name!r}"
+        )
     if mode == "overwrite":
         spark.sql(f"DROP TABLE IF EXISTS `{table_name}`")
         wh = spark.conf.get("spark.sql.warehouse.dir")
-        loc = spark._jvm.org.apache.hadoop.fs.Path(f"{wh}/{table_name}")
+        loc = spark._jvm.org.apache.hadoop.fs.Path(f"{wh}/{table_name.lower()}")
         fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
         if fs.exists(loc):
             fs.delete(loc, True)
@@ -95,6 +105,14 @@ def compact_day_partitions(
     watermark so compaction never races the writer; table formats with
     transactions (Delta/Iceberg OPTIMIZE) are the strict-atomicity
     upgrade path.
+
+    The shuffle keys on (p_day, row-hash bucket), NOT p_day alone:
+    hash-partitioning by the day column would funnel each whole day
+    through ONE task regardless of ``target_files`` (a ~100 GB day =
+    one OOM-prone serialized writer) and cap cross-day parallelism at
+    the shuffle width. The bucket term spreads each day over exactly
+    ``target_files`` shuffle keys → at most that many files per day,
+    all days compacting in parallel.
     """
     df = spark.read.parquet(path)
     if days is None:
@@ -102,8 +120,10 @@ def compact_day_partitions(
     if not days:
         return 0
     pruned = df.where(F.col("p_day").isin(days))
+    data_cols = [c for c in pruned.columns if c != "p_day"]
+    bucket = F.pmod(F.hash(*[F.col(c) for c in data_cols]), F.lit(target_files))
     (
-        pruned.repartition(target_files, "p_day")
+        pruned.repartition(len(days) * target_files, F.col("p_day"), bucket)
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("p_day")
@@ -155,7 +175,23 @@ def zorder_write(
     handful of files instead of all of them, where single-column sort
     layout prunes only its own column. This is the data-layout
     optimization table formats call OPTIMIZE ZORDER BY; here it is a
-    plain parquet rewrite any maintenance job can run."""
+    plain parquet rewrite any maintenance job can run.
+
+    Coordinates are range-checked against ``2**bits`` up front: zvalue
+    silently IGNORES bits above position ``bits-1``, so out-of-range
+    values would interleave onto the same curve positions as small ones
+    and the min/max pruning the layout exists for would quietly stop
+    working. The check is one cheap aggregate over the frame being
+    rewritten anyway; raise ``bits`` (2*bits < 63) for wider domains.
+    """
+    lim = 1 << bits
+    mx = df.agg(F.max(x_col), F.max(y_col), F.min(x_col), F.min(y_col)).first()
+    if mx[2] is not None and (mx[0] >= lim or mx[1] >= lim or mx[2] < 0 or mx[3] < 0):
+        raise ValueError(
+            f"zorder_write: ({x_col}, {y_col}) range [{mx[2]}..{mx[0]}] x "
+            f"[{mx[3]}..{mx[1]}] exceeds [0, {lim}) for bits={bits}; "
+            "raise bits or rescale the columns"
+        )
     z = zvalue(x_col, y_col, bits)
     (
         df.withColumn("_z", z)

@@ -158,3 +158,35 @@ class TestZorder:
         rows_z = spark.read.parquet(z_path).where(box).count()
         rows_flat = spark.read.parquet(flat_path).where(box).count()
         assert rows_z == rows_flat > 0
+
+
+def test_compaction_target_files_fans_out_per_day(spark, tmp_path):
+    # target_files > 1 must actually produce up to that many files per
+    # day (the pre-r4 repartition hashed by p_day alone: target_files
+    # was a silent no-op and every day serialized through one task)
+    import glob
+
+    from strava_data_pipeline_spark.sources.catalog import load_table
+    from strava_data_pipeline_spark.sources.layout import (
+        compact_day_partitions,
+        write_partitioned_by_day,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events").limit(2000)
+    root = str(tmp_path / "fact")
+    write_partitioned_by_day(events.repartition(8), root)
+    day_dirs = sorted(glob.glob(f"{root}/p_day=*"))
+    before = {
+        tuple(r) for r in spark.read.parquet(root).drop("p_day").collect()
+    }
+    days = [d.rsplit("=", 1)[1] for d in day_dirs[:2]]
+
+    compact_day_partitions(spark, root, days=days, target_files=4)
+
+    for d in day_dirs[:2]:
+        n_files = len(glob.glob(f"{d}/part-*.parquet"))
+        assert 2 <= n_files <= 4, f"{d}: {n_files} files"
+    after = {
+        tuple(r) for r in spark.read.parquet(root).drop("p_day").collect()
+    }
+    assert after == before

@@ -137,9 +137,51 @@ class TestCorpusIO:
         )
         out = str(tmp_path / "dim_csv")
         cio.write_csv_table(df, out)
-        back = cio.read_csv_table(spark, out, schema)
+        # embedded newlines need the record-aware multi_line path (one
+        # task per file, no corrupt-only queries — the documented trade)
+        back = cio.read_csv_table(spark, out, schema, multi_line=True)
         got = {r["id"]: r["name"] for r in cio.good_docs(back).collect()}
         assert got == {1: 'comma, "quoted"', 2: "line\nbreak", 3: "plain"}
+
+    def test_csv_default_path_quarantines_and_audits(self, spark, tmp_path):
+        # the splittable default path must support the corrupt-column
+        # audit the native CSV source forbids (QUERY_ONLY_CORRUPT_RECORD)
+        from pyspark.sql import types as T
+
+        from strava_data_pipeline_spark.sources import corpus_io as cio
+
+        schema = T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("name", T.StringType()),
+            ]
+        )
+        p = tmp_path / "mixed.csv"
+        p.write_text("id,name\n1,alpha\nnot_a_long,beta\n3,gamma\n")
+        df = cio.read_csv_table(spark, str(p), schema)
+        assert cio.good_docs(df).count() == 2
+        bad = cio.corrupt_docs(df).collect()   # corrupt-only plan: must not raise
+        assert len(bad) == 1 and "not_a_long" in bad[0][0]
+        got = {r["id"]: r["name"] for r in cio.good_docs(df).collect()}
+        assert got == {1: "alpha", 3: "gamma"}
+
+    def test_csv_custom_delimiter_roundtrip(self, spark, tmp_path):
+        from pyspark.sql import types as T
+
+        from strava_data_pipeline_spark.sources import corpus_io as cio
+
+        schema = T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("name", T.StringType()),
+            ]
+        )
+        df = spark.createDataFrame([(1, "a|b"), (2, "plain")], schema)
+        out = str(tmp_path / "pipe_csv")
+        cio.write_csv_table(df, out, delimiter="|")
+        back = cio.read_csv_table(spark, out, schema, delimiter="|")
+        got = {r["id"]: r["name"] for r in cio.good_docs(back).collect()}
+        assert got == {1: "a|b", 2: "plain"}
 
     def test_explicit_schema_means_no_inference_scan(self, spark, tmp_path):
         # the reader must carry the declared schema even over an empty
