@@ -97,13 +97,27 @@ class PipelineService:
             events, [("ts", True), ("event_id", True)], limit=limit, offset=offset
         ).drop("rn")
 
-    def list_activities_after(self, cursor_ts, limit: int = 20) -> DataFrame:
-        """Keyset variant — the deep-pagination path the reference lacks."""
+    def list_activities_after(
+        self, cursor_ts, cursor_id: int | None = None, limit: int = 20
+    ) -> DataFrame:
+        """Keyset variant — the deep-pagination path the reference lacks.
+
+        The cursor must mirror the FULL (ts DESC, event_id DESC) order:
+        ``ts < T`` alone silently skips the remaining rows that share
+        the page boundary's timestamp. Callers pass the last row's
+        (ts, event_id) pair; a bare timestamp (cursor_id=None) keeps
+        the old semantics for callers that guarantee unique ts."""
         events = load_table(self.spark, self.sf_dir, "events")
+        cursor = F.col("ts") < F.lit(cursor_ts)
+        if cursor_id is not None:
+            cursor = cursor | (
+                (F.col("ts") == F.lit(cursor_ts))
+                & (F.col("event_id") < F.lit(cursor_id))
+            )
         return page_keyset(
             events,
             [("ts", True), ("event_id", True)],
-            cursor=F.col("ts") < F.lit(cursor_ts),
+            cursor=cursor,
             limit=limit,
         )
 

@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from strava_data_pipeline_spark.plans import registry
 from strava_data_pipeline_spark.sources.catalog import register_views
 
@@ -82,3 +84,26 @@ def test_window_sql_matches_dataframe(views):
     want = registry.all_queries()["events_latest_n"](views, SF_DIR)
     assert got.columns == want.columns
     assert _rows(got) == _rows(want)
+
+
+def test_keyset_pagination_survives_duplicate_timestamps(spark, sf_dir):
+    # the cursor must mirror the full (ts DESC, event_id DESC) order:
+    # ts < T alone skips rows sharing the boundary timestamp
+    from strava_data_pipeline_spark.api.service import PipelineService
+    from strava_data_pipeline_spark.sources.catalog import load_table
+
+    svc = PipelineService(spark, sf_dir)
+    all_rows = (
+        load_table(spark, sf_dir, "events")
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .select("ts", "event_id")
+        .limit(40)
+        .collect()
+    )
+    boundary = all_rows[19]
+    page2 = svc.list_activities_after(
+        boundary["ts"], cursor_id=boundary["event_id"], limit=20
+    ).collect()
+    got = [(r["ts"], r["event_id"]) for r in page2]
+    want = [(r["ts"], r["event_id"]) for r in all_rows[20:40]]
+    assert got == want, "page 2 must start exactly after the boundary row"
