@@ -54,5 +54,14 @@ def perm_params(n: int) -> list[tuple[int, int]]:
     for _ in range(n):
         a = (a * 1103515245 + 12345) % MINHASH_PRIME
         b = (b * 1103515245 + 54321) % MINHASH_PRIME
-        params.append((a | 1, b))  # odd a → proper permutation mod 2^31-1
+        aa = a | 1
+        # a ≡ 0 (mod p) would make the permutation CONSTANT (x*0+b = b
+        # for every input), silently inflating jaccard estimates. The
+        # draw a = p-1 is the one value |1 maps onto p itself; remap it
+        # to 1 (the identity multiplier — still a proper permutation).
+        # No draw in the first 4096 params hits this, so every embedded
+        # oracle literal is unchanged; the guard is for wider n.
+        if aa % MINHASH_PRIME == 0:
+            aa = 1
+        params.append((aa, b))
     return params

@@ -28,7 +28,14 @@ BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
 
 def tokens(text: Column) -> Column:
-    """Whitespace tokens of the lower-cased text."""
+    """Whitespace tokens of the lower-cased text.
+
+    CONTRACT: empty/whitespace-only text yields ``['']`` — one empty
+    token — because split-on-regex does so in BOTH engines (Spark's
+    ``split`` and DuckDB's ``string_split_regex`` agree). Every oracle
+    pair is written against that shared semantic, so "fixing" one side
+    to return ``[]`` would break ~30 hash contracts; downstream ratios
+    treat an empty doc as a one-token doc consistently on both sides."""
     return F.split(F.lower(F.trim(text)), "\\s+")
 
 

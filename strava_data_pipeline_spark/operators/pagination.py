@@ -38,6 +38,11 @@ def page_offset(
     a TOTAL order (include a unique tiebreak column) so the truncation
     is deterministic. Deep pagination should still use ``page_keyset``
     — per-partition heap size grows with offset here.
+
+    OUTPUT CONTRACT: the global row number is returned as column
+    ``rn`` (the activities_page oracle hashes it) — callers that don't
+    want it drop it; an input column named ``rn`` is clobbered, so
+    rename it first.
     """
     top = df.orderBy(*_order(order_by)).limit(offset + limit)
     w = Window.orderBy(*_order(order_by))

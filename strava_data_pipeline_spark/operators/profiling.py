@@ -21,8 +21,20 @@ from pyspark.sql import functions as F
 
 
 def profile(df: DataFrame, cols: Sequence[str], exact: bool = True) -> DataFrame:
-    """Long-format profile: (column_name, n_rows, n_nulls, n_distinct)."""
+    """Long-format profile: (column_name, n_rows, n_nulls, n_distinct).
+
+    The unpivot is built with expression objects, not an f-string into
+    ``selectExpr`` — column names are data here, and a name containing
+    a quote/backtick would otherwise splice into the generated SQL
+    (injection-by-column-name); an empty ``cols`` returns an empty
+    frame instead of a stack(0,) parse error."""
     cols = list(cols)
+    spark = df.sparkSession
+    if not cols:
+        return spark.createDataFrame(
+            [],
+            "column_name string, n_rows bigint, n_nulls bigint, n_distinct bigint",
+        )
     distinct = F.countDistinct if exact else F.approx_count_distinct
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in cols:
@@ -31,9 +43,13 @@ def profile(df: DataFrame, cols: Sequence[str], exact: bool = True) -> DataFrame
         )
         aggs.append(distinct(F.col(c)).alias(f"__nd_{c}"))
     wide = df.agg(*aggs)
-    stack_args = ", ".join(f"'{c}', `__nulls_{c}`, `__nd_{c}`" for c in cols)
-    return wide.selectExpr(
-        f"stack({len(cols)}, {stack_args}) AS (column_name, n_nulls, n_distinct)",
+    stack_args: list[F.Column] = []
+    for c in cols:
+        stack_args += [F.lit(c), wide[f"__nulls_{c}"], wide[f"__nd_{c}"]]
+    return wide.select(
+        F.stack(F.lit(len(cols)), *stack_args).alias(
+            "column_name", "n_nulls", "n_distinct"
+        ),
         "n_rows",
     ).select(
         "column_name",

@@ -39,18 +39,38 @@ def asof_join(
     """Backward (inclusive) as-of join: each left row gets the payload
     of the latest right row with ``right_ts <= left_ts`` per key.
 
-    Requires (on, right_ts) unique on the right side. Implemented by
-    interleaving both sides on the time axis and carrying the last
-    seen payload forward with an ignore-nulls window — the sort is
-    per-key within one hash shuffle, never global.
+    Requires (on, right_ts) unique on the right side, and the payload
+    column names absent from the left frame (validated — a collision
+    would silently carry the LEFT side's own values forward and never
+    join the right payload at all). Implemented by interleaving both
+    sides on the time axis and carrying the last seen payload forward
+    with an ignore-nulls window — the sort is per-key within one hash
+    shuffle, never global.
+
+    The carry-forward travels as ONE struct of all payload columns,
+    not per-column ``last(ignorenulls)``: per-column carries would
+    stitch values from DIFFERENT right rows whenever the latest row
+    holds a NULL in one payload column (its null falls through to an
+    older row's value while its non-null columns win) — a combination
+    that never existed on the right side. The struct is only null for
+    left rows, so ``last(struct, ignorenulls)`` lands atomically on
+    the latest right ROW, nulls and all.
     """
     on = list(on)
     payload = list(payload)
+    clash = set(payload) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"asof_join payload columns {sorted(clash)} already exist on the "
+            "left side; rename them on one side — the carry-forward would "
+            "otherwise return left values instead of joining the right payload"
+        )
+    _PL = "__asof_payload"
     r = right.select(
         *on,
         F.col(right_ts).alias(_TS),
         F.lit(0).alias(_SRC),
-        *[F.col(c) for c in payload],
+        F.struct(*[F.col(c) for c in payload]).alias(_PL),
     )
     l = left.withColumn(_TS, F.col(left_ts)).withColumn(_SRC, F.lit(1))
     u = l.unionByName(r, allowMissingColumns=True)
@@ -60,8 +80,10 @@ def asof_join(
         .orderBy(F.col(_TS).asc(), F.col(_SRC).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for c in payload:
-        u = u.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+    u = u.withColumn(_PL, F.last(F.col(_PL), ignorenulls=True).over(w))
+    u = u.select(
+        "*", *[F.col(f"{_PL}.{c}").alias(c) for c in payload]
+    ).drop(_PL)
     return u.where(F.col(_SRC) == 1).drop(_SRC, _TS)
 
 

@@ -60,15 +60,18 @@ def merge_cdc(
     Same single-shuffle window merge as ``merge_latest_wins``; after
     ranking, a key whose newest change is a delete drops out entirely.
     Delete tombstones must carry the key + order_by columns; other
-    columns may be NULL.
+    columns may be NULL. A NULL ``op_col`` is treated as an upsert
+    ('U'): ``_op != 'D'`` alone evaluates NULL and would silently
+    DELETE the key (the filter drops both the change row and, via the
+    rank, the base row) — a malformed feed row must never erase data.
     """
     cols = base.columns
     tagged = base.select(*cols).withColumn("_op", F.lit("U")).withColumn(
         "_src", F.lit(0)
     ).unionByName(
-        changes.select(*cols, F.col(op_col).alias("_op")).withColumn(
-            "_src", F.lit(1)
-        )
+        changes.select(
+            *cols, F.coalesce(F.col(op_col), F.lit("U")).alias("_op")
+        ).withColumn("_src", F.lit(1))
     )
     w = Window.partitionBy(*keys).orderBy(
         *[F.col(c).desc() for c in order_by], F.col("_src").desc()

@@ -864,7 +864,12 @@ def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 44. corpus_split_counts — deterministic train/val/test assignment
 # --------------------------------------------------------------------------
 def _bucket_duck(key_expr: str, salt: str) -> str:
-    inner = "concat(CAST(" + key_expr + " AS VARCHAR), '" + salt + "')"
+    # coalesce mirrors sampling.hash_bucket's null-key sentinel so the
+    # bucket function stays engine-identical even on null-key corpora
+    inner = (
+        "concat(coalesce(CAST(" + key_expr + " AS VARCHAR), chr(1) || 'null'), '"
+        + salt + "')"
+    )
     return f"({md5_u32_duckdb(inner)}) % 1000"
 
 

@@ -210,3 +210,98 @@ class TestObservedIngest:
         monitored.write.format("noop").mode("overwrite").save()
         got = obs.get
         assert got == {"n_rows": 10, "null_event_id": 0, "neg_value": 0}
+
+
+class TestEdgeInputHardening:
+    """r4 review: edge inputs the oracle corpus never exercises."""
+
+    def test_asof_join_carries_whole_row_not_stitched_columns(self, spark):
+        from strava_data_pipeline_spark.operators.temporal import asof_join
+
+        right = spark.createDataFrame(
+            [(7, 1, "A", "X"), (7, 2, "B", None)],
+            "user_id long, valid_from long, tier string, region string",
+        )
+        left = spark.createDataFrame([(7, 3)], "user_id long, ts long")
+        out = asof_join(
+            left, right, on=["user_id"], payload=["tier", "region"]
+        ).collect()
+        assert len(out) == 1
+        # the latest right ROW is (B, NULL) — per-column carry would
+        # stitch (B, X), a combination that never existed
+        assert out[0]["tier"] == "B" and out[0]["region"] is None
+
+    def test_asof_join_rejects_payload_collision_with_left(self, spark):
+        import pytest as _pytest
+
+        from strava_data_pipeline_spark.operators.temporal import asof_join
+
+        right = spark.createDataFrame(
+            [(7, 1, 9.0)], "user_id long, valid_from long, value double"
+        )
+        left = spark.createDataFrame(
+            [(7, 3, 1.0)], "user_id long, ts long, value double"
+        )
+        with _pytest.raises(ValueError, match="payload columns"):
+            asof_join(left, right, on=["user_id"], payload=["value"])
+
+    def test_merge_cdc_null_op_is_upsert_not_delete(self, spark):
+        from strava_data_pipeline_spark.operators.upsert import merge_cdc
+
+        base = spark.createDataFrame([(7, 1, "old")], "id long, v long, s string")
+        changes = spark.createDataFrame(
+            [(7, 2, "new", None)], "id long, v long, s string, op string"
+        )
+        out = merge_cdc(base, changes, keys=["id"], order_by=["v"]).collect()
+        assert len(out) == 1 and out[0]["s"] == "new", (
+            "NULL op must upsert, never silently delete the key"
+        )
+
+    def test_sampling_rate_rounds_not_truncates(self, spark):
+        from strava_data_pipeline_spark.operators.sampling import (
+            _rate_buckets,
+            assign_split,
+        )
+
+        assert _rate_buckets(0.7 + 0.1) == 800  # int() gave 799
+        df = spark.createDataFrame(
+            [(i,) for i in range(4000)], "doc_id long"
+        )
+        splits = {
+            r["split"]: r["n"]
+            for r in assign_split(df, train=0.7, val=0.1)
+            .groupBy("split")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        # val covers buckets [700, 800) exactly — ~10%, not ~9.9%
+        assert abs(splits["val"] / 4000 - 0.1) < 0.02
+
+    def test_sampling_null_keys_kept_deterministically(self, spark):
+        from strava_data_pipeline_spark.operators.sampling import (
+            assign_split,
+            sample_fraction,
+        )
+
+        df = spark.createDataFrame([(None,), (1,)], "doc_id long")
+        assert sample_fraction(df, 1.0).count() == 2, (
+            "rate=1.0 must keep NULL-key rows"
+        )
+        labels = {
+            (r["doc_id"], r["split"]) for r in assign_split(df).collect()
+        }
+        assert len(labels) == 2  # null key gets a stable label, not dropped
+
+    def test_weighted_mixture_empty_weights_is_identity(self, spark):
+        from strava_data_pipeline_spark.operators.sampling import weighted_mixture
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+        assert weighted_mixture(df, {}).count() == 1
+
+    def test_profile_empty_and_hostile_column_names(self, spark):
+        from strava_data_pipeline_spark.operators.profiling import profile
+
+        df = spark.createDataFrame([(1, "x")], ["id", "it's"])
+        assert profile(df, []).count() == 0
+        rows = {r["column_name"]: r for r in profile(df, ["id", "it's"]).collect()}
+        assert rows["it's"]["n_nulls"] == 0 and rows["it's"]["n_distinct"] == 1
