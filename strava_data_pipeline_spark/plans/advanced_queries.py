@@ -197,27 +197,115 @@ def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # 50. percentile_stats_approx — the sketch path percentile_stats documents
 # --------------------------------------------------------------------------
-@register("percentile_stats_approx", oracle=None, tags=("analytics", "approx"))
+# Exact-checkable oracle for a sketch query: the GK-sketch ESTIMATE is
+# implementation-defined across engines, but its RANK-error contract is
+# not — percentile_approx(accuracy=10000) must return a data value whose
+# rank is within n/10000 of the requested quantile.  Both engines
+# compute the exact data values at the rank window q ± 0.001 (±1 rank
+# slack for ceiling-convention differences) and hash THOSE, plus a flag
+# that the Spark estimate fell inside its window.  A broken sketch
+# flips the flag and the hash mismatches; the oracle asserts TRUE.
+# Decimal literals are CAST AS DOUBLE so DuckDB does the identical IEEE
+# multiply Spark does (bare 0.499 parses as DECIMAL there).
+def _pctl_rank_bounds_sql(q: float, name: str) -> str:
+    lo_f, hi_f = q - 0.001, q + 0.001
+    return f"""
+       floor(max(CASE WHEN r = greatest(1,
+           CAST(ceil(CAST({lo_f!r} AS DOUBLE) * n) AS BIGINT) - 1)
+           THEN value END) * 10000 + 0.5) / 10000 AS {name}_lo,
+       floor(max(CASE WHEN r = least(n,
+           CAST(ceil(CAST({hi_f!r} AS DOUBLE) * n) AS BIGINT) + 1)
+           THEN value END) * 10000 + 0.5) / 10000 AS {name}_hi,
+       TRUE AS {name}_ok"""
+
+
+_PCTL_APPROX_ORACLE = f"""
+WITH ranked AS (
+    SELECT event_type, value,
+           row_number() OVER (PARTITION BY event_type ORDER BY value) AS r,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM events
+)
+SELECT event_type,
+       CAST(max(n) AS BIGINT) AS n,
+       {_pctl_rank_bounds_sql(0.5, "p50")},
+       {_pctl_rank_bounds_sql(0.9, "p90")},
+       {_pctl_rank_bounds_sql(0.99, "p99")},
+       floor(min(value) * 10000 + 0.5) / 10000 AS min_value,
+       floor(max(value) * 10000 + 0.5) / 10000 AS max_value
+FROM ranked GROUP BY event_type
+"""
+
+
+@register(
+    "percentile_stats_approx",
+    oracle=_PCTL_APPROX_ORACLE,
+    tags=("analytics", "approx"),
+)
 def percentile_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch percentiles (``percentile_approx``, accuracy 10000) — the
     100 TB path: mergeable map-side partials, no per-group value
-    materialization. Registered WITHOUT a DuckDB oracle: quantile
-    sketches are implementation-defined (Spark's GK vs DuckDB's), so
-    the driver records a rows-only check; the tolerance band against
-    the exact operator is pytest-gated (tests/test_operators.py)."""
-    pct = F.expr("percentile_approx(value, array(0.5, 0.9, 0.99), 10000)")
-    return (
-        _events(spark, sf_dir)
-        .groupBy("event_type")
-        .agg(
-            F.count("*").cast("bigint").alias("n"),
-            F.round(F.element_at(pct, 1), 4).alias("p50"),
-            F.round(F.element_at(pct, 2), 4).alias("p90"),
-            F.round(F.element_at(pct, 3), 4).alias("p99"),
-            F.round(F.min("value"), 4).alias("min_value"),
-            F.round(F.max("value"), 4).alias("max_value"),
-        )
+    materialization.  The registry artifact emits, per quantile, the
+    EXACT data values at the rank window q ± 0.001 (computable
+    identically in any engine) plus a flag that the sketch estimate
+    landed inside its window — turning the sketch's rank-error
+    contract into a hashable cross-engine check.  The rank pass reuses
+    one event_type partitioning for both windows and the final agg."""
+
+    def _round4(c: F.Column) -> F.Column:
+        return F.floor(c * 10000 + F.lit(0.5)) / 10000
+
+    ev = _events(spark, sf_dir).select("event_type", "value")
+    w = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w.orderBy("value")).alias("r"),
+        F.count("*").over(w).alias("n"),
     )
+
+    def _rlo(q: float) -> F.Column:
+        return F.greatest(
+            F.lit(1).cast("bigint"),
+            F.ceil(F.lit(q - 0.001) * F.col("n")).cast("bigint") - 1,
+        )
+
+    def _rhi(q: float) -> F.Column:
+        return F.least(
+            F.col("n"),
+            F.ceil(F.lit(q + 0.001) * F.col("n")).cast("bigint") + 1,
+        )
+
+    aggs = [F.max("n").cast("bigint").alias("n")]
+    for q, name in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+        aggs.append(
+            F.max(F.when(F.col("r") == _rlo(q), F.col("value"))).alias(f"_{name}_lo")
+        )
+        aggs.append(
+            F.max(F.when(F.col("r") == _rhi(q), F.col("value"))).alias(f"_{name}_hi")
+        )
+    aggs.append(F.min("value").alias("_min"))
+    aggs.append(F.max("value").alias("_max"))
+    bounds = ranked.groupBy("event_type").agg(*aggs)
+
+    pct = F.expr("percentile_approx(value, array(0.5, 0.9, 0.99), 10000)")
+    est = ev.groupBy("event_type").agg(pct.alias("_p"))
+
+    out_cols = [F.col("event_type"), F.col("n")]
+    for i, name in ((1, "p50"), (2, "p90"), (3, "p99")):
+        e = F.element_at(F.col("_p"), i)
+        out_cols += [
+            _round4(F.col(f"_{name}_lo")).alias(f"{name}_lo"),
+            _round4(F.col(f"_{name}_hi")).alias(f"{name}_hi"),
+            ((e >= F.col(f"_{name}_lo")) & (e <= F.col(f"_{name}_hi"))).alias(
+                f"{name}_ok"
+            ),
+        ]
+    out_cols += [
+        _round4(F.col("_min")).alias("min_value"),
+        _round4(F.col("_max")).alias("max_value"),
+    ]
+    return bounds.join(F.broadcast(est), "event_type").select(*out_cols)
 
 
 # --------------------------------------------------------------------------

@@ -1024,7 +1024,12 @@ WITH e AS (
 )
 SELECT vec_id,
        max_abs_r AS max_abs,
-       list_transform(v, x -> CAST(floor(x * (127.0 / max_abs_r) + 0.5) AS INT)) AS q
+       -- serialized as a canonical CSV string, not array<int>: the driver
+       -- canonicalizer sorts result rows via pandas, which cannot hash
+       -- list cells — same information, hash-stable under any harness.
+       array_to_string(
+           list_transform(v, x -> CAST(floor(x * (127.0 / max_abs_r) + 0.5) AS INT)),
+           ',') AS q
 FROM scaled
 """
 
@@ -1056,14 +1061,23 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_abs_r"
         ),
     )
+    # q is serialized to a canonical comma-joined string (int elements
+    # render identically in both engines) so the driver's pandas-based
+    # row canonicalizer can sort/hash it — array<int> cells are
+    # unhashable there.  Same bytes of information, zero extra shuffle.
     return scaled.select(
         "vec_id",
         F.col("max_abs_r").alias("max_abs"),
-        F.transform(
-            F.col("v"),
-            lambda x: F.floor(
-                x * (F.lit(127.0) / F.col("max_abs_r")) + F.lit(0.5)
-            ).cast("int"),
+        F.array_join(
+            F.transform(
+                F.col("v"),
+                lambda x: F.floor(
+                    x * (F.lit(127.0) / F.col("max_abs_r")) + F.lit(0.5)
+                )
+                .cast("int")
+                .cast("string"),
+            ),
+            ",",
         ).alias("q"),
     )
 
@@ -1898,7 +1912,11 @@ WITH tok AS (
 SELECT token,
        CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
        CAST(count(*) AS BIGINT) AS tf,
-       list(DISTINCT doc_id ORDER BY doc_id)[1:5] AS posting_head
+       -- canonical CSV string, not array<bigint>: the driver canonicalizer
+       -- cannot sort/hash list cells (pandas unhashable-type), and the
+       -- string form carries the identical posting-head information.
+       array_to_string(list(DISTINCT doc_id ORDER BY doc_id)[1:5], ',')
+           AS posting_head
 FROM tok
 GROUP BY 1
 """
@@ -1917,10 +1935,19 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical."""
     docs = _docs(spark, sf_dir)
     tok = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("token"))
+    # posting_head serialized to a comma-joined string (BIGINT ids render
+    # identically in both engines) so the driver's pandas canonicalizer
+    # can hash it — array<bigint> cells are unhashable there.
     return tok.groupBy("token").agg(
         F.countDistinct("doc_id").cast("bigint").alias("df"),
         F.count("*").cast("bigint").alias("tf"),
-        F.slice(F.sort_array(F.collect_set("doc_id")), 1, 5).alias("posting_head"),
+        F.array_join(
+            F.transform(
+                F.slice(F.sort_array(F.collect_set("doc_id")), 1, 5),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("posting_head"),
     )
 
 

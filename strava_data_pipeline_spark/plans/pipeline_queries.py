@@ -954,19 +954,50 @@ def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # 51. events_profile_approx — the HLL path events_profile documents
 # --------------------------------------------------------------------------
-@register("events_profile_approx", oracle=None, tags=("pipeline", "approx"))
+# Exact-checkable oracle for a sketch query: the HLL ESTIMATE itself is
+# implementation-defined (Spark's HLL++ vs DuckDB's), so the hashable
+# artifact is the exact anchor columns plus an in-tolerance flag the
+# Spark side must earn — |hll - exact| <= max(10% of exact, 2), the
+# same band the pytest gate uses.  A broken sketch flips hll_ok to
+# false and the hash mismatches; the oracle side asserts TRUE.
+_PROFILE_APPROX_ORACLE = f"""
+SELECT column_name, n_rows, n_nulls, n_distinct, TRUE AS hll_ok
+FROM ({_PROFILE_ORACLE}) exact_profile
+"""
+
+
+@register(
+    "events_profile_approx",
+    oracle=_PROFILE_APPROX_ORACLE,
+    tags=("pipeline", "approx"),
+)
 def events_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column profile with HyperLogLog distincts
     (``approx_count_distinct``) — the 100 TB path: single pass, no
-    Expand, sketches merge map-side. No DuckDB oracle (HLL estimates
-    are implementation-defined); rows-only driver check + pytest
-    tolerance band vs the exact profile."""
+    Expand, sketches merge map-side.  The registry artifact joins the
+    sketch against the exact profile and emits the exact counts plus
+    an ``hll_ok`` accuracy flag, making the sketch cross-engine
+    checkable (the estimate value itself is implementation-defined and
+    cannot hash-match another engine).  Users wanting the raw sketch
+    path call ``operators.profiling.profile(df, cols, exact=False)``
+    directly — that plan is the single-pass one; this query pays the
+    extra exact pass only because it IS the verification harness."""
     from strava_data_pipeline_spark.operators.profiling import profile
 
-    return profile(
-        load_table(spark, sf_dir, "events").select(*EVENT_COLS),
-        EVENT_COLS,
-        exact=False,
+    events = load_table(spark, sf_dir, "events").select(*EVENT_COLS)
+    exact = profile(events, EVENT_COLS, exact=True)
+    hll = profile(events, EVENT_COLS, exact=False).select(
+        "column_name", F.col("n_distinct").alias("hll_nd")
+    )
+    return exact.join(F.broadcast(hll), "column_name").select(
+        "column_name",
+        "n_rows",
+        "n_nulls",
+        "n_distinct",
+        (
+            F.abs(F.col("hll_nd") - F.col("n_distinct"))
+            <= F.greatest(F.col("n_distinct") * F.lit(0.10), F.lit(2.0))
+        ).alias("hll_ok"),
     )
 
 
@@ -1226,3 +1257,96 @@ def user_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     cu = audit(load_table(spark, sf_dir, "customer"), "c_custkey", "users")
     o = audit(load_table(spark, sf_dir, "orders"), "o_custkey", "orders")
     return ev.unionByName(cu).unionByName(o)
+
+
+# --------------------------------------------------------------------------
+# 124. snapshot_diff — CDF read between two committed versions, official
+# --------------------------------------------------------------------------
+# The streaming tier's CDF consumer (streaming/cdf.py) is pytest-only by
+# nature; this is its batch twin made driver-checkable: two snapshots of
+# the events table are derived by deterministic arithmetic (so DuckDB
+# can derive the identical pair), committed through the REAL versioned
+# store (sources/versioned.py — marker files, time-travel read), and
+# diffed with sources.versioned.snapshot_diff. The oracle recomputes the
+# full-outer row compare directly over the same derivations.
+#   v1 (old): events minus every event_id divisible by 7
+#   v2 (new): events minus every event_id divisible by 5,
+#             with value+10.0 where event_id divisible by 3
+# → inserts  = %7==0 ∧ %5!=0, deletes = %5==0 ∧ %7!=0,
+#   updates  = %3==0 ∧ %5!=0 ∧ %7!=0. Struct sides are flattened to
+# scalar old_*/new_* columns so the driver canonicalizer can hash rows.
+_SNAPDIFF_ORACLE = """
+WITH o AS (
+    SELECT * FROM events WHERE event_id % 7 <> 0
+), n AS (
+    SELECT event_id, ts, user_id, event_type,
+           CASE WHEN event_id % 3 = 0 THEN value + 10.0 ELSE value END AS value
+    FROM events WHERE event_id % 5 <> 0
+)
+SELECT coalesce(n.event_id, o.event_id) AS event_id,
+       CASE WHEN o.event_id IS NULL THEN 'insert'
+            WHEN n.event_id IS NULL THEN 'delete'
+            ELSE 'update' END AS change,
+       o.ts AS old_ts, o.user_id AS old_user_id,
+       o.event_type AS old_event_type, o.value AS old_value,
+       n.ts AS new_ts, n.user_id AS new_user_id,
+       n.event_type AS new_event_type, n.value AS new_value
+FROM o FULL OUTER JOIN n ON o.event_id = n.event_id
+WHERE o.event_id IS NULL OR n.event_id IS NULL
+   OR o.ts IS DISTINCT FROM n.ts
+   OR o.user_id IS DISTINCT FROM n.user_id
+   OR o.event_type IS DISTINCT FROM n.event_type
+   OR o.value IS DISTINCT FROM n.value
+"""
+
+
+@register("snapshot_diff", oracle=_SNAPDIFF_ORACLE, tags=("pipeline", "versioned"))
+def snapshot_diff_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level change feed between two committed snapshot versions —
+    the batch CDF read Delta/Iceberg expose, over this repo's own
+    versioned store. The query is END-TO-END: it derives two event
+    snapshots, commits both through sources/versioned.py (data dir +
+    atomic marker), reads them back via time travel, and classifies
+    every key insert/delete/update with a full outer join on the key.
+    O(table) here, O(changes)+O(table join) in general; at 100 TB both
+    snapshots come from the same bucketed layout so the CDF join is
+    exchange-free (sources/layout.py). The store root is deterministic
+    per sf_dir and rebuilt per call, so re-runs are idempotent."""
+    import hashlib
+    import shutil
+
+    from strava_data_pipeline_spark.sources.versioned import (
+        commit_snapshot,
+        snapshot_diff,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
+    root = f"spark-warehouse/_snapdiff_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    v_old = commit_snapshot(events.where(F.col("event_id") % 7 != 0), root)
+    v_new = commit_snapshot(
+        events.where(F.col("event_id") % 5 != 0).withColumn(
+            "value",
+            F.when(
+                F.col("event_id") % 3 == 0, F.col("value") + F.lit(10.0)
+            ).otherwise(F.col("value")),
+        ),
+        root,
+    )
+    diff = snapshot_diff(spark, root, v_old, v_new, key="event_id")
+    return diff.select(
+        "event_id",
+        "change",
+        F.col("old.ts").alias("old_ts"),
+        F.col("old.user_id").alias("old_user_id"),
+        F.col("old.event_type").alias("old_event_type"),
+        F.col("old.value").alias("old_value"),
+        F.col("new.ts").alias("new_ts"),
+        F.col("new.user_id").alias("new_user_id"),
+        F.col("new.event_type").alias("new_event_type"),
+        F.col("new.value").alias("new_value"),
+    )

@@ -43,52 +43,99 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 # Enumeration-order priority: the driver's correctness harness samples a
 # rotating subset of ``queries()`` per round, and dict order is the only
-# lever the engine has over which queries get officially recorded.  These
-# names have never appeared in a driver CORRECTNESS_r0N.json row (they are
-# verified only by the judge's local oracle replica, see VERDICT.md r3), so
-# they enumerate FIRST until the official record covers them.  Every other
-# query follows in registration (module-import) order.
+# lever the engine has over which queries get officially recorded.  The
+# r5 ordering cycles OLDEST-GREEN-FIRST (VERDICT r4 task 4): first the
+# queries with no green driver row at all (the two array-serialization
+# fixes and the two sketch queries that now emit exact-checkable bounds,
+# plus any query new this round), then every query whose latest official
+# hash-match is still round 1 or 2 — three rounds of code churn vouched
+# for only by the local replica.  Every other query follows in
+# registration (module-import) order (their latest green is r3/r4).
 _ENUMERATE_FIRST: tuple[str, ...] = (
-    "dedup_incremental",  # new in r4 — no driver row yet
-    "ann_filtered",
-    "boilerplate_prune",
-    "bucketed_join",
-    "corpus_chunk",
-    "corpus_dedup_keep_clusters",
-    "corpus_pack_bins",
-    "decontaminate",
-    "dedup_clusters",
-    "dedup_containment",
-    "dedup_simhash64",
-    "dedup_substring",
-    "embedding_centroids",
-    "embedding_quantize",
-    "inverted_index",
-    "jwt_validate",
-    "key_lifecycle",
-    "key_lookup",
-    "kmeans_lloyd",
-    "lang_confusion",
-    "multimodal_features",
-    "perplexity_buckets",
-    "pii_redact",
-    "quality_filter",
-    "repetition_metrics",
-    "semdedup",
-    "session_stats",
-    "source_caps",
-    "stratified_sample",
-    "tfidf_top_terms",
-    "token_refresh",
-    "unigram_logprob",
-    "user_activity_join_salted",
-    "user_erasure",
-    "user_lookup",
-    "user_token_state",
-    "user_upsert",
-    "vocab_oov_rate",
-    "zorder_curve",
-    "events_profile_approx",
+    # --- no green driver row yet ---
+    "snapshot_diff",  # new in r5 (streaming CDF's batch twin)
+    "embedding_quantize",  # r4 ERR: array output → now canonical CSV string
+    "inverted_index",  # r4 ERR: same fix
+    "percentile_stats_approx",  # rows-only → now exact-checkable bounds
+    "events_profile_approx",  # rows-only → now exact-checkable bounds
+    # --- latest green row is round 1 ---
+    "activities_page",
+    "activity_by_id",
+    "ann_ivf",
+    "ann_lsh",
+    "ann_topk",
+    "api_key_validate",
+    "athlete_type_stats",
+    "athlete_weekly_summary",
+    "cdc_merge",
+    "corpus_dedup_keep",
+    "corpus_mixture",
+    "corpus_split_counts",
+    "dedup_embedding",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "doc_fingerprint",
+    "events_profile",
+    "events_running_total",
+    "events_sessionize",
+    "ingest_upsert",
+    "json_flatten",
+    "keys_per_user",
+    "lang_id",
+    "multimodal_meta",
+    "recent_activities",
+    "sync_daily_counts",
+    "sync_window",
+    "text_quality",
+    "token_count",
+    "token_histogram",
+    "user_activity_join",
+    # --- latest green row is round 2 ---
+    "parts_brand_stats",
+    # --- latest green row is round 3 (oldest-first tail; the driver's
+    #     ~50-query subset reaches partway into this block) ---
+    "customer_rfm",
+    "events_cube",
+    "events_gapfill",
+    "events_grouping_sets",
+    "events_latest_n",
+    "events_rank_suite",
+    "events_rolling_7d",
+    "events_sliding_window",
+    "events_zscore",
+    "heavy_hitters",
+    "heavy_hitters_sampled",
+    "order_priority_count",
+    "pagerank_parts",
+    "parts_bought_together",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_returnflag_priority",
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q1_pricing_summary",
+    "q20_dominant_suppliers",
+    "q21_waiting_suppliers",
+    "q22_dormant_customers",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q7_nation_trade",
+    "q8_market_share",
+    "q9_product_profit",
+    "scd2_intervals",
+    "sessions_overlap_windows",
+    "top_customers_by_revenue",
+    "user_churn_setops",
+    "weekly_type_trend",
 )
 
 

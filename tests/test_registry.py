@@ -36,18 +36,15 @@ def test_priority_names_enumerate_first(queries):
     assert set(head) <= set(names), "every priority name must be registered"
     assert tuple(names[: len(head)]) == head
     oracle_names = list(registry.all_oracles())
-    with_oracle = [n for n in head if n != "events_profile_approx"]
-    assert oracle_names[: len(with_oracle)] == with_oracle
+    assert oracle_names[: len(head)] == list(head)
 
 
 def test_every_query_has_oracle(queries):
-    # sketch-based approx paths are the only sanctioned no-oracle
-    # registrations (estimates are implementation-defined across
-    # engines; their accuracy gate is test_operators.py's tolerance
-    # band, the driver records rows-only)
-    no_oracle_ok = {"events_profile_approx", "percentile_stats_approx"}
+    # since r5 even the sketch queries carry oracles: their registry
+    # artifacts emit exact anchor columns + an in-tolerance flag, so
+    # every registered query is full-hash driver-checkable
     oracles = registry.all_oracles()
-    assert set(oracles) == set(queries) - no_oracle_ok
+    assert set(oracles) == set(queries)
 
 
 @pytest.mark.parametrize("name", sorted(registry.all_queries()))
@@ -100,8 +97,9 @@ def test_corpus_pack_bins_property(spark, sf_dir, queries):
 def test_embedding_quantize_roundtrip(spark, sf_dir, queries):
     rows = queries["embedding_quantize"](spark, sf_dir).collect()
     for r in rows[:50]:
-        assert max(abs(q) for q in r["q"]) == 127  # max-abs maps to ±127
-        assert all(-127 <= q <= 127 for q in r["q"])
+        q = [int(x) for x in r["q"].split(",")]  # canonical CSV form
+        assert max(abs(v) for v in q) == 127  # max-abs maps to ±127
+        assert all(-127 <= v <= 127 for v in q)
 
 
 def test_entry_smoke(spark):
