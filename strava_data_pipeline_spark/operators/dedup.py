@@ -427,12 +427,21 @@ def simhash64_pairs(
     )
 
 
+#: docs in the order_by_rarity="auto" decision sample (the statistic is
+#: sample-size-invariant: sample dfs shrink with the sample, the D/Ds
+#: extrapolation grows by the same factor)
+_RARITY_SAMPLE_DOCS = 1024
+#: corpus-extrapolated candidate-savings-per-gram-row above which the
+#: rarity order's df-count shuffle pays for itself (see docstring)
+_RARITY_SAVINGS_THRESHOLD = 6000.0
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
-    order_by_rarity: bool = False,
+    order_by_rarity: bool | str = "auto",
 ) -> DataFrame:
     """Character-3-gram Jaccard near-dup pairs, blocked by
     (lang, length-bucket), found via an exact prefix-filtered
@@ -461,21 +470,45 @@ def ngram_jaccard_pairs(
     either way — the choice is pure cost, and it is corpus-dependent
     (measured r4, tools/rarity_bench.py + bench-protocol A/B):
 
-    - numeric (default): zero-shuffle narrow index build. Wins on
-      low-vocabulary corpora where gram frequencies are flat — on the
-      stock sf0.1 corpus (377 distinct grams) it beats rarity 7.8-9.7s
-      vs 13.3-18.8s single-shot, because the df-count shuffle + sort
+    - numeric: zero-shuffle narrow index build. Wins on low-vocabulary
+      corpora where gram frequencies are flat — on the stock sf0.1
+      corpus (377 distinct grams) it beats rarity 7.8-9.7s vs
+      13.3-18.8s single-shot, because the df-count shuffle + sort
       buys no candidate reduction.
     - ``order_by_rarity=True``: orders each prefix rarest-first by
       corpus document frequency (one df-count shuffle + join back).
       Wins when the gram distribution is skewed — 2× on a Zipf
-      10k-word corpus (17.3s vs 35.0s: rare grams head the prefixes,
-      hot grams stop generating candidates), 18% on the 10×
-      mutated-replication corpus (51.4s vs 62.7s warm).
+      10k-word corpus (rare grams head the prefixes, hot grams stop
+      generating candidates), 18% on the 10× mutated-replication
+      corpus.
+    - ``"auto"`` (default, r5): decide per-corpus from a cheap sampled
+      cost model. A gram row (doc, g) in the prefix index matches
+      df(g) other docs, so the expected join fan-out per shuffled row
+      under numeric order is ``Σ_g df(g)² / N`` (occurrence-weighted
+      mean document frequency); rarity order indexes only each doc's
+      rarest grams, collapsing that to the bottom-of-the-distribution
+      value (<3% of the numeric figure on every corpus measured). The
+      auto statistic is Σdf²/N computed over the grams of the FIRST
+      2048 docs (limit → the scan stops early) and extrapolated by
+      ``D/D_sample`` (sample dfs scale linearly with corpus size) —
+      one count() plus one sample-sized job. Calibrated on three
+      measured A/Bs (asymmetric-prefix build, warm, local[32]): stock
+      sf0.1 stat 3.1e3 → numeric wins 6.7 vs 12.4s; Zipf-vocab stat
+      1.3e3 → numeric 30.2 vs 36.9s; 10× mutated-replication stat
+      1.3e4 → rarity wins 46.4 vs 57.0s. Threshold 6e3 (geometric
+      middle); above it the df-count shuffle pays for itself, and the
+      statistic grows with corpus size, so any 100 TB natural corpus
+      lands deep in rarity territory — matching the Zipf-at-scale
+      intuition, while small/flat corpora skip the extra shuffle.
 
-    A production pipeline should flip this on for natural-language
-    corpora (vocabulary is always Zipfian at scale); the default
-    favors the synthetic low-vocab testbed this repo is graded on.
+    Candidate-generation cost (r5): the self-join is size-oriented —
+    the pair's SMALLER document is the indexed side and indexes only
+    its first ``n - ceil(2t/(1+t)·n) + 1`` grams (any partner is at
+    least as large, so required overlap >= 2t/(1+t)·n), while the
+    larger probing side keeps the standard ``n - ceil(t·n) + 1``
+    prefix. At t=0.5 the indexed side shrinks from n/2 to n/3 — fewer
+    index rows, fewer candidate rows, identical pair set (the
+    first-shared-gram argument holds for both windows).
     """
     base = _spread(df).select(
         F.col(id_col).alias("doc"),
@@ -485,6 +518,38 @@ def ngram_jaccard_pairs(
             F.transform(char_ngrams(F.col(text_col)), md5_u32)
         ).alias("grams"),
     )
+    if order_by_rarity == "auto":
+        n_docs = df.count()
+        # sample from the RAW frame, not `base`: base rides on _spread,
+        # whose repartition is a full shuffle that would defeat limit's
+        # early scan termination and re-scan the whole corpus
+        # Two cost dodges: repartition AFTER the limit (the limit
+        # collapses to one partition; hashing every sampled gram on one
+        # thread costs more than the tiny reshuffle that spreads it),
+        # and RAW 3-char grams instead of md5_u32 — the df distribution
+        # is identical either way (the hash is injective for counting)
+        # and skipping ~600k md5 calls keeps the stat job sub-second.
+        tot = (
+            df.limit(_RARITY_SAMPLE_DOCS)
+            .repartition(32)
+            .select(
+                F.array_distinct(char_ngrams(F.col(text_col))).alias("grams")
+            )
+            .select(F.explode("grams").alias("gram"))
+            .groupBy("gram")
+            .agg(F.count("*").alias("gdf"))
+            .agg(
+                F.sum("gdf").alias("n"),
+                F.sum(F.col("gdf") * F.col("gdf")).alias("v_all"),
+            )
+            .first()
+        )
+        if not tot["n"]:
+            order_by_rarity = False
+        else:
+            scale = n_docs / min(n_docs, _RARITY_SAMPLE_DOCS)
+            fanout_per_row = tot["v_all"] / tot["n"] * scale
+            order_by_rarity = fanout_per_row >= _RARITY_SAVINGS_THRESHOLD
     if order_by_rarity:
         exploded = base.select(
             "doc", "lang", "len_bucket", F.explode("grams").alias("gram")
@@ -513,17 +578,39 @@ def ngram_jaccard_pairs(
     # sides); persist so the gram pipeline runs once, not three times.
     # MEMORY_AND_DISK default: a 100 TB run spills instead of OOMing.
     ordered = ordered.persist()
-    prefix_len = (
-        F.col("n_grams") - F.ceil(F.lit(threshold) * F.col("n_grams")) + 1
+    # Size-oriented asymmetric prefixes (Xiao et al., PPJoin self-join):
+    # the pair's smaller doc is the INDEXED side — its partner is at
+    # least its size, so required overlap >= ceil(2t/(1+t)·n) and the
+    # index prefix shrinks to n − that + 1 (n/3 at t=0.5). The larger
+    # PROBING side keeps the symmetric n − ceil(t·n) + 1 prefix (its
+    # required overlap is >= ceil(t·n) whenever the length filter
+    # holds). The 1e-9 keeps a float-rounded ceil from overshooting at
+    # exact integer boundaries — rounding DOWN the required overlap
+    # only lengthens a prefix, which is always safe.
+    idx_len = (
+        F.col("n_grams")
+        - F.ceil(
+            F.lit(2.0 * threshold / (1.0 + threshold)) * F.col("n_grams")
+            - F.lit(1e-9)
+        )
+        + 1
     ).cast("int")
-    inv = ordered.select(
-        "doc",
-        "lang",
-        "len_bucket",
-        "n_grams",
-        F.posexplode(F.slice("grams", 1, prefix_len)).alias("pos", "gram"),
-    )
-    a, b = inv.alias("a"), inv.alias("b")
+    probe_len = (
+        F.col("n_grams")
+        - F.ceil(F.lit(threshold) * F.col("n_grams") - F.lit(1e-9))
+        + 1
+    ).cast("int")
+
+    def _inv(plen: F.Column) -> DataFrame:
+        return ordered.select(
+            "doc",
+            "lang",
+            "len_bucket",
+            "n_grams",
+            F.posexplode(F.slice("grams", 1, plen)).alias("pos", "gram"),
+        )
+
+    a, b = _inv(idx_len).alias("a"), _inv(probe_len).alias("b")
     # PPJoin positional filter: for a shared gram at sorted positions
     # (i, j), overlap <= min(i, j) + min(n_a - i, n_b - j) — shared
     # grams below the match are bounded by the smaller position, those
@@ -542,18 +629,29 @@ def ngram_jaccard_pairs(
         F.col("a.n_grams") - F.col("a.pos"),
         F.col("b.n_grams") - F.col("b.pos"),
     )
+    # Orientation: a (indexed, short prefix) is the SMALLER side under
+    # the (n_grams, doc) lexicographic order — a strict total order, so
+    # every unordered pair is generated exactly once; the pair identity
+    # is re-canonicalized to doc_a < doc_b afterwards (jaccard is
+    # symmetric, so the emitted pair set is unchanged).
+    smaller_first = (F.col("a.n_grams") < F.col("b.n_grams")) | (
+        (F.col("a.n_grams") == F.col("b.n_grams"))
+        & (F.col("a.doc") < F.col("b.doc"))
+    )
     cand = (
         a.join(
             b,
             (F.col("a.gram") == F.col("b.gram"))
             & (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.len_bucket") == F.col("b.len_bucket"))
-            & (F.col("a.doc") < F.col("b.doc"))
+            & smaller_first
             & (F.col("a.n_grams") >= threshold * F.col("b.n_grams"))
-            & (F.col("b.n_grams") >= threshold * F.col("a.n_grams"))
             & (overlap_bound >= overlap_needed),
         )
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .select(
+            F.least(F.col("a.doc"), F.col("b.doc")).alias("doc_a"),
+            F.greatest(F.col("a.doc"), F.col("b.doc")).alias("doc_b"),
+        )
         .distinct()
     )
     ga = ordered.select(
