@@ -106,7 +106,9 @@ def minhash_lsh_pairs(
     bucket.
     """
     # sig feeds the band explode and both est-jaccard joins; persist so
-    # the shingle→hash→16-way min pipeline runs once, not three times
+    # the shingle→hash→16-way min pipeline runs once, not three times.
+    # Lifecycle is caller-owned (see minhash_incremental_pairs): loops
+    # must clearCache() after materializing each result.
     sig = sig.persist()
     n_perms = n_bands * rows_per_band
     band_structs = F.array(
@@ -187,10 +189,13 @@ def minhash_incremental_pairs(
     a hot band drops for both sides alike.
 
     ``sig`` feeds the band explode and both est-jaccard joins, so it is
-    persisted here by default; callers that manage the frame's
-    lifecycle themselves (the streaming sink, which must unpersist
-    between micro-batches) pass ``persist_sig=False`` and persist
-    before the call.
+    persisted here by default. The cached frame's lifecycle is CALLER-
+    OWNED: a lazily returned result cannot unpersist behind itself, so
+    a long-lived session looping this operator (bench loops, services)
+    must drop the cache after materializing each result —
+    ``spark.catalog.clearCache()`` (what bench.py does per query), or
+    pass ``persist_sig=False`` and persist/unpersist the frame itself
+    (what the streaming sink does between micro-batches).
     """
     if persist_sig:
         sig = sig.persist()

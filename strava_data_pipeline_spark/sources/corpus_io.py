@@ -79,6 +79,29 @@ def read_jsonl_corpus(
     )
 
 
+def observe_corrupt(df: DataFrame, name: str = "corpus_read"):
+    """Attach (n_rows, n_corrupt) counters to a reader's plan so silent
+    quarantining is VISIBLE: formerly-valid rows that now land in
+    ``_corrupt_record`` (e.g. quoted embedded newlines read without
+    ``multi_line=True``) show up in the metric after any action, at
+    zero extra scans. Returns ``(df, Observation)``; read
+    ``obs.get["n_corrupt"]`` after the first action and alert/abort on
+    a nonzero count (same contract as operators/monitor.py)."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return (
+        df.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(F.col(CORRUPT_COL).isNotNull(), 1)).alias(
+                "n_corrupt"
+            ),
+        ),
+        obs,
+    )
+
+
 def good_docs(df: DataFrame) -> DataFrame:
     return df.where(df[CORRUPT_COL].isNull()).drop(CORRUPT_COL)
 
@@ -119,7 +142,11 @@ def read_csv_table(
     ``multi_line=True`` switches to the native record-aware source for
     quoted embedded newlines — accepting BOTH costs: one task per file
     (multiLine parsing cannot split) and no corrupt-column-only
-    queries. Keep it off unless the data genuinely contains them.
+    queries. Keep it off unless the data genuinely contains them — and
+    wrap the result in :func:`observe_corrupt` on ingest paths, so data
+    that DID need it (rows silently quarantining into
+    ``_corrupt_record``) raises a visible nonzero counter instead of
+    shrinking the table quietly.
     """
     data_fields = [f for f in schema.fields if f.name != CORRUPT_COL]
     if multi_line:

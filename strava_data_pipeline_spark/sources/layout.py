@@ -183,9 +183,30 @@ def zorder_write(
     and the min/max pruning the layout exists for would quietly stop
     working. The check is one cheap aggregate over the frame being
     rewritten anyway; raise ``bits`` (2*bits < 63) for wider domains.
+
+    NULL coordinates are rejected explicitly (same aggregate): min/max
+    skip nulls, so a null row would pass the range check yet land a
+    null ``_z`` — placed arbitrarily by the range partitioner, invisible
+    to curve pruning. A caller with nullable coordinates decides the
+    policy (filter, or fill a sentinel in-range value) before the write.
     """
     lim = 1 << bits
-    mx = df.agg(F.max(x_col), F.max(y_col), F.min(x_col), F.min(y_col)).first()
+    mx = df.agg(
+        F.max(x_col),
+        F.max(y_col),
+        F.min(x_col),
+        F.min(y_col),
+        F.sum(
+            (F.col(x_col).isNull() | F.col(y_col).isNull()).cast("bigint")
+        ),
+        F.count(F.lit(1)),
+    ).first()
+    if mx[5] and mx[4]:
+        raise ValueError(
+            f"zorder_write: {mx[4]} row(s) have NULL {x_col}/{y_col}; "
+            "null coordinates cannot be placed on the curve — filter "
+            "them or fill an in-range sentinel before the write"
+        )
     if mx[2] is not None and (mx[0] >= lim or mx[1] >= lim or mx[2] < 0 or mx[3] < 0):
         raise ValueError(
             f"zorder_write: ({x_col}, {y_col}) range [{mx[2]}..{mx[0]}] x "

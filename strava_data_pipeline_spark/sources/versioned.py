@@ -112,7 +112,22 @@ def commit_snapshot(df: DataFrame, root: str) -> int:
     fs, jvm = _fs(spark, root)
     orphan = _manifest_path(jvm, root, ver)
     if fs.exists(orphan):
+        # Delete the crashed commit's DATA DIRS before its manifest:
+        # once the manifest is gone those dirs are referenced by no
+        # version at all, and vacuum only deletes dirs listed in victim
+        # manifests — they would leak on disk forever. Dirs a committed
+        # manifest still shares (the crashed commit reused unchanged
+        # partitions) must survive.
+        stale = set((read_manifest(spark, root, ver) or {}).values())
+        referenced: set[str] = set()
+        for v in committed_versions(spark, root):
+            referenced |= set((read_manifest(spark, root, v) or {}).values())
+        for rel in sorted(stale - referenced):
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{root}/{rel}"), True)
         fs.delete(orphan, False)
+        seg = jvm.org.apache.hadoop.fs.Path(f"{root}/seg/v{ver}")
+        if fs.exists(seg) and len(fs.listStatus(seg)) == 0:
+            fs.delete(seg, True)
     marker = jvm.org.apache.hadoop.fs.Path(f"{root}/_v_{ver}.committed")
     fs.create(marker, False).close()
     return ver

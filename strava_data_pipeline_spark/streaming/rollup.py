@@ -33,6 +33,7 @@ def start_rollup_maintenance(
     stream: DataFrame,
     rollup_dir: str,
     checkpoint_dir: str,
+    app_id: str | None = None,
 ):
     """Maintain a (p_day, event_type) → (n_events, total_value) rollup
     from the event stream.
@@ -47,11 +48,24 @@ def start_rollup_maintenance(
     would still double-apply on replay; a deployment that cannot accept
     that uses streaming/cdf.py::refresh_rollup_from_store, whose
     consumed-version marker commits atomically AFTER the rollup
-    snapshot and therefore re-folds instead of re-adding."""
+    snapshot and therefore re-folds instead of re-adding.
+
+    ``app_id`` scopes the markers to one logical stream (the same
+    contract as sources/versioned.py::mark_batch): a REBUILT checkpoint
+    restarts batch ids at 0, so re-pointing a rebuilt stream at an
+    existing rollup_dir under the same app_id would find the old run's
+    markers and silently skip its first batches. Pass a NEW app_id (or
+    a fresh rollup_dir) whenever the checkpoint is rebuilt; the default
+    unscoped name is only safe for a rollup_dir written by exactly one
+    checkpoint lineage ever."""
+    from strava_data_pipeline_spark.sources.versioned import _part_token
+
+    # same naming scheme as versioned.py::_batch_marker, .applied suffix
+    prefix = f"_batch_{_part_token(app_id)}_" if app_id else "_batch_"
 
     def merge_rollup(batch: DataFrame, batch_id: int) -> None:
         sess = batch.sparkSession
-        marker = f"{rollup_dir}/_batch_{batch_id}.applied"
+        marker = f"{rollup_dir}/{prefix}{batch_id}.applied"
         if _hadoop_path_exists(sess, marker):
             return
         delta = (

@@ -159,6 +159,33 @@ class TestZorder:
         rows_flat = spark.read.parquet(flat_path).where(box).count()
         assert rows_z == rows_flat > 0
 
+    def test_null_coordinates_rejected(self, spark, tmp_path):
+        # min/max skip nulls, so null-coordinate rows would pass the
+        # range check yet land a null _z outside curve pruning; the
+        # writer must refuse them explicitly (ADVICE r4) — including
+        # the all-NULL-y case that previously raised a bare TypeError
+        import pytest
+
+        from strava_data_pipeline_spark.sources.layout import zorder_write
+
+        some_null = spark.createDataFrame(
+            [(1, 5), (2, None), (3, 7)], "x int, y int"
+        )
+        with pytest.raises(ValueError, match="NULL"):
+            zorder_write(some_null, str(tmp_path / "z1"), "x", "y")
+        all_null_y = spark.createDataFrame(
+            [(1, None), (2, None)], "x int, y int"
+        )
+        with pytest.raises(ValueError, match="NULL"):
+            zorder_write(all_null_y, str(tmp_path / "z2"), "x", "y")
+        # empty frame: nothing to check, empty write succeeds
+        zorder_write(
+            spark.createDataFrame([], "x int, y int"),
+            str(tmp_path / "z3"),
+            "x",
+            "y",
+        )
+
 
 def test_compaction_target_files_fans_out_per_day(spark, tmp_path):
     # target_files > 1 must actually produce up to that many files per

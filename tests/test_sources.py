@@ -165,6 +165,27 @@ class TestCorpusIO:
         got = {r["id"]: r["name"] for r in cio.good_docs(df).collect()}
         assert got == {1: "alpha", 3: "gamma"}
 
+    def test_observe_corrupt_surfaces_quarantine_count(self, spark, tmp_path):
+        # silent quarantining must be visible (ADVICE r4): the observe
+        # counters ride the existing action, no second scan
+        from pyspark.sql import types as T
+
+        from strava_data_pipeline_spark.sources import corpus_io as cio
+
+        schema = T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("name", T.StringType()),
+            ]
+        )
+        p = tmp_path / "mixed.csv"
+        p.write_text("id,name\n1,alpha\nnot_a_long,beta\n3,gamma\n")
+        df, obs = cio.observe_corrupt(
+            cio.read_csv_table(spark, str(p), schema)
+        )
+        df.write.format("noop").mode("overwrite").save()
+        assert obs.get == {"n_rows": 3, "n_corrupt": 1}
+
     def test_csv_custom_delimiter_roundtrip(self, spark, tmp_path):
         from pyspark.sql import types as T
 
@@ -457,6 +478,40 @@ class TestCrashRecoveryPaths:
         assert ver == 2
         rows = {r["k"] for r in V.read_snapshot(spark, root, version=2).collect()}
         assert rows == {2}, "orphan manifest shadowed the committed snapshot"
+
+    def test_orphan_commit_data_dirs_deleted_not_leaked(self, spark, tmp_path):
+        # the crashed partitioned commit's data dirs are referenced by
+        # no version once its manifest is deleted, and vacuum only
+        # consults victim manifests — commit_snapshot must delete them
+        # (ADVICE r4), while dirs a committed manifest still shares
+        # survive
+        import os
+
+        from strava_data_pipeline_spark.sources import versioned as V
+
+        root = str(tmp_path / "tbl")
+        df1 = spark.createDataFrame(
+            [(1, "2024-01-01")], "k long, d string"
+        ).withColumn("d", F.to_date("d"))
+        V.commit_snapshot_partitioned(df1, root, "d")  # v1 owns a seg dir
+        v1_dirs = set((V.read_manifest(spark, root, 1) or {}).values())
+        assert v1_dirs
+        # crashed v2: one NEW seg dir + reuse of v1's dir, manifest
+        # written, no marker
+        spark.createDataFrame([(9, "x")], "k long, s string").write.parquet(
+            f"{root}/seg/v2/newpart"
+        )
+        shared = next(iter(v1_dirs))
+        V._write_manifest(
+            spark, root, 2, {"newpart": "seg/v2/newpart", "old": shared}
+        )
+        V.commit_snapshot(
+            spark.createDataFrame([(2, "b")], "k long, s string"), root
+        )
+        assert not os.path.exists(f"{root}/seg/v2"), "orphan data dir leaked"
+        assert os.path.exists(f"{root}/{shared}"), "shared dir wrongly deleted"
+        rows = {r["k"] for r in V.read_snapshot(spark, root, version=1).collect()}
+        assert rows == {1}, "v1 must still read after orphan cleanup"
 
     def test_read_snapshot_parts_rejects_uncommitted_version(self, spark, tmp_path):
         import pytest as _pytest

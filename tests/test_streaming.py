@@ -289,6 +289,54 @@ def test_incremental_rollup_matches_batch_recompute(spark, dirs):
     assert got == want
 
 
+def test_rollup_rebuilt_checkpoint_new_app_id_not_skipped(spark, dirs):
+    # A rebuilt checkpoint restarts batch ids at 0. Re-pointing the
+    # rebuilt stream at an EXISTING rollup_dir must not let the old
+    # run's replay markers swallow the new run's first batches — the
+    # app_id scopes the markers per logical stream (ADVICE r4).
+    from strava_data_pipeline_spark.streaming.rollup import start_rollup_maintenance
+    from strava_data_pipeline_spark.streaming.sync import read_event_stream
+
+    landing, target, ckpt = dirs
+    _write_batch(spark, landing, [(1, datetime(2024, 1, 1, 10), 7, "run", 5.0)])
+    q = start_rollup_maintenance(
+        read_event_stream(spark, landing), target, ckpt, app_id="runA"
+    )
+    q.awaitTermination(120)
+
+    # checkpoint rebuilt: fresh ckpt dir, fresh landing content, NEW
+    # app_id → batch 0 of the new lineage applies even though runA's
+    # batch-0 marker is present in the same rollup_dir
+    landing2 = landing + "_2"
+    os.makedirs(landing2)
+    _write_batch(spark, landing2, [(2, datetime(2024, 1, 1, 11), 7, "run", 7.0)])
+    q = start_rollup_maintenance(
+        read_event_stream(spark, landing2), target, ckpt + "_2", app_id="runB"
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r["p_day"]), r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.read.parquet(target).collect()
+    }
+    assert got == {("2024-01-01", "run"): (2, 12.0)}
+
+    # negative control — same rollup_dir, same app_id, rebuilt
+    # checkpoint: the old marker swallows the new batch (the documented
+    # failure mode the app_id exists to avoid)
+    landing3 = landing + "_3"
+    os.makedirs(landing3)
+    _write_batch(spark, landing3, [(3, datetime(2024, 1, 1, 12), 7, "run", 9.0)])
+    q = start_rollup_maintenance(
+        read_event_stream(spark, landing3), target, ckpt + "_3", app_id="runA"
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r["p_day"]), r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.read.parquet(target).collect()
+    }
+    assert got == {("2024-01-01", "run"): (2, 12.0)}  # unchanged: skipped
+
+
 def test_stream_stream_outer_join_emits_unmatched_after_watermark(spark, dirs):
     from strava_data_pipeline_spark.streaming.joins import attribute_with_unmatched
 

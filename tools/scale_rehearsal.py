@@ -65,8 +65,17 @@ ANALYTICS_QUERIES = [
     "parts_bought_together",
 ]
 
-# vowel rotations per copy index: text -> distinct "dialect", length kept
+# Per-copy text "dialect": a bijective character substitution, length
+# kept. r4 used a bare vowel rotation (5 dialects), which made copies k
+# and k+5 byte-identical — harmless at mult=10 (one exact twin per doc)
+# but at mult=100 every doc would carry 19 exact twins and the pair
+# OUTPUT would grow quadratically in mult by construction, poisoning
+# the exponent with corpus structure instead of algorithm cost. The r5
+# dialect composes a full-alphabet rotation (k % 26) with a vowel
+# rotation (k // 26 % 5): 130 distinct bijections, so every copy up to
+# mult=130 is genuinely new content.
 _VOWELS = "aeiou"
+_ALPHA = "abcdefghijklmnopqrstuvwxyz"
 
 
 def _rot(s: str, k: int) -> str:
@@ -89,12 +98,20 @@ def build_scaled(spark, base: str, out: str, mult: int) -> dict[str, int]:
     for k in range(mult):
         c = docs.withColumn("doc_id", F.col("doc_id") + F.lit(k * n_docs))
         if k:
-            # translate changes every character occurrence of a vowel →
-            # every k-shingle differs from the original's; length (and
-            # n_chars) preserved, so quality/length distributions hold
+            # composed bijective translates change every character of
+            # every word → every k-shingle differs from every OTHER
+            # copy's; length (and n_chars) preserved, so quality/length
+            # distributions hold. Two stages: alphabet rotation varies
+            # with k%26, vowel rotation with k//26 — distinct composed
+            # map for every k < 130.
             c = c.withColumn(
-                "text", F.translate("text", _VOWELS, _rot(_VOWELS, k))
+                "text", F.translate("text", _ALPHA, _rot(_ALPHA, k % 26))
             )
+            if k // 26:
+                c = c.withColumn(
+                    "text",
+                    F.translate("text", _VOWELS, _rot(_VOWELS, k // 26 % 5)),
+                )
         doc_copies.append(c)
     scaled_docs = doc_copies[0]
     for c in doc_copies[1:]:
@@ -112,13 +129,22 @@ def build_scaled(spark, base: str, out: str, mult: int) -> dict[str, int]:
         c = emb.withColumn("vec_id", F.col("vec_id") + F.lit(k * n_emb))
         if k:
             rot = k % dim
-            c = c.withColumn(
-                "embedding",
-                F.concat(
-                    F.slice("embedding", rot + 1, dim - rot),
-                    F.slice("embedding", 1, rot),
-                ),
-            )
+            if rot:
+                c = c.withColumn(
+                    "embedding",
+                    F.concat(
+                        F.slice("embedding", rot + 1, dim - rot),
+                        F.slice("embedding", 1, rot),
+                    ),
+                )
+            if k // dim % 2:
+                # second time around the rotation cycle: negate, so
+                # copy k and copy k-dim are antipodal, not identical
+                # (norm kept, direction new) — matters at mult > dim
+                c = c.withColumn(
+                    "embedding",
+                    F.transform("embedding", lambda x: -x),
+                )
         emb_copies.append(c)
     scaled_emb = emb_copies[0]
     for c in emb_copies[1:]:
