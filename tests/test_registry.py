@@ -180,3 +180,10 @@ def test_bench_compare_tool_flags_regressions(tmp_path):
     # min_abs_sec suppresses sub-threshold jitter
     assert compare({"z": 0.1}, {"z": 0.3}) == ["z"]
     assert compare({"z": 0.1}, {"z": 0.3}, min_abs_sec=0.5) == []
+    # variance bands excuse times inside the recorded spread, but a
+    # time past BOTH the ratio and the band high still regresses
+    bands = {"x": [4.0, 7.5]}
+    assert compare(base, {"x": 7.0}, bands=bands) == []
+    assert compare(base, {"x": 8.0}, bands=bands) == ["x"]
+    # a query with no band falls back to the plain ratio rule
+    assert compare(base, {"y": 2.0}, bands=bands) == ["y"]

@@ -134,6 +134,25 @@ class TestApiKeys:
         svc.create_api_key("c", 10, user_id=2)
         assert svc.keys_for_user(1).count() == 2
 
+    def test_revocation_visible_immediately(self, spark, sf_dir):
+        # Staleness bound under concurrent rotation (VERDICT r4 task 8):
+        # validate_api_key scans the LIVE _key_rows list on every call —
+        # there is no cached driver snapshot — so a deactivation or
+        # deletion in the same session must never serve the revoked key
+        # again. create → validate → revoke → validate, both revocation
+        # paths, plus re-activation.
+        svc = PipelineService(spark, sf_dir)
+        key = svc.create_api_key("rotating", expiry_days=30, user_id=7)
+        assert svc.validate_api_key(key)
+        assert svc.update_api_key(key, is_active=False)
+        assert not svc.validate_api_key(key), "deactivated key served stale"
+        assert svc.update_api_key(key, is_active=True)
+        assert svc.validate_api_key(key)
+        assert svc.delete_api_key(key)
+        assert not svc.validate_api_key(key), "deleted key served stale"
+        # the analytical views see the same state (no divergent copy)
+        assert svc.read_api_key(key).count() == 0
+
 
 class TestUserCrud:
     """User-dim CRUD parity: user.go:34,56,74,92,110,125."""
