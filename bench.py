@@ -101,6 +101,15 @@ BENCH_QUERIES = [
     "dedup_containment",
     # round-4 additions
     "dedup_incremental",
+    # round-5 additions (curation pack)
+    "classifier_quality_score",
+    "dsir_weights",
+    "bpe_pair_counts",
+    "decontaminate_bloom",
+    "ngram_novelty",
+    "domain_kl",
+    "copurchase_triangles",
+    "snapshot_diff",
 ]
 
 

@@ -134,6 +134,64 @@ def cluster_stats(assignments: DataFrame, node_col: str) -> DataFrame:
     )
 
 
+def triangle_participation(edges: DataFrame) -> DataFrame:
+    """Per-node triangle membership counts over an undirected edge list.
+
+    ``edges`` must hold each undirected edge once as (a, b) with a < b.
+    Returns (node, n_triangles) for every node in at least one triangle.
+
+    Scale design: wedges enumerate from DEGREE-ORDERED oriented edges —
+    each edge points from its (degree, id)-smaller endpoint to the
+    larger — the standard bound that caps wedge fan-out at O(m^1.5) on
+    any degree distribution (a hub's edges all orient INTO it, so the
+    hub side generates no wedges). Every triangle has exactly one apex
+    under this orientation (the vertex both others dominate), so each
+    triangle is emitted once; per-node counts come from a 3-way explode
+    of the closed (apex, x, y) triples. Only (int, int) tuples shuffle.
+    """
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .union(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("deg"))
+    )
+    e = (
+        edges.join(deg.withColumnRenamed("node", "a"), "a")
+        .withColumnRenamed("deg", "deg_a")
+        .join(
+            deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "deg_b"),
+            "b",
+        )
+    )
+    lower_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = e.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("tail"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("head"),
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = o1.join(
+        o2,
+        (F.col("o1.tail") == F.col("o2.tail"))
+        & (F.col("o1.head") < F.col("o2.head")),
+    ).select(
+        F.col("o1.tail").alias("apex"),
+        F.col("o1.head").alias("x"),
+        F.col("o2.head").alias("y"),
+    )
+    closed = wedges.join(
+        edges.withColumnRenamed("a", "x").withColumnRenamed("b", "y"),
+        ["x", "y"],
+        "left_semi",
+    )
+    return (
+        closed.select(F.explode(F.array("apex", "x", "y")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+    )
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 3,

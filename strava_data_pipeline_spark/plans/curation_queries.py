@@ -1,0 +1,629 @@
+"""Corpus-curation queries (SURVEY.md §2c, r5 widening): model-based
+quality scoring, importance resampling, tokenizer training, bloom-gated
+decontamination, novelty/drift metrics, and graph structure mining.
+
+These re-express the published curation passes a production LLM data
+pipeline runs between crawl and training — DSIR (Xie et al. 2023,
+"Data Selection for Language Models via Importance Resampling"),
+fastText-style quality classifiers (Joulin et al. 2016, as used by
+GPT-3/LLaMA corpus filters), BPE merge statistics (Sennrich et al.
+2016), and bloom-filter decontamination (the fixed-size-filter variant
+of the broadcast-set scrub) — as exact, oracle-checkable DataFrame
+plans. The determinism discipline is the package standard: portable
+md5-prefix hashing (functions/hashing.py), integer micro-unit
+accumulation wherever doubles would sum in partition order, and a
+single final double division both engines perform identically.
+
+No reference parity lines: the reference (a Go activity service) has no
+corpus tier; these are the beyond-reference operators the task brief
+makes first-class.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from strava_data_pipeline_spark.functions import text as T
+from strava_data_pipeline_spark.functions.hashing import md5_u32, md5_u32_duckdb
+from strava_data_pipeline_spark.plans.registry import register
+from strava_data_pipeline_spark.operators.skew import spread_small_scan
+from strava_data_pipeline_spark.sources.catalog import load_table
+
+_DUCK_TOKENS = r"string_split_regex(lower(trim(text)), '\s+')"
+_DUCK_SHINGLES = (
+    r"list_distinct([array_to_string(t[i:i+2], ' ') "
+    r"FOR i IN range(1, greatest(len(t) - 2, 0) + 1)])"
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + the shared single-split scan guard (see skew.py):
+    the tokenize/explode stages below are CPU-bound per row and a small
+    parquet file arrives as one input split; a no-op on real
+    multi-split cluster scans."""
+    return spread_small_scan(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# 126. classifier_quality_score — hashed-linear quality classifier
+# --------------------------------------------------------------------------
+# A fastText-style linear model over hashed token features: every token
+# hashes into one of B buckets; each bucket carries a fixed milli-unit
+# weight; a document's score is the mean bucket weight over ALL token
+# occurrences. Production pipelines load trained weights as a broadcast
+# B-row dim; here the weight is a pure function of the bucket id
+# (md5-derived, zero-mean over [-1000, 1000]) so BOTH engines
+# materialize the identical model without shipping a file — the plan
+# (hash → weight lookup → per-doc mean) is the trained model's plan.
+_CLS_B = 1024
+
+_CLS_W = "(CAST(({h}) % 2001 AS BIGINT) - 1000)"
+
+
+def _cls_weight_duck(bucket_expr: str) -> str:
+    h = md5_u32_duckdb(f"'w#' || CAST({bucket_expr} AS VARCHAR)")
+    return _CLS_W.format(h=h)
+
+
+_CLASSIFIER_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, unnest({_DUCK_TOKENS}) AS term FROM documents
+), scored AS (
+    SELECT doc_id,
+           {_cls_weight_duck(md5_u32_duckdb('term') + f" % {_CLS_B}")} AS w
+    FROM tok
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(w) AS BIGINT) AS sum_w_milli,
+       round(sum(w) * 1.0 / (count(*) * 1000), 6) AS score,
+       sum(w) > 0 AS keep
+FROM scored GROUP BY 1
+"""
+
+
+@register("classifier_quality_score", oracle=_CLASSIFIER_ORACLE, tags=("llm", "text"))
+def classifier_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed linear quality classifier (fastText-style, Joulin et al.
+    2016): token → feature bucket (md5 % B) → milli-unit weight; doc
+    score = mean weight over all occurrences, keep = positive sum. The
+    weight is computed inline from the bucket id (no join at all) and
+    the sum is exact BIGINT milli-units, so the gate boolean and the
+    score are engine-identical. One scan, one map-combined doc_id
+    groupBy — at 100 TB the only shuffle is the per-doc partial sums;
+    a trained model swaps the inline weight for a broadcast B-row dim
+    without changing the plan shape."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
+    bucket = md5_u32(F.col("term")) % _CLS_B
+    w = (
+        md5_u32(F.concat(F.lit("w#"), bucket.cast("string"))) % 2001 - 1000
+    ).cast("bigint")
+    return (
+        tok.select("doc_id", w.alias("w"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("w").cast("bigint").alias("sum_w_milli"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "sum_w_milli",
+            F.round(
+                F.col("sum_w_milli") * 1.0 / (F.col("n_tokens") * 1000), 6
+            ).alias("score"),
+            (F.col("sum_w_milli") > 0).alias("keep"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 127. dsir_weights — importance-resampling log-weights (DSIR)
+# --------------------------------------------------------------------------
+# DSIR (Xie et al. 2023): score every raw document by the hashed-n-gram
+# log-likelihood ratio log p_target(x) - log p_raw(x) under two bag-of-
+# buckets unigram models, then resample proportionally. Target = one
+# curated source (src0 stands in for "Wikipedia"); raw = the rest.
+# Per-token log-ratio terms are quantized to exact 1e-4 units BEFORE
+# the per-doc sum (floor of an identically-computed double), so the
+# accumulation is BIGINT-exact in any partition order — the package's
+# standard defense against cross-engine double-sum divergence.
+_DSIR_B = 512
+
+_DSIR_TGT = "'src0'"
+
+_DSIR_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, source, {md5_u32_duckdb('term')} % {_DSIR_B} AS bucket
+    FROM (SELECT doc_id, source, unnest({_DUCK_TOKENS}) AS term FROM documents)
+), bc AS (
+    SELECT bucket,
+           CAST(sum(CASE WHEN source = {_DSIR_TGT} THEN 1 ELSE 0 END) AS BIGINT) AS tc,
+           CAST(sum(CASE WHEN source <> {_DSIR_TGT} THEN 1 ELSE 0 END) AS BIGINT) AS rc
+    FROM tok GROUP BY 1
+), tot AS (
+    SELECT CAST(sum(tc) AS BIGINT) AS t_total, CAST(sum(rc) AS BIGINT) AS r_total
+    FROM bc
+), term AS (
+    SELECT bucket,
+           CAST(floor(ln(((tc + 1) * 1.0 / (t_total + {_DSIR_B}))
+                         / ((rc + 1) * 1.0 / (r_total + {_DSIR_B}))) * 10000)
+                AS BIGINT) AS lr_q4
+    FROM bc CROSS JOIN tot
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(m.lr_q4) AS BIGINT) AS logw_q4,
+       round(sum(m.lr_q4) * 1.0 / 10000, 4) AS logw
+FROM tok t JOIN term m USING (bucket)
+WHERE t.source <> {_DSIR_TGT}
+GROUP BY 1
+"""
+
+
+@register("dsir_weights", oracle=_DSIR_ORACLE, tags=("llm", "sampling"))
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weights (Xie et al. 2023) for raw docs
+    against a curated target source, over hashed token buckets with
+    add-1 smoothing. One token explode feeds BOTH bucket models (one
+    conditional-sum groupBy → a B-row frame) and the per-doc scoring
+    pass; the B-row log-ratio table and the 1-row totals broadcast, so
+    the 100 TB raw corpus streams through hash → broadcast probe →
+    per-doc sum and never shuffles anything wider than (doc_id,
+    partial-sum). The ratio terms are floor-quantized to 1e-4 units so
+    per-doc sums are exact BIGINTs."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id", "source", F.explode(T.tokens(F.col("text"))).alias("term")
+    ).select("doc_id", "source", (md5_u32(F.col("term")) % _DSIR_B).alias("bucket"))
+    tgt = F.lit("src0")
+    bc = tok.groupBy("bucket").agg(
+        F.sum(F.when(F.col("source") == tgt, 1).otherwise(0))
+        .cast("bigint")
+        .alias("tc"),
+        F.sum(F.when(F.col("source") != tgt, 1).otherwise(0))
+        .cast("bigint")
+        .alias("rc"),
+    )
+    tot = bc.agg(
+        F.sum("tc").cast("bigint").alias("t_total"),
+        F.sum("rc").cast("bigint").alias("r_total"),
+    )
+    term = bc.join(F.broadcast(tot)).select(
+        "bucket",
+        F.floor(
+            F.log(
+                ((F.col("tc") + 1) * 1.0 / (F.col("t_total") + _DSIR_B))
+                / ((F.col("rc") + 1) * 1.0 / (F.col("r_total") + _DSIR_B))
+            )
+            * 10000
+        )
+        .cast("bigint")
+        .alias("lr_q4"),
+    )
+    return (
+        tok.where(F.col("source") != tgt)
+        .join(F.broadcast(term), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("lr_q4").cast("bigint").alias("logw_q4"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "logw_q4",
+            F.round(F.col("logw_q4") * 1.0 / 10000, 4).alias("logw"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 128. bpe_pair_counts — tokenizer-training merge statistics
+# --------------------------------------------------------------------------
+# The first round of BPE training (Sennrich et al. 2016): count every
+# adjacent character pair inside every token occurrence corpus-wide;
+# the top pair is the next merge. All-occurrence counting (frequency,
+# not set membership) is what makes it the tokenizer statistic.
+_BPE_TOPK = 50
+
+_BPE_ORACLE = f"""
+WITH tok AS (
+    SELECT unnest({_DUCK_TOKENS}) AS term FROM documents
+), pr AS (
+    SELECT unnest([substr(term, i, 2)
+                   FOR i IN range(1, greatest(length(term) - 1, 0) + 1)]) AS pair
+    FROM tok
+), cnt AS (
+    SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM pr GROUP BY 1
+)
+SELECT pair, cnt,
+       CAST(row_number() OVER (ORDER BY cnt DESC, pair ASC) AS BIGINT) AS rank
+FROM cnt
+QUALIFY rank <= {_BPE_TOPK}
+"""
+
+
+@register("bpe_pair_counts", oracle=_BPE_ORACLE, tags=("llm", "text"))
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-candidate statistics: corpus-wide counts of adjacent
+    character pairs within tokens (every occurrence), top-50 by count.
+    Two nested zero-shuffle explodes feed ONE map-combined pair
+    groupBy; the vocabulary of character pairs is tiny (≤ alphabet²)
+    so the combine collapses the count before the exchange, and the
+    top-50 is TakeOrderedAndProject — never a global sort. The rank
+    window runs over the already-limited 50-row frame. At 100 TB this
+    is the exact per-round counting job of distributed BPE training."""
+    docs = _docs(spark, sf_dir)
+    term = F.col("term")
+    pairs = F.when(
+        F.length(term) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length(term) - 1),
+            lambda i: term.substr(i, F.lit(2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    cnt = (
+        docs.select(F.explode(T.tokens(F.col("text"))).alias("term"))
+        .select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+        .limit(_BPE_TOPK)
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("pair").asc())
+    return cnt.select(
+        "pair", "cnt", F.row_number().over(w).cast("bigint").alias("rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# 129. decontaminate_bloom — fixed-size-filter decontamination
+# --------------------------------------------------------------------------
+# The scale variant of `decontaminate`: instead of broadcasting the
+# benchmark's exact shingle set (gigabytes once eval suites grow), ship
+# a k=3-hash bloom bitmap of m=4096 positions — constant size no matter
+# the benchmark. False positives are the price; this query emits BOTH
+# the bloom verdict and the exact verdict so the FP overhead is itself
+# measured (and the hash-compare proves the filter math, not just the
+# plumbing). Eval set: doc_id % 97 == 0, the same pseudo-benchmark
+# `decontaminate` scrubs against.
+_BLOOM_M = 4096
+_BLOOM_K = 3
+
+_BLOOM_POS = ", ".join(
+    md5_u32_duckdb(f"'bloom{j}#' || CAST(sh AS VARCHAR)") + f" % {_BLOOM_M}"
+    for j in range(_BLOOM_K)
+)
+
+_BLOOM_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id, {md5_u32_duckdb('shingle')} AS sh
+    FROM (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle FROM toks)
+), bloom AS (
+    SELECT DISTINCT pos
+    FROM (SELECT unnest([{_BLOOM_POS}]) AS pos FROM sh WHERE doc_id % 97 = 0)
+), probe AS (
+    SELECT doc_id, sh,
+           unnest([{_BLOOM_POS}]) AS pos
+    FROM sh WHERE doc_id % 97 <> 0
+), hits AS (
+    SELECT p.doc_id, p.sh,
+           count(*) FILTER (WHERE b.pos IS NOT NULL) = {_BLOOM_K} AS bloom_hit
+    FROM probe p LEFT JOIN bloom b USING (pos)
+    GROUP BY 1, 2
+), bench AS (
+    SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0
+), per_doc AS (
+    SELECT h.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN h.bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+               AS bloom_hits,
+           CAST(sum(CASE WHEN e.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS exact_hits
+    FROM hits h LEFT JOIN bench e USING (sh)
+    GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(coalesce(p.bloom_hits, 0) AS BIGINT) AS bloom_hits,
+       CAST(coalesce(p.exact_hits, 0) AS BIGINT) AS exact_hits,
+       coalesce(p.bloom_hits, 0) > coalesce(p.exact_hits, 0) AS has_false_positive
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+WHERE d.doc_id % 97 <> 0
+"""
+
+
+@register("decontaminate_bloom", oracle=_BLOOM_ORACLE, tags=("llm", "text"))
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination: the benchmark's shingles set k=3
+    bits in an m=4096 bitmap; a training shingle is flagged when ALL
+    its k positions are set. The bitmap travels as a ≤m-row position
+    table — constant-size broadcast however large the benchmark — and
+    the corpus streams through explode → broadcast probe, never
+    shuffling. Emits bloom hits AND exact hits per doc so the false-
+    positive rate is audited in the result itself; the oracle checks
+    the filter arithmetic bit-for-bit."""
+    docs = _docs(spark, sf_dir)
+    sh = (
+        docs.select(
+            "doc_id",
+            F.explode(T.word_shingles(T.tokens(F.col("text")))).alias("_s"),
+        )
+        .select("doc_id", md5_u32(F.col("_s")).alias("sh"))
+        .distinct()
+    )
+    pos_arr = F.array(
+        *[
+            md5_u32(F.concat(F.lit(f"bloom{j}#"), F.col("sh").cast("string")))
+            % _BLOOM_M
+            for j in range(_BLOOM_K)
+        ]
+    )
+    bloom = (
+        sh.where(F.col("doc_id") % 97 == 0)
+        .select(F.explode(pos_arr).alias("pos"))
+        .distinct()
+    )
+    bench = sh.where(F.col("doc_id") % 97 == 0).select("sh").distinct()
+    probe = sh.where(F.col("doc_id") % 97 != 0).select(
+        "doc_id", "sh", F.explode(pos_arr).alias("pos")
+    )
+    hits = (
+        probe.join(F.broadcast(bloom.withColumn("_in", F.lit(1))), "pos", "left")
+        .groupBy("doc_id", "sh")
+        .agg((F.sum(F.coalesce("_in", F.lit(0))) == _BLOOM_K).alias("bloom_hit"))
+    )
+    per_doc = (
+        hits.join(
+            F.broadcast(bench.withColumn("_ex", F.lit(1))), "sh", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("bloom_hits"),
+            F.sum(F.coalesce("_ex", F.lit(0))).cast("bigint").alias("exact_hits"),
+        )
+    )
+    return (
+        docs.where(F.col("doc_id") % 97 != 0)
+        .select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).cast("bigint").alias("n_shingles"),
+            F.coalesce("bloom_hits", F.lit(0)).cast("bigint").alias("bloom_hits"),
+            F.coalesce("exact_hits", F.lit(0)).cast("bigint").alias("exact_hits"),
+            (
+                F.coalesce("bloom_hits", F.lit(0))
+                > F.coalesce("exact_hits", F.lit(0))
+            ).alias("has_false_positive"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 130. ngram_novelty — per-doc first-occurrence share
+# --------------------------------------------------------------------------
+_NOVELTY_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id, {md5_u32_duckdb('shingle')} AS sh
+    FROM (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle FROM toks)
+), firstocc AS (
+    SELECT sh, CAST(min(doc_id) AS BIGINT) AS first_doc FROM sh GROUP BY 1
+)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_novel,
+       round(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) * 1.0
+             / count(*), 4) AS novelty_ratio
+FROM sh s JOIN firstocc f USING (sh)
+GROUP BY 1
+"""
+
+
+@register("ngram_novelty", oracle=_NOVELTY_ORACLE, tags=("llm", "text"))
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the share of a doc's distinct word-3-
+    shingles whose FIRST corpus occurrence (min doc_id) is this doc —
+    the dataset-diversity curve curators watch as a crawl grows (novelty
+    collapsing toward 0 means the corpus has saturated). Shingles
+    travel as u32 hashes; the first-occurrence dim and the per-doc
+    rollup share one shingle-keyed exchange, and only (shingle, doc_id)
+    pairs ever shuffle — never text. In the incremental production form
+    the first-occurrence dim is the persisted state and each crawl
+    batch probes it (the dedup_incremental pattern)."""
+    docs = _docs(spark, sf_dir)
+    sh = (
+        docs.select(
+            "doc_id",
+            F.explode(T.word_shingles(T.tokens(F.col("text")))).alias("_s"),
+        )
+        .select("doc_id", md5_u32(F.col("_s")).alias("sh"))
+        .distinct()
+    )
+    first = sh.groupBy("sh").agg(F.min("doc_id").cast("bigint").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        sh.join(first, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.sum(novel).cast("bigint").alias("n_novel"),
+            F.round(F.sum(novel) * 1.0 / F.count("*"), 4).alias("novelty_ratio"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 131. domain_kl — per-source distribution drift vs the corpus
+# --------------------------------------------------------------------------
+# KL(source ‖ corpus) over hashed token buckets: the mixture-monitoring
+# statistic behind corpus_mixture — a source whose KL drifts up is
+# diverging from the blend it was weighted for. Bucketing (B=256)
+# bounds the state at any corpus size; add-1 smoothing keeps every
+# term finite; each term is floor-quantized to 1e-9 units so the
+# per-source sum is BIGINT-exact in any aggregation order.
+_KL_B = 256
+
+_KL_ORACLE = f"""
+WITH tok AS (
+    SELECT source, {md5_u32_duckdb('term')} % {_KL_B} AS bucket
+    FROM (SELECT source, unnest({_DUCK_TOKENS}) AS term FROM documents)
+), sb AS (
+    SELECT source, bucket, CAST(count(*) AS BIGINT) AS c_sb FROM tok GROUP BY 1, 2
+), b AS (
+    SELECT bucket, CAST(count(*) AS BIGINT) AS c_b FROM tok GROUP BY 1
+), s AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM tok GROUP BY 1
+), n AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_total FROM tok
+), grid AS (
+    SELECT s.source, s.n_s, b.bucket, b.c_b, coalesce(sb.c_sb, 0) AS c_sb
+    FROM s CROSS JOIN b
+    LEFT JOIN sb ON sb.source = s.source AND sb.bucket = b.bucket
+), term AS (
+    SELECT source, n_s,
+           CAST(floor(((c_sb + 1) * 1.0 / (n_s + {_KL_B}))
+                      * ln(((c_sb + 1) * 1.0 / (n_s + {_KL_B}))
+                           / ((c_b + 1) * 1.0 / (n_total + {_KL_B})))
+                      * 1000000000) AS BIGINT) AS kl_term_q9
+    FROM grid CROSS JOIN n
+)
+SELECT source,
+       CAST(min(n_s) AS BIGINT) AS n_tokens,
+       CAST(sum(kl_term_q9) AS BIGINT) AS kl_q9,
+       round(sum(kl_term_q9) * 1.0 / 1000000000, 6) AS kl
+FROM term GROUP BY 1
+"""
+
+
+@register("domain_kl", oracle=_KL_ORACLE, tags=("llm", "corpus"))
+def domain_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence from the corpus token distribution over
+    B=256 hash buckets — the drift monitor for corpus mixtures. One
+    token explode feeds the (source × bucket) counts; everything after
+    is arithmetic over a ≤(sources × B)-row grid built from broadcast
+    dims, so the corpus is scanned once and the only corpus-sized
+    shuffle is the map-combined count groupBy. Terms quantize to 1e-9
+    units before summing (exact BIGINT accumulation; a double sum's
+    partition order would diverge cross-engine)."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "source", F.explode(T.tokens(F.col("text"))).alias("term")
+    ).select("source", (md5_u32(F.col("term")) % _KL_B).alias("bucket"))
+    sb = tok.groupBy("source", "bucket").agg(
+        F.count("*").cast("bigint").alias("c_sb")
+    )
+    b = tok.groupBy("bucket").agg(F.count("*").cast("bigint").alias("c_b"))
+    s = tok.groupBy("source").agg(F.count("*").cast("bigint").alias("n_s"))
+    n = tok.agg(F.count("*").cast("bigint").alias("n_total"))
+    grid = (
+        s.crossJoin(F.broadcast(b))
+        .join(sb, ["source", "bucket"], "left")
+        .select(
+            "source",
+            "n_s",
+            "c_b",
+            F.coalesce("c_sb", F.lit(0)).cast("bigint").alias("c_sb"),
+        )
+    )
+    p_s = (F.col("c_sb") + 1) * 1.0 / (F.col("n_s") + _KL_B)
+    p_c = (F.col("c_b") + 1) * 1.0 / (F.col("n_total") + _KL_B)
+    term = grid.join(F.broadcast(n)).select(
+        "source",
+        "n_s",
+        F.floor(p_s * F.log(p_s / p_c) * 1000000000)
+        .cast("bigint")
+        .alias("kl_term_q9"),
+    )
+    return term.groupBy("source").agg(
+        F.min("n_s").cast("bigint").alias("n_tokens"),
+        F.sum("kl_term_q9").cast("bigint").alias("kl_q9"),
+        F.round(F.sum("kl_term_q9") * 1.0 / 1000000000, 6).alias("kl"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 132. copurchase_triangles — triangle counting on the co-purchase graph
+# --------------------------------------------------------------------------
+_TRI_TOPK = 100
+
+_TRI_ORACLE = f"""
+WITH items AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), edges AS (
+    SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), tri AS (
+    SELECT e1.a AS x, e1.b AS y, e2.b AS z
+    FROM edges e1
+    JOIN edges e2 ON e2.a = e1.b
+    JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+), member AS (
+    SELECT unnest([x, y, z]) AS partkey FROM tri
+), cnt AS (
+    SELECT partkey, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM member GROUP BY 1
+)
+SELECT partkey, n_triangles,
+       CAST(row_number() OVER (ORDER BY n_triangles DESC, partkey ASC) AS BIGINT)
+           AS rank
+FROM cnt
+QUALIFY rank <= {_TRI_TOPK}
+"""
+
+
+@register("copurchase_triangles", oracle=_TRI_ORACLE, tags=("analytics", "graph"))
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle participation in the co-purchase graph (parts
+    sharing an order) — the local clustering signal behind "customers
+    who bought X and Y also bought Z". Scale design: wedges enumerate
+    from DEGREE-ORDERED oriented edges (each edge points low→high by
+    (degree, id)), the standard trick that bounds wedge fan-out by
+    O(m^1.5) on any degree distribution instead of Σdeg² — a hub with
+    degree d generates no wedges from its hub side because its edges
+    orient INTO it. Each triangle then has exactly one apex (the node
+    both others dominate), so it is found once; membership counts come
+    from a 3-way explode of the (x, y, z) triples. Only (int, int)
+    edge tuples ever shuffle. The DuckDB oracle independently counts
+    via plain a<b<c triple enumeration — two different strategies must
+    agree bit-for-bit."""
+    from strava_data_pipeline_spark.operators.graph import triangle_participation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, bb = items.alias("ia"), items.alias("ib")
+    edges = (
+        a.join(
+            bb,
+            (F.col("ia.l_orderkey") == F.col("ib.l_orderkey"))
+            & (F.col("ia.l_partkey") < F.col("ib.l_partkey")),
+        )
+        .select(
+            F.col("ia.l_partkey").alias("a"), F.col("ib.l_partkey").alias("b")
+        )
+        .distinct()
+    )
+    cnt = (
+        triangle_participation(edges)
+        .withColumnRenamed("node", "partkey")
+        .orderBy(F.col("n_triangles").desc(), F.col("partkey").asc())
+        .limit(_TRI_TOPK)
+    )
+    w = Window.orderBy(F.col("n_triangles").desc(), F.col("partkey").asc())
+    return cnt.select(
+        "partkey",
+        "n_triangles",
+        F.row_number().over(w).cast("bigint").alias("rank"),
+    )

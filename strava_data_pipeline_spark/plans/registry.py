@@ -53,6 +53,13 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # registration (module-import) order (their latest green is r3/r4).
 _ENUMERATE_FIRST: tuple[str, ...] = (
     # --- no green driver row yet ---
+    "classifier_quality_score",  # new in r5 (curation pack)
+    "dsir_weights",  # new in r5
+    "bpe_pair_counts",  # new in r5
+    "decontaminate_bloom",  # new in r5
+    "ngram_novelty",  # new in r5
+    "domain_kl",  # new in r5
+    "copurchase_triangles",  # new in r5
     "snapshot_diff",  # new in r5 (streaming CDF's batch twin)
     "embedding_quantize",  # r4 ERR: array output → now canonical CSV string
     "inverted_index",  # r4 ERR: same fix
@@ -172,6 +179,7 @@ def _load() -> None:
         analytics_complete,
         analytics_extra,
         analytics_queries,
+        curation_queries,
         llm_queries,
         pipeline_queries,
     )

@@ -1,0 +1,190 @@
+"""Semantic tests for the r5 curation pack (plans/curation_queries.py):
+planted-graph triangle counts, bloom no-false-negatives, novelty
+conservation, classifier/DSIR arithmetic invariants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from strava_data_pipeline_spark.operators.graph import triangle_participation
+from strava_data_pipeline_spark.plans import curation_queries as C
+
+SF = "/root/testdata/sf0.001"
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs], "a bigint, b bigint"
+    )
+
+
+class TestTriangleParticipation:
+    def test_k4_every_node_in_three_triangles(self, spark):
+        # K4 has C(4,3)=4 triangles; each node sits in 3 of them
+        k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+        got = {
+            r["node"]: r["n_triangles"]
+            for r in triangle_participation(_edges(spark, k4)).collect()
+        }
+        assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    def test_path_graph_has_no_triangles(self, spark):
+        path = [(i, i + 1) for i in range(6)]
+        assert triangle_participation(_edges(spark, path)).count() == 0
+
+    def test_hub_plus_one_closing_edge(self, spark):
+        # star hub 0 with leaves 1..5 plus one leaf-leaf edge (1,2):
+        # exactly one triangle (0,1,2) — counts 1 for those three only.
+        # Exercises the orientation: the hub's edges all point INTO it.
+        star = [(0, i) for i in range(1, 6)] + [(1, 2)]
+        got = {
+            r["node"]: r["n_triangles"]
+            for r in triangle_participation(_edges(spark, star)).collect()
+        }
+        assert got == {0: 1, 1: 1, 2: 1}
+
+    def test_two_disjoint_triangles(self, spark):
+        tri2 = [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12)]
+        got = triangle_participation(_edges(spark, tri2)).collect()
+        assert {r["node"] for r in got} == {0, 1, 2, 10, 11, 12}
+        assert all(r["n_triangles"] == 1 for r in got)
+
+
+@pytest.fixture(scope="module")
+def bloom_rows(spark):
+    return C.decontaminate_bloom(spark, SF).collect()
+
+
+class TestDecontaminateBloom:
+    def test_no_false_negatives(self, bloom_rows):
+        # the bloom property: every exact hit IS a bloom hit
+        assert bloom_rows
+        for r in bloom_rows:
+            assert r["bloom_hits"] >= r["exact_hits"], r
+
+    def test_flag_matches_counts(self, bloom_rows):
+        for r in bloom_rows:
+            assert r["has_false_positive"] == (
+                r["bloom_hits"] > r["exact_hits"]
+            )
+
+    def test_eval_docs_excluded(self, bloom_rows):
+        assert all(r["doc_id"] % 97 != 0 for r in bloom_rows)
+
+    def test_exact_hits_agree_with_decontaminate(self, spark):
+        # the exact column must equal the broadcast-set scrub's n_shared
+        from strava_data_pipeline_spark.plans.llm_queries import decontaminate
+
+        exact = {
+            r["doc_id"]: r["n_shared"]
+            for r in decontaminate(spark, SF).collect()
+        }
+        for r in C.decontaminate_bloom(spark, SF).collect():
+            assert exact[r["doc_id"]] == r["exact_hits"]
+
+
+class TestNgramNovelty:
+    def test_novel_counts_conserve_distinct_shingles(self, spark):
+        # each distinct corpus shingle has exactly one first occurrence:
+        # sum(n_novel) == corpus-wide distinct shingle count
+        from strava_data_pipeline_spark.functions import text as T
+        from strava_data_pipeline_spark.functions.hashing import md5_u32
+        from strava_data_pipeline_spark.sources.catalog import load_table
+
+        rows = C.ngram_novelty(spark, SF).collect()
+        total_novel = sum(r["n_novel"] for r in rows)
+        distinct_shingles = (
+            load_table(spark, SF, "documents")
+            .select(
+                F.explode(
+                    T.word_shingles(T.tokens(F.col("text")))
+                ).alias("s")
+            )
+            .select(md5_u32(F.col("s")).alias("h"))
+            .distinct()
+            .count()
+        )
+        assert total_novel == distinct_shingles
+        for r in rows:
+            assert 0 <= r["n_novel"] <= r["n_shingles"]
+
+
+class TestClassifierScore:
+    def test_score_and_gate_derive_from_exact_sum(self, spark):
+        rows = C.classifier_quality_score(spark, SF).collect()
+        assert rows
+        for r in rows:
+            assert r["keep"] == (r["sum_w_milli"] > 0)
+            # tolerance, not equality: Python round() is banker's,
+            # Spark F.round is HALF_UP — they differ on exact .5 ulps
+            expect = r["sum_w_milli"] / (r["n_tokens"] * 1000)
+            assert abs(r["score"] - expect) < 5.1e-7
+
+    def test_deterministic(self, spark):
+        a = {
+            r["doc_id"]: r["sum_w_milli"]
+            for r in C.classifier_quality_score(spark, SF).collect()
+        }
+        b = {
+            r["doc_id"]: r["sum_w_milli"]
+            for r in C.classifier_quality_score(spark, SF).collect()
+        }
+        assert a == b
+
+
+class TestDsirWeights:
+    def test_target_source_excluded_and_quantized(self, spark):
+        from strava_data_pipeline_spark.sources.catalog import load_table
+
+        rows = C.dsir_weights(spark, SF).collect()
+        docs = {
+            r["doc_id"]: r["source"]
+            for r in load_table(spark, SF, "documents").collect()
+        }
+        assert rows
+        for r in rows:
+            assert docs[r["doc_id"]] != "src0"
+            assert abs(r["logw"] - round(r["logw_q4"] / 10000, 4)) < 1e-9
+
+    def test_covers_every_raw_doc(self, spark):
+        # tokens() yields [''] even for empty text, so every raw doc
+        # has >= 1 token occurrence and must be scored
+        from strava_data_pipeline_spark.sources.catalog import load_table
+
+        n_raw = (
+            load_table(spark, SF, "documents")
+            .where(F.col("source") != "src0")
+            .count()
+        )
+        assert C.dsir_weights(spark, SF).count() == n_raw
+
+
+class TestBpePairCounts:
+    def test_rank_contract(self, spark):
+        rows = C.bpe_pair_counts(spark, SF).collect()
+        assert 0 < len(rows) <= C._BPE_TOPK
+        by_rank = sorted(rows, key=lambda r: r["rank"])
+        assert [r["rank"] for r in by_rank] == list(range(1, len(rows) + 1))
+        for prev, cur in zip(by_rank, by_rank[1:]):
+            assert prev["cnt"] > cur["cnt"] or (
+                prev["cnt"] == cur["cnt"] and prev["pair"] < cur["pair"]
+            )
+        assert all(len(r["pair"]) == 2 for r in rows)
+
+
+class TestDomainKl:
+    def test_token_mass_conserved(self, spark):
+        from strava_data_pipeline_spark.functions import text as T
+        from strava_data_pipeline_spark.sources.catalog import load_table
+
+        rows = C.domain_kl(spark, SF).collect()
+        total = (
+            load_table(spark, SF, "documents")
+            .select(F.size(T.tokens(F.col("text"))).alias("n"))
+            .agg(F.sum("n"))
+            .collect()[0][0]
+        )
+        assert sum(r["n_tokens"] for r in rows) == total
+        for r in rows:
+            assert abs(r["kl"] - round(r["kl_q9"] / 1e9, 6)) < 1e-9

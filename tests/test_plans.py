@@ -43,6 +43,8 @@ _BNLJ_OK = {
     "heavy_hitters",  # 1-row (total, n_groups) broadcast
     "heavy_hitters_sampled",  # 1-row (total, n_groups) broadcast
     "semdedup",  # K-row centroid-seed broadcast, like kmeans_lloyd
+    "dsir_weights",  # 1-row token-totals broadcast onto the B-row bucket dim
+    "domain_kl",  # B-row bucket dim + 1-row token-total broadcasts
 }
 
 # plan-string caches; one build per query per pytest session. A failed
