@@ -1267,22 +1267,31 @@ def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (parts sharing an order, the parts_bought_together edge set). Three
     power iterations via operators/graph.py::pagerank — per round one
     src-keyed join + one dst-keyed groupBy, nothing driver-side, exact
-    BIGINT arithmetic end to end. The co-occurrence self-join is
-    orderkey-co-partitioned, pair fan-out bounded by basket size."""
+    BIGINT arithmetic end to end. Edge build is the basket-array form
+    (one orderkey-keyed map-side-combined collect_set + a codegen
+    ordered-pair explode emitting both directions inline) — it replaces
+    the orderkey self-join, which shuffled the item list twice and
+    deduped twice the pair volume; fan-out stays bounded by basket
+    size."""
     from strava_data_pipeline_spark.operators.graph import pagerank
 
-    li = (
+    baskets = (
         load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
     )
-    a, b = li.alias("a"), li.alias("b")
     edges = (
-        a.join(b, "l_orderkey")
-        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> flatten("
+                    " transform(slice(ps, i + 2, size(ps)), y ->"
+                    " array(named_struct('src', x, 'dst', y),"
+                    "       named_struct('src', y, 'dst', x))))))"
+                )
+            ).alias("e")
         )
+        .select(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
         .distinct()
     )
     ranks = pagerank(edges, iterations=3)

@@ -569,16 +569,29 @@ LIMIT 50
 
 @register("parts_bought_together", oracle=_BASKET_ORACLE, tags=("analytics",))
 def parts_bought_together(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top co-purchased part pairs: the self-join co-partitions both
-    sides on l_orderkey (one shuffle each, no broadcast of a fact), and
-    the pair blow-up is bounded by per-order line count (~4), NOT the
-    table — the safe kind of quadratic. part_a < part_b halves the pair
-    space; top-50 is TakeOrderedAndProject."""
+    """Top co-purchased part pairs via basket arrays: ONE
+    orderkey-keyed shuffle (map-side-combined collect_list) and a
+    codegen index-pair explode replace the co-partitioned self-join
+    (which shuffled the item list twice); the pair blow-up stays
+    bounded by per-order line count (~4), NOT the table — the safe
+    kind of quadratic. The sorted list + i<j indexing reproduces the
+    join's part_a < part_b multiset exactly (equal-part duplicate
+    lines filter out the same way). Top-50 is TakeOrderedAndProject."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_partkey")).alias("ps")
+    )
     return (
-        a.join(b, "ok")
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) ->"
+                    " transform(slice(ps, i + 2, size(ps)), y ->"
+                    " named_struct('part_a', x, 'part_b', y))))"
+                )
+            ).alias("e")
+        )
+        .select(F.col("e.part_a").alias("part_a"), F.col("e.part_b").alias("part_b"))
         .where(F.col("part_a") < F.col("part_b"))
         .groupBy("part_a", "part_b")
         .agg(F.count("*").cast("bigint").alias("n_orders"))

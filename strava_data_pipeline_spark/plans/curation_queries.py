@@ -602,17 +602,25 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from strava_data_pipeline_spark.operators.graph import triangle_participation
 
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a, bb = items.alias("ia"), items.alias("ib")
+    # basket-array edge build: ONE orderkey-keyed shuffle (map-side-
+    # combined collect_set) then a codegen pair explode bounded by
+    # basket size — replaces the orderkey self-join (which shuffled the
+    # item list twice and deduped 2× the pair volume); pair blow-up is
+    # C(basket, 2), the same bound parts_bought_together documents
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
     edges = (
-        a.join(
-            bb,
-            (F.col("ia.l_orderkey") == F.col("ib.l_orderkey"))
-            & (F.col("ia.l_partkey") < F.col("ib.l_partkey")),
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) ->"
+                    " transform(slice(ps, i + 2, size(ps)),"
+                    " y -> named_struct('a', x, 'b', y))))"
+                )
+            ).alias("e")
         )
-        .select(
-            F.col("ia.l_partkey").alias("a"), F.col("ib.l_partkey").alias("b")
-        )
+        .select(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
         .distinct()
     )
     cnt = (
