@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "ngram_novelty",
     "domain_kl",
     "copurchase_triangles",
+    "embedding_power_iteration",
     "snapshot_diff",
 ]
 

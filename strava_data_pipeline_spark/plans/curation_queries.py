@@ -635,3 +635,138 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_triangles",
         F.row_number().over(w).cast("bigint").alias("rank"),
     )
+
+
+# --------------------------------------------------------------------------
+# 133. embedding_power_iteration — top principal component, exact integers
+# --------------------------------------------------------------------------
+# The PCA step curation pipelines run before whitening / SemDeDup-style
+# clustering: two matrix-free power iterations w' = Qᵀ(Q·w) over the
+# micro-unit-quantized embedding matrix, renormalized to milli-units
+# each round. Every intermediate is BIGINT: vectors quantize with the
+# kmeans_lloyd floor(x*1e6 + 0.5) discipline; the per-vector score is
+# truncation-divided by 2^16 before the back-projection and the
+# per-dim vector renormalizes by its max-abs — both via the portable
+# (x - (x % y)) // y identity (numerator made exactly divisible, so
+# floor-division in DuckDB and `div` in Spark agree for every sign;
+# both engines' % takes the dividend's sign). Output = each vector's
+# exact integer projection onto the converged component.
+_PI_SHIFT = 65536  # 2^16 score rescale; keeps Qᵀ(Q·w) inside BIGINT
+
+
+def _pi_w0_duck() -> str:
+    h = md5_u32_duckdb("'pw#' || CAST(i AS VARCHAR)")
+    return f"CAST(({h}) % 2001 - 1000 AS BIGINT)"
+
+
+def _pi_oracle(iters: int = 2) -> str:
+    steps = []
+    prev = "w0"
+    for k in range(1, iters + 1):
+        steps.append(f"""s{k} AS (
+    SELECT lf.vec_id, CAST(sum(lf.qd * {prev}.w) AS BIGINT) AS s
+    FROM lf JOIN {prev} USING (dim) GROUP BY 1
+), sp{k} AS (
+    SELECT vec_id, (s - (s % {_PI_SHIFT})) // {_PI_SHIFT} AS sp FROM s{k}
+), u{k} AS (
+    SELECT lf.dim, CAST(sum(lf.qd * sp{k}.sp) AS BIGINT) AS u
+    FROM lf JOIN sp{k} USING (vec_id) GROUP BY 1
+), m{k} AS (
+    SELECT greatest(max(abs(u)), 1) AS m FROM u{k}
+), w{k} AS (
+    SELECT dim, ((u * 1000) - ((u * 1000) % m)) // m AS w
+    FROM u{k} CROSS JOIN m{k}
+)""")
+        prev = f"w{k}"
+    return f"""
+WITH q AS (
+    SELECT vec_id,
+           [CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+            FOR i IN range(1, 65)] AS qv
+    FROM embeddings
+), lf AS (
+    SELECT vec_id, CAST(i AS BIGINT) AS dim, qv[i] AS qd
+    FROM q, unnest(range(1, 65)) AS t(i)
+), w0 AS (
+    SELECT CAST(i AS BIGINT) AS dim, {_pi_w0_duck()} AS w
+    FROM unnest(range(1, 65)) AS t(i)
+), {', '.join(steps)}
+SELECT lf.vec_id, CAST(sum(lf.qd * {prev}.w) AS BIGINT) AS proj_q
+FROM lf JOIN {prev} USING (dim)
+GROUP BY 1
+"""
+
+
+@register(
+    "embedding_power_iteration", oracle=_pi_oracle(), tags=("llm", "ml")
+)
+def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-principal-component projection of every embedding via two
+    exact-integer power iterations (see module comment above the
+    oracle). Plan shape per round: the long (vec_id, dim, qd) frame —
+    persisted once — joins the broadcast 64-row component vector,
+    aggregates per vec_id (one shuffle), rescales, joins back and
+    aggregates per dim (second shuffle); the renormalizer is a 1-row
+    broadcast. Nothing wider than (id, bigint) tuples ever shuffles
+    and the component state is 64 rows, so the plan is the 100 TB
+    shape already; at corpora past ~10^7 vectors the score shift
+    widens (shift ∝ log2 n) to keep Qᵀ(Q·w) inside BIGINT, the same
+    knob the docstring constant pins. DuckDB oracle = the identical
+    recurrence unrolled as chained CTEs (the pagerank discipline)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * F.lit(1000000.0) + F.lit(0.5)).cast(
+            "bigint"
+        ),
+    )
+    lf = (
+        emb.select("vec_id", F.posexplode(qv).alias("pos", "qd"))
+        .select(
+            "vec_id", (F.col("pos") + 1).cast("bigint").alias("dim"), "qd"
+        )
+        .persist()
+    )
+    dims = spark.range(1, 65).select(F.col("id").cast("bigint").alias("dim"))
+    w = dims.select(
+        "dim",
+        (
+            md5_u32(F.concat(F.lit("pw#"), F.col("dim").cast("string"))) % 2001
+            - 1000
+        )
+        .cast("bigint")
+        .alias("w"),
+    )
+    for _ in range(2):
+        s = (
+            lf.join(F.broadcast(w), "dim")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("qd") * F.col("w")).cast("bigint").alias("s"))
+        )
+        sp = s.select(
+            "vec_id",
+            F.expr(f"(s - (s % {_PI_SHIFT})) div {_PI_SHIFT}")
+            .cast("bigint")
+            .alias("sp"),
+        )
+        u = (
+            lf.join(sp, "vec_id")
+            .groupBy("dim")
+            .agg(F.sum(F.col("qd") * F.col("sp")).cast("bigint").alias("u"))
+        )
+        m = u.agg(
+            F.greatest(F.max(F.abs(F.col("u"))), F.lit(1))
+            .cast("bigint")
+            .alias("m")
+        )
+        w = u.crossJoin(F.broadcast(m)).select(
+            "dim",
+            F.expr("((u * 1000) - ((u * 1000) % m)) div m")
+            .cast("bigint")
+            .alias("w"),
+        )
+    return (
+        lf.join(F.broadcast(w), "dim")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("qd") * F.col("w")).cast("bigint").alias("proj_q"))
+    )

@@ -188,3 +188,54 @@ class TestDomainKl:
         assert sum(r["n_tokens"] for r in rows) == total
         for r in rows:
             assert abs(r["kl"] - round(r["kl_q9"] / 1e9, 6)) < 1e-9
+
+
+class TestEmbeddingPowerIteration:
+    def test_matches_numpy_integer_recurrence(self, spark):
+        # independent reimplementation of the exact integer recurrence
+        # in numpy (object dtype = unbounded Python ints, no float
+        # drift) — the Spark plan must reproduce it bit-for-bit
+        import numpy as np
+        import pandas as pd
+
+        from strava_data_pipeline_spark.sources.catalog import load_table
+
+        pdf = (
+            load_table(spark, SF, "embeddings")
+            .select("vec_id", "embedding")
+            .toPandas()
+            .sort_values("vec_id")
+        )
+        import hashlib
+
+        def u32(s: str) -> int:
+            return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+        def tdiv(x: int, y: int) -> int:
+            # truncation toward zero: the engines' (x - (x % y)) // y
+            # identity uses C-style % (dividend sign); Python's % takes
+            # the divisor's sign, so spell truncation explicitly
+            return -((-x) // y) if x < 0 else x // y
+
+        Q = np.array(
+            [
+                [int(np.floor(float(v) * 1_000_000 + 0.5)) for v in row]
+                for row in pdf["embedding"]
+            ],
+            dtype=object,
+        )
+        w = np.array(
+            [u32(f"pw#{d}") % 2001 - 1000 for d in range(1, 65)], dtype=object
+        )
+        for _ in range(2):
+            s = Q @ w
+            sp = np.array([tdiv(int(x), 65536) for x in s], dtype=object)
+            u = Q.T @ sp
+            m = max(max(abs(int(x)) for x in u), 1)
+            w = np.array([tdiv(int(x) * 1000, m) for x in u], dtype=object)
+        expect = dict(zip(pdf["vec_id"], Q @ w))
+        got = {
+            r["vec_id"]: r["proj_q"]
+            for r in C.embedding_power_iteration(spark, SF).collect()
+        }
+        assert got == {k: int(v) for k, v in expect.items()}

@@ -45,6 +45,7 @@ _BNLJ_OK = {
     "semdedup",  # K-row centroid-seed broadcast, like kmeans_lloyd
     "dsir_weights",  # 1-row token-totals broadcast onto the B-row bucket dim
     "domain_kl",  # B-row bucket dim + 1-row token-total broadcasts
+    "embedding_power_iteration",  # 1-row max-abs renormalizer broadcast
 }
 
 # plan-string caches; one build per query per pytest session. A failed
