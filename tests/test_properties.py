@@ -254,3 +254,44 @@ def test_incremental_pairs_equal_batch_slice_of_full(spark, texts, batch_mask):
             expected[(a, b)] = est  # judged against an index partner
     assert inc == expected
     assert all(j != p for j, p in inc)
+
+
+# ---------------------------------------------------------------------------
+# triangle participation: degree-ordered edge-iterator == brute force
+# ---------------------------------------------------------------------------
+
+
+def _brute_triangle_counts(pairs):
+    """O(n^3) reference: count, per node, the triangles it belongs to."""
+    import itertools
+
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        lo, hi = min(a, b), max(a, b)
+        adj.setdefault(lo, set()).add(hi)
+        adj.setdefault(hi, set()).add(lo)
+    counts: dict[int, int] = {}
+    for x, y, z in itertools.combinations(sorted(adj), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            for v in (x, y, z):
+                counts[v] = counts.get(v, 0) + 1
+    return counts
+
+
+@given(pairs=_edge_lists)
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_triangle_participation_matches_brute_force(spark, pairs):
+    from pyspark.sql import functions as F
+
+    from strava_data_pipeline_spark.operators.graph import triangle_participation
+
+    raw = spark.createDataFrame(pairs, "x bigint, y bigint")
+    edges = raw.select(
+        F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+    ).distinct()
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_participation(edges).collect()
+    }
+    spark.catalog.clearCache()  # triangle_participation persists edges
+    assert got == _brute_triangle_counts(pairs)
