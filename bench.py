@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "domain_kl",
     "copurchase_triangles",
     "embedding_power_iteration",
+    "minhash_error_eval",
     "snapshot_diff",
 ]
 

@@ -770,3 +770,103 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id")
         .agg(F.sum(F.col("qd") * F.col("w")).cast("bigint").alias("proj_q"))
     )
+
+
+# --------------------------------------------------------------------------
+# 134. minhash_error_eval — sketch-quality audit of the minhash tier
+# --------------------------------------------------------------------------
+# Every LSH candidate pair carries an ESTIMATED jaccard (matching
+# signature fraction); this query joins each candidate back to the two
+# documents' exact hashed-shingle sets and emits estimate, exact value,
+# and absolute error — the per-pair audit that tells a curator whether
+# 16 permutations are enough before trusting the 0.75 dedup threshold.
+# The estimator itself was already oracle-checked (dedup_minhash); this
+# checks the EVALUATION HARNESS cross-engine too.
+
+
+def _minhash_eval_oracle() -> str:
+    from strava_data_pipeline_spark.plans.llm_queries import _minhash_oracle
+
+    return f"""
+WITH mh AS ({_minhash_oracle()}
+), toks2 AS (
+    SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents
+), sh2 AS (
+    SELECT DISTINCT doc_id, {md5_u32_duckdb('shingle')} AS x
+    FROM (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle FROM toks2)
+), gs AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh2 GROUP BY 1
+), ix AS (
+    SELECT m.doc_a, m.doc_b, CAST(count(*) AS BIGINT) AS i
+    FROM mh m
+    JOIN sh2 a ON a.doc_id = m.doc_a
+    JOIN sh2 b ON b.doc_id = m.doc_b AND b.x = a.x
+    GROUP BY 1, 2
+)
+SELECT m.doc_a, m.doc_b, m.est_jaccard,
+       round(coalesce(ix.i, 0) * 1.0
+             / (ga.n + gb.n - coalesce(ix.i, 0)), 4) AS exact_jaccard,
+       round(abs(m.est_jaccard
+                 - round(coalesce(ix.i, 0) * 1.0
+                         / (ga.n + gb.n - coalesce(ix.i, 0)), 4)), 4) AS abs_err
+FROM mh m
+JOIN gs ga ON ga.doc_id = m.doc_a
+JOIN gs gb ON gb.doc_id = m.doc_b
+LEFT JOIN ix ON ix.doc_a = m.doc_a AND ix.doc_b = m.doc_b
+"""
+
+
+@register("minhash_error_eval", oracle=_minhash_eval_oracle(), tags=("llm", "dedup"))
+def minhash_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-error audit: for every minhash-LSH candidate pair, the
+    estimated jaccard (matching-signature fraction), the exact jaccard
+    over the two documents' hashed-shingle sets, and |error|. The
+    exact side touches ONLY the candidate pairs the bands emitted —
+    never all pairs — so the audit costs O(candidates × shingles/doc),
+    the same bound as the dedup verify step itself; gram arrays join
+    onto pairs by doc id, nothing quadratic anywhere. At 100 TB this
+    runs over a sampled candidate slice to pick the permutation count
+    before committing to a full-corpus dedup."""
+    from strava_data_pipeline_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = D.minhash_signatures(docs)
+    cand = D.minhash_lsh_pairs(sig)
+    sh = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.explode(T.word_shingles(T.tokens(F.col("text")))).alias("_s"),
+        )
+        .select("doc_id", md5_u32(F.col("_s")).alias("x"))
+        .distinct()
+    )
+    gs = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("x")).alias("xs"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    ga = gs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("xs").alias("xs_a"),
+        F.col("n").alias("n_a"),
+    )
+    gb = gs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("xs").alias("xs_b"),
+        F.col("n").alias("n_b"),
+    )
+    inter = F.size(F.array_intersect("xs_a", "xs_b")).cast("bigint")
+    exact = F.round(
+        inter * F.lit(1.0) / (F.col("n_a") + F.col("n_b") - inter), 4
+    )
+    return (
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            exact.alias("exact_jaccard"),
+            F.round(F.abs(F.col("est_jaccard") - exact), 4).alias("abs_err"),
+        )
+    )

@@ -61,6 +61,7 @@ _ENUMERATE_FIRST: tuple[str, ...] = (
     "domain_kl",  # new in r5
     "copurchase_triangles",  # new in r5
     "embedding_power_iteration",  # new in r5
+    "minhash_error_eval",  # new in r5
     "snapshot_diff",  # new in r5 (streaming CDF's batch twin)
     "embedding_quantize",  # r4 ERR: array output → now canonical CSV string
     "inverted_index",  # r4 ERR: same fix

@@ -239,3 +239,14 @@ class TestEmbeddingPowerIteration:
             for r in C.embedding_power_iteration(spark, SF).collect()
         }
         assert got == {k: int(v) for k, v in expect.items()}
+
+
+class TestMinhashErrorEval:
+    def test_error_is_consistent_and_bounded(self, spark):
+        rows = C.minhash_error_eval(spark, SF).collect()
+        spark.catalog.clearCache()  # minhash_lsh_pairs persists sig
+        assert rows
+        for r in rows:
+            assert 0.0 <= r["est_jaccard"] <= 1.0
+            assert 0.0 <= r["exact_jaccard"] <= 1.0
+            assert abs(r["abs_err"] - abs(r["est_jaccard"] - r["exact_jaccard"])) < 1.1e-4
