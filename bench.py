@@ -112,6 +112,12 @@ BENCH_QUERIES = [
     "embedding_power_iteration",
     "minhash_error_eval",
     "snapshot_diff",
+    # round-5 additions (mining pack)
+    "skipgram_pmi",
+    "bigram_logprob",
+    "ann_pq",
+    "ivf_balance",
+    "simhash_error_eval",
 ]
 
 

@@ -146,6 +146,64 @@ def ann_topk_lsh(
     )
 
 
+def _ivf_nearest_cids(vec_col: str, norm_col: str, top: int) -> F.Column:
+    """Ranked nearest-centroid ids against the broadcast ``cents``
+    array-of-(cid, centv, centn): ``array_sort`` over a
+    ``transform``-computed struct array, pure whole-stage codegen, NO
+    row expansion (the kmeans_lloyd/semdedup argmin idiom). Sort key =
+    rounded cosine quantized to exact BIGINT micro-units (round-6dp ×
+    1e6 is an integer recovered exactly by floor(x+0.5)), negated so
+    ascending struct order equals the oracle's ``ccos DESC, cid ASC``."""
+    ranked = F.array_sort(
+        F.transform(
+            F.col("cents"),
+            lambda ct: F.struct(
+                (
+                    -F.floor(
+                        F.round(
+                            V.dot(F.col(vec_col), ct["centv"])
+                            / (F.col(norm_col) * ct["centn"]),
+                            6,
+                        )
+                        * F.lit(1000000.0)
+                        + F.lit(0.5)
+                    ).cast("bigint")
+                ).alias("neg_ccos_micro"),
+                ct["cid"].alias("cid"),
+            ),
+        )
+    )
+    return F.transform(F.slice(ranked, 1, top), lambda s: s["cid"])
+
+
+def ivf_assignments(corpus: DataFrame, n_centroids: int = 16) -> DataFrame:
+    """Inverted-list assignment for the IVF index: every corpus vector
+    → its single nearest centroid (deterministic vec_id < n_centroids
+    seeds, same tie/rounding discipline as ``ann_topk_ivf``). Returns
+    (neighbor_id, cv, cn, cid) — the list build half of the index,
+    exposed so balance audits (list-size histograms) and the search
+    path share one definition. Zero shuffles besides the corpus scan:
+    the centroid array folds in as a broadcast 1-row aggregate."""
+    c = spread_small_scan(corpus).select(
+        F.col("vec_id").alias("neighbor_id"),
+        V.as_double(F.col("embedding")).alias("cv"),
+    ).withColumn("cn", V.norm(F.col("cv")))
+    cent = c.where(F.col("neighbor_id") < n_centroids).select(
+        F.col("neighbor_id").alias("cid"),
+        F.col("cv").alias("centv"),
+        F.col("cn").alias("centn"),
+    )
+    cent_arr = cent.agg(
+        F.collect_list(F.struct("cid", "centv", "centn")).alias("cents")
+    )
+    return c.crossJoin(F.broadcast(cent_arr)).select(
+        "neighbor_id",
+        "cv",
+        "cn",
+        F.element_at(_ivf_nearest_cids("cv", "cn", 1), 1).alias("cid"),
+    )
+
+
 def ann_topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -191,34 +249,11 @@ def ann_topk_ivf(
     cent_arr = cent.agg(
         F.collect_list(F.struct("cid", "centv", "centn")).alias("cents")
     )
-
-    def nearest_cids(vec_col: str, norm_col: str, top: int) -> F.Column:
-        ranked = F.array_sort(
-            F.transform(
-                F.col("cents"),
-                lambda ct: F.struct(
-                    (
-                        -F.floor(
-                            F.round(
-                                V.dot(F.col(vec_col), ct["centv"])
-                                / (F.col(norm_col) * ct["centn"]),
-                                6,
-                            )
-                            * F.lit(1000000.0)
-                            + F.lit(0.5)
-                        ).cast("bigint")
-                    ).alias("neg_ccos_micro"),
-                    ct["cid"].alias("cid"),
-                ),
-            )
-        )
-        return F.transform(F.slice(ranked, 1, top), lambda s: s["cid"])
-
     corpus_lists = c.crossJoin(F.broadcast(cent_arr)).select(
         "neighbor_id",
         "cv",
         "cn",
-        F.element_at(nearest_cids("cv", "cn", 1), 1).alias("cid"),
+        F.element_at(_ivf_nearest_cids("cv", "cn", 1), 1).alias("cid"),
     )
     q = queries.select(
         F.col("vec_id").alias("query_id"),
@@ -228,7 +263,7 @@ def ann_topk_ivf(
         "query_id",
         "qv",
         "qn",
-        F.explode(nearest_cids("qv", "qn", n_probe)).alias("cid"),
+        F.explode(_ivf_nearest_cids("qv", "qn", n_probe)).alias("cid"),
     )
     scored = (
         corpus_lists.join(F.broadcast(probes), "cid")

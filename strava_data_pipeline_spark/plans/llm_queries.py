@@ -235,7 +235,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # 23. dedup_simhash
 # --------------------------------------------------------------------------
-def _simhash_oracle() -> str:
+def _simhash_oracle(max_hamming: int = 3) -> str:
     votes = ",\n        ".join(
         f"sum(CASE WHEN (x >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{i}"
         for i in range(32)
@@ -268,7 +268,7 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
 FROM capped a JOIN capped b
   ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 """
 
 

@@ -1,0 +1,543 @@
+"""Corpus-mining queries (SURVEY.md §2c, r5 continuation, rows 135-139):
+co-occurrence statistics for embedding training, an n-gram LM fluency
+score, product quantization for ANN memory compression, and two index
+health audits (IVF list balance, simhash sketch error).
+
+Same determinism discipline as the curation pack: portable md5-prefix
+hashing, integer micro-unit arithmetic wherever doubles would
+accumulate in partition order, and any final double math expressed as
+ONE fixed scalar expression tree rounded at an agreed precision so
+both engines compute it identically.
+
+No reference parity lines: the reference (a Go activity service) has no
+corpus tier; these are the beyond-reference operators the task brief
+makes first-class.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from strava_data_pipeline_spark.functions import text as T
+from strava_data_pipeline_spark.functions import vectors as V
+from strava_data_pipeline_spark.functions.hashing import md5_u32, md5_u32_duckdb
+from strava_data_pipeline_spark.operators import dedup as D
+from strava_data_pipeline_spark.operators import similarity as S
+from strava_data_pipeline_spark.operators.skew import spread_small_scan
+from strava_data_pipeline_spark.plans.registry import register
+from strava_data_pipeline_spark.sources.catalog import load_table
+
+_DUCK_TOKENS = r"string_split_regex(lower(trim(text)), '\s+')"
+
+# Pair separator for (w1, w2) skip-gram keys. chr(1) cannot appear in a
+# whitespace token, so the join/split round-trip is unambiguous.
+_SEP = "\x01"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + the shared single-split scan guard (see skew.py)."""
+    return spread_small_scan(load_table(spark, sf_dir, "documents"))
+
+
+def _pair_arrays(t) -> F.Column:
+    """All distance-1 and distance-2 ordered skip-gram pairs of a token
+    array as ``w1<SEP>w2`` strings — generated INSIDE codegen by zipping
+    the array against its own shifted slices (zero joins, zero
+    shuffles; the classic posexplode-self-join pair build shuffles the
+    corpus token table twice and dies first at scale)."""
+    n = F.size(t)
+    d1 = F.zip_with(
+        F.slice(t, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(t, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(_SEP, a, b),
+    )
+    d2 = F.zip_with(
+        F.slice(t, 1, F.greatest(n - 2, F.lit(0))),
+        F.slice(t, 3, F.greatest(n - 2, F.lit(0))),
+        lambda a, b: F.concat_ws(_SEP, a, b),
+    )
+    return F.concat(d1, d2)
+
+
+# DuckDB twin of _pair_arrays: list comprehensions over the token list.
+# range(1, n) is empty when n <= 1, so short docs contribute nothing —
+# matching F.slice with a greatest(0) length guard.
+_DUCK_PAIRS = (
+    f"[t[i] || chr(1) || t[i+1] FOR i IN range(1, len(t))] || "
+    f"[t[i] || chr(1) || t[i+2] FOR i IN range(1, len(t) - 1)]"
+)
+
+
+# --------------------------------------------------------------------------
+# 135. skipgram_pmi — co-occurrence statistics for embedding training
+# --------------------------------------------------------------------------
+# The word2vec/GloVe preprocessing pass: corpus-wide skip-gram pair
+# counts (window 2, ordered) with pointwise mutual information against
+# the unigram distribution. PMI's log runs over EXACT integer counts in
+# one fixed expression tree — ln(c12)+2·ln(N)−ln(P)−ln(c1)−ln(c2) —
+# then rounds at 4dp, the unigram_logprob cross-engine discipline.
+_PMI_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents
+), pr AS (
+    SELECT unnest({_DUCK_PAIRS}) AS pair FROM d
+), pc AS (
+    SELECT pair, CAST(count(*) AS BIGINT) AS n_pair FROM pr GROUP BY 1
+), tok AS (
+    SELECT unnest(t) AS term FROM d
+), uc AS (
+    SELECT term, CAST(count(*) AS BIGINT) AS n_term FROM tok GROUP BY 1
+), tot AS (
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM tok) AS n_tok,
+           (SELECT CAST(sum(n_pair) AS BIGINT) FROM pc) AS p_total
+)
+SELECT string_split(pc.pair, chr(1))[1] AS w1,
+       string_split(pc.pair, chr(1))[2] AS w2,
+       pc.n_pair AS n_pairs,
+       round(ln(pc.n_pair) + 2 * ln(tot.n_tok) - ln(tot.p_total)
+             - ln(u1.n_term) - ln(u2.n_term), 4) AS pmi
+FROM pc
+JOIN uc u1 ON u1.term = string_split(pc.pair, chr(1))[1]
+JOIN uc u2 ON u2.term = string_split(pc.pair, chr(1))[2]
+CROSS JOIN tot
+ORDER BY pc.n_pair DESC, w1, w2
+LIMIT 50
+"""
+
+
+@register("skipgram_pmi", oracle=_PMI_ORACLE, tags=("llm", "text"))
+def skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 skip-gram pairs (window 2) with PMI — the co-occurrence
+    table embedding training (word2vec/GloVe) consumes.
+
+    Scale shape: pairs generate inside codegen from each doc's own
+    token array (zip-against-shifted-slice, no self-join), so the only
+    shuffles are the two map-side-combined groupBys — pair counts
+    (vocab²-bounded, zipf-concentrated) and unigram counts
+    (vocab-bounded). The unigram dim joins back onto the PAIR COUNT
+    table (vocab² rows max), never the corpus; N and P are a broadcast
+    1-row aggregate. Top-50 is TakeOrderedAndProject — no global sort.
+    PMI evaluates one fixed ln-expression tree over exact BIGINT
+    counts, rounded 4dp (cross-engine contract)."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(T.tokens(F.col("text")).alias("t"))
+    pairs = toks.select(F.explode(_pair_arrays(F.col("t"))).alias("pair"))
+    pc = pairs.groupBy("pair").agg(F.count("*").cast("bigint").alias("n_pair"))
+    tok = toks.select(F.explode("t").alias("term"))
+    uc = tok.groupBy("term").agg(F.count("*").cast("bigint").alias("n_term"))
+    # N and P re-aggregate the already-reduced dims (vocab / vocab²
+    # rows), NOT the corpus: both lineages end in the same exchange as
+    # the main branch, so AQE's ReusedExchange makes each corpus explode
+    # run ONCE (a tok.agg(count) total would re-scan and re-explode the
+    # whole corpus just to count it)
+    tot = pc.agg(F.sum("n_pair").cast("bigint").alias("p_total")).crossJoin(
+        uc.agg(F.sum("n_term").cast("bigint").alias("n_tok"))
+    )
+    u1 = uc.select(F.col("term").alias("w1"), F.col("n_term").alias("c1"))
+    u2 = uc.select(F.col("term").alias("w2"), F.col("n_term").alias("c2"))
+    split = F.split(F.col("pair"), _SEP)
+    return (
+        pc.select(
+            split.getItem(0).alias("w1"),
+            split.getItem(1).alias("w2"),
+            F.col("n_pair").alias("n_pairs"),
+        )
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "n_pairs",
+            F.round(
+                F.log("n_pairs")
+                + F.lit(2) * F.log("n_tok")
+                - F.log("p_total")
+                - F.log("c1")
+                - F.log("c2"),
+                4,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("n_pairs").desc(), "w1", "w2")
+        .limit(50)
+    )
+
+
+# --------------------------------------------------------------------------
+# 136. bigram_logprob — n-gram LM fluency score (the unigram_logprob
+# upgrade: context-conditional probabilities)
+# --------------------------------------------------------------------------
+# Add-1 smoothed bigram model under the corpus's own counts:
+# p(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V), V = distinct vocabulary.
+# c(w1) is the plain unigram occurrence count (the last token of a doc
+# has no successor but still counts as context mass — a defined,
+# engine-identical convention; a trained KenLM table swaps in as the
+# same broadcast dim). Per-doc mean log-prob rounds at 4dp.
+_BIGRAM_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents
+), bg AS (
+    SELECT doc_id,
+           unnest([t[i] || chr(1) || t[i+1] FOR i IN range(1, len(t))]) AS pair
+    FROM d
+), pc AS (
+    SELECT pair, CAST(count(*) AS BIGINT) AS n_pair FROM bg GROUP BY 1
+), tok AS (
+    SELECT unnest(t) AS term FROM d
+), uc AS (
+    SELECT term, CAST(count(*) AS BIGINT) AS n_term FROM tok GROUP BY 1
+), v AS (
+    SELECT CAST(count(*) AS BIGINT) AS vocab FROM uc
+)
+SELECT b.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(sum(ln((pc.n_pair + 1) * 1.0 / (uc.n_term + v.vocab)))
+             / count(*), 4) AS avg_logprob
+FROM bg b
+JOIN pc ON pc.pair = b.pair
+JOIN uc ON uc.term = string_split(b.pair, chr(1))[1]
+CROSS JOIN v
+GROUP BY 1
+"""
+
+
+@register("bigram_logprob", oracle=_BIGRAM_ORACLE, tags=("llm", "text"))
+def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean add-1-smoothed bigram log-probability per doc — the
+    context-aware fluency score between unigram_logprob and a real
+    KenLM perplexity filter (the trained model swaps in as the same
+    broadcast (pair → count) dim; the plan is identical).
+
+    One doc scan generates adjacent pairs in codegen; the pair dim
+    (vocab²-bounded) and unigram dim (vocab-bounded) broadcast back
+    onto the pair stream; vocabulary size is a 1-row broadcast. The
+    per-doc rollup is the only corpus-sized shuffle. Every occurrence
+    counts (fluency, not set overlap) — no distinct anywhere."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", T.tokens(F.col("text")).alias("t"))
+    n = F.size("t")
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("t"), 1, F.greatest(n - 1, F.lit(0))),
+                F.slice(F.col("t"), 2, F.greatest(n - 1, F.lit(0))),
+                lambda a, b: F.concat_ws(_SEP, a, b),
+            )
+        ).alias("pair"),
+    )
+    pc = bg.groupBy("pair").agg(F.count("*").cast("bigint").alias("n_pair"))
+    tok = toks.select(F.explode("t").alias("term"))
+    uc = tok.groupBy("term").agg(F.count("*").cast("bigint").alias("n_term"))
+    v = uc.agg(F.count("*").cast("bigint").alias("vocab"))
+    w1 = F.split(F.col("pair"), _SEP).getItem(0)
+    return (
+        bg.join(F.broadcast(pc), "pair")
+        .join(F.broadcast(uc.withColumnRenamed("term", "_w1")), w1 == F.col("_w1"))
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.sum(
+                    F.log(
+                        (F.col("n_pair") + 1)
+                        * F.lit(1.0)
+                        / (F.col("n_term") + F.col("vocab"))
+                    )
+                )
+                / F.count("*"),
+                4,
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 137. ann_pq — product quantization codes (ANN memory compression)
+# --------------------------------------------------------------------------
+# The IVF-PQ storage path (Jégou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search"): the 64-dim vector splits into M=4
+# 16-dim subspaces; each subvector is coded as its nearest of K=8
+# codebook entries, so a vector stores as M small codes instead of 64
+# floats (here 4 codes ≈ 12 bits vs 256 bytes — the compression that
+# lets a 100 TB corpus's index fit in executor memory). Codebooks are
+# deterministic seeds (vec_id < K subvectors, the kmeans_lloyd seed
+# discipline) so the oracle rebuilds the identical index; production
+# swaps in per-subspace KMeans codebooks, same plan. Coordinates
+# quantize to exact BIGINT micro-units so every distance is an exact
+# integer (≤ 16·(2e6)² ≈ 6.4e13 per subspace) and argmin ties break on
+# the code id — bit-identical cross-engine.
+_PQ_M, _PQ_SUB, _PQ_K = 4, 16, 8
+
+_PQ_ORACLE = f"""
+WITH q AS (
+    SELECT vec_id,
+           [CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+            FOR i IN range(1, 65)] AS qv
+    FROM embeddings
+), s AS (
+    SELECT vec_id AS code, qv AS sv FROM q WHERE vec_id < {_PQ_K}
+), d AS (
+    SELECT q.vec_id, m.m, s.code,
+           list_sum([(q.qv[m.m * {_PQ_SUB} + i] - s.sv[m.m * {_PQ_SUB} + i])
+                     * (q.qv[m.m * {_PQ_SUB} + i] - s.sv[m.m * {_PQ_SUB} + i])
+                     FOR i IN range(1, {_PQ_SUB} + 1)]) AS dist2
+    FROM q CROSS JOIN s, unnest(range(0, {_PQ_M})) AS m(m)
+), a AS (
+    SELECT vec_id, m, code, dist2 FROM (
+        SELECT vec_id, m, code, dist2,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY dist2, code) AS rn
+        FROM d
+    ) WHERE rn = 1
+)
+SELECT vec_id,
+       array_to_string(list(code ORDER BY m), ',') AS codes,
+       CAST(sum(dist2) AS BIGINT) AS err_micro2
+FROM a GROUP BY 1
+"""
+
+
+@register("ann_pq", oracle=_PQ_ORACLE, tags=("llm", "similarity"))
+def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes + reconstruction error per vector:
+    M=4 subspaces × 16 dims, K=8 codebook entries.
+
+    Scale shape: the K codebook subvectors fold in as ONE broadcast
+    1-row array; per corpus row each subspace does K exact-BIGINT
+    distance folds inside whole-stage codegen and takes ``array_min``
+    over (dist2, code) structs — the kmeans_lloyd argmin idiom, zero
+    row expansion, ZERO shuffles end-to-end (the output is a pure
+    projection of the scan). The N×(M·K) join+window alternative
+    shuffles the whole corpus carrying full vectors — the shape that
+    dies first when K grows to the paper's 256."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = spread_small_scan(e).select(
+        "vec_id",
+        F.transform(
+            V.as_double(F.col("embedding")),
+            lambda x: F.floor(x * F.lit(1000000.0) + F.lit(0.5)).cast("bigint"),
+        ).alias("qv"),
+    )
+    seeds = q.where(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("code"), F.col("qv").alias("sv")
+    )
+    seed_arr = seeds.agg(F.collect_list(F.struct("code", "sv")).alias("cb"))
+
+    def best(m: int) -> F.Column:
+        sub = F.slice(F.col("qv"), m * _PQ_SUB + 1, _PQ_SUB)
+        return F.array_min(
+            F.transform(
+                F.col("cb"),
+                lambda c: F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            sub,
+                            F.slice(c["sv"], m * _PQ_SUB + 1, _PQ_SUB),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0).cast("bigint"),
+                        lambda acc, x: acc + x,
+                    ).alias("dist2"),
+                    c["code"].alias("code"),
+                ),
+            )
+        )
+
+    bests = [best(m) for m in range(_PQ_M)]
+    err = bests[0]["dist2"]
+    for b in bests[1:]:
+        err = err + b["dist2"]
+    return q.crossJoin(F.broadcast(seed_arr)).select(
+        "vec_id",
+        F.concat_ws(",", *[b["code"].cast("string") for b in bests]).alias("codes"),
+        err.cast("bigint").alias("err_micro2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 138. ivf_balance — inverted-list balance audit for the IVF index
+# --------------------------------------------------------------------------
+# The operational health check behind ann_ivf: list-size histogram +
+# each list's share of the corpus. A skewed assignment (one list
+# holding half the vectors) silently turns every probe of that list
+# into a near-full scan — this is the query a pipeline runs after each
+# index build to decide whether the centroids need retraining. Shares
+# compare against the ideal 1/n_centroids via exact integer
+# cross-multiplication (n_vecs · n_centroids > 2 · total ⇔ share >
+# 2× ideal), no float thresholds.
+_IVF_BALANCE_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+), cent AS (
+    SELECT vec_id AS cid, v AS centv FROM e WHERE vec_id < 16
+), ca AS (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                ORDER BY ccos DESC, cid ASC) AS crank
+    FROM (
+        SELECT e.vec_id, c.cid,
+               round(
+                 ({" + ".join(f"e.v[{i}] * c.centv[{i}]" for i in range(1, 65))}) /
+                 (sqrt({" + ".join(f"e.v[{i}] * e.v[{i}]" for i in range(1, 65))})
+                  * sqrt({" + ".join(f"c.centv[{i}] * c.centv[{i}]" for i in range(1, 65))})),
+                 6) AS ccos
+        FROM e CROSS JOIN cent c
+    )
+), lists AS (
+    SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs
+    FROM ca WHERE crank = 1 GROUP BY 1
+), tot AS (
+    SELECT CAST(sum(n_vecs) AS BIGINT) AS total FROM lists
+)
+SELECT l.cid, l.n_vecs,
+       round(l.n_vecs * 1.0 / t.total, 6) AS share,
+       l.n_vecs * 16 > 2 * t.total AS hot
+FROM lists l CROSS JOIN tot t
+"""
+
+
+@register("ivf_balance", oracle=_IVF_BALANCE_ORACLE, tags=("llm", "similarity"))
+def ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF inverted-list balance: per-list vector count, corpus share,
+    and a hot flag (share > 2× the ideal 1/16, exact integer
+    cross-multiply). Shares the assignment definition with ann_ivf
+    (similarity.ivf_assignments) so the audit measures the REAL index.
+    One corpus scan + one 16-row groupBy; the total is a broadcast
+    1-row aggregate — the whole audit is O(corpus scan) with a
+    16-row result regardless of scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    lists = (
+        S.ivf_assignments(emb, n_centroids=16)
+        .groupBy("cid")
+        .agg(F.count("*").cast("bigint").alias("n_vecs"))
+    )
+    tot = lists.agg(F.sum("n_vecs").cast("bigint").alias("total"))
+    return lists.crossJoin(F.broadcast(tot)).select(
+        "cid",
+        "n_vecs",
+        F.round(F.col("n_vecs") * F.lit(1.0) / F.col("total"), 6).alias("share"),
+        (F.col("n_vecs") * 16 > 2 * F.col("total")).alias("hot"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 139. simhash_error_eval — sketch-quality audit of the simhash tier
+# --------------------------------------------------------------------------
+# The minhash_error_eval twin for the OTHER sketch family: every
+# byte-band candidate pair (widened to hamming ≤ 5 so the audit sees
+# the verdict boundary from both sides — past that the band-collision
+# count grows exponentially and adds nothing to the curve) carries its
+# hamming distance,
+# bit-agreement fraction, and the exact hashed-3-shingle jaccard — the
+# curve a curator reads to pick the hamming threshold before trusting
+# dedup_simhash. Pairs past hamming 3 are the band-collision sample
+# (the pigeonhole recall guarantee covers ≤ 3); both engines enumerate
+# the identical candidate set, so the audit itself is oracle-exact.
+def _simhash_eval_oracle() -> str:
+    from strava_data_pipeline_spark.plans.llm_queries import _simhash_oracle
+
+    gate = md5_u32_duckdb(
+        "CAST(doc_a AS VARCHAR) || '#' || CAST(doc_b AS VARCHAR)"
+    )
+    return f"""
+WITH sp0 AS ({_simhash_oracle(max_hamming=5)}
+), sp AS (
+    -- deterministic 25% audit sample of the candidate pairs (both
+    -- engines draw the identical slice; mirrors the Spark md5 gate)
+    SELECT * FROM sp0 WHERE {gate} % 4 = 0
+), toks2 AS (
+    SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents
+), sh2 AS (
+    SELECT DISTINCT doc_id, {md5_u32_duckdb('shingle')} AS x
+    FROM (
+        SELECT doc_id,
+               unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                      FOR i IN range(1, greatest(len(t) - 2, 0) + 1)])) AS shingle
+        FROM toks2
+    )
+), gs AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh2 GROUP BY 1
+), ix AS (
+    SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS i
+    FROM sp p
+    JOIN sh2 a ON a.doc_id = p.doc_a
+    JOIN sh2 b ON b.doc_id = p.doc_b AND b.x = a.x
+    GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b, p.hamming,
+       round(1.0 - p.hamming / 32.0, 4) AS bit_agreement,
+       round(coalesce(ix.i, 0) * 1.0
+             / (ga.n + gb.n - coalesce(ix.i, 0)), 4) AS exact_jaccard
+FROM sp p
+JOIN gs ga ON ga.doc_id = p.doc_a
+JOIN gs gb ON gb.doc_id = p.doc_b
+LEFT JOIN ix ON ix.doc_a = p.doc_a AND ix.doc_b = p.doc_b
+"""
+
+
+@register("simhash_error_eval", oracle=_simhash_eval_oracle(), tags=("llm", "dedup"))
+def simhash_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simhash sketch-error audit: for every byte-band candidate pair
+    within hamming ≤ 5, the hamming distance, the bit-agreement
+    fraction (1 − h/32), and the exact jaccard over the two docs'
+    hashed-shingle sets. The exact side touches ONLY a deterministic
+    25% sample of band-emitted candidates (md5 pair gate, mirrored in
+    the oracle) — a calibration curve needs a sample, not every pair,
+    and the per-pair shingle intersection is the whole cost; the bound
+    is O(candidates/4 × shingles/doc), never all pairs. At 100 TB the
+    same gate widens or narrows the audit without changing the plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.simhash(docs)
+    cand = D.simhash_pairs(sh, max_hamming=5).withColumn(
+        "hamming", F.col("hamming").cast("int")
+    )
+    # Deterministic 25% audit sample BEFORE the exact-jaccard joins —
+    # the expensive side is shingle-set intersection per pair, and an
+    # audit needs a calibration curve, not every pair. Same md5 gate in
+    # the oracle, so the sampled slice itself stays hash-checked.
+    cand = cand.where(
+        md5_u32(F.concat_ws("#", F.col("doc_a"), F.col("doc_b"))) % 4 == 0
+    )
+    shingles = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.explode(T.word_shingles(T.tokens(F.col("text")))).alias("_s"),
+        )
+        .select("doc_id", md5_u32(F.col("_s")).alias("x"))
+        .distinct()
+    )
+    gs = shingles.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("x")).alias("xs"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    ga = gs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("xs").alias("xs_a"),
+        F.col("n").alias("n_a"),
+    )
+    gb = gs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("xs").alias("xs_b"),
+        F.col("n").alias("n_b"),
+    )
+    inter = F.size(F.array_intersect("xs_a", "xs_b")).cast("bigint")
+    return (
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "hamming",
+            F.round(F.lit(1.0) - F.col("hamming") / F.lit(32.0), 4).alias(
+                "bit_agreement"
+            ),
+            F.round(
+                inter * F.lit(1.0) / (F.col("n_a") + F.col("n_b") - inter), 4
+            ).alias("exact_jaccard"),
+        )
+    )

@@ -53,6 +53,11 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # registration (module-import) order (their latest green is r3/r4).
 _ENUMERATE_FIRST: tuple[str, ...] = (
     # --- no green driver row yet ---
+    "skipgram_pmi",  # new in r5 (mining pack)
+    "bigram_logprob",  # new in r5
+    "ann_pq",  # new in r5
+    "ivf_balance",  # new in r5
+    "simhash_error_eval",  # new in r5
     "classifier_quality_score",  # new in r5 (curation pack)
     "dsir_weights",  # new in r5
     "bpe_pair_counts",  # new in r5
@@ -183,6 +188,7 @@ def _load() -> None:
         analytics_queries,
         curation_queries,
         llm_queries,
+        mining_queries,
         pipeline_queries,
     )
 

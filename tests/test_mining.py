@@ -1,0 +1,216 @@
+"""Semantic tests for the r5 mining pack (plans/mining_queries.py):
+pair-generation parity with an itertools reference, LM probability
+bounds, PQ optimality vs numpy brute force, IVF balance conservation,
+and simhash-audit consistency with the dedup verdict set."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from strava_data_pipeline_spark.plans import mining_queries as M
+from strava_data_pipeline_spark.plans.llm_queries import dedup_simhash
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestPairGeneration:
+    def test_matches_itertools_reference(self, spark):
+        texts = [
+            "a b c d e",
+            "x y",
+            "solo",
+            "p q r",
+        ]
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        got = sorted(
+            r["pair"]
+            for r in df.select(
+                F.explode(
+                    M._pair_arrays(F.split(F.lower(F.trim("text")), r"\s+"))
+                ).alias("pair")
+            ).collect()
+        )
+        want = []
+        for t in texts:
+            toks = t.split()
+            for d in (1, 2):
+                want += [
+                    f"{toks[i]}\x01{toks[i + d]}"
+                    for i in range(len(toks) - d)
+                ]
+        assert got == sorted(want)
+
+    def test_pair_mass_conservation(self, spark):
+        # total pair count over the corpus = Σ_docs (max(n-1,0) + max(n-2,0))
+        docs = M._docs(spark, SF)
+        toks = docs.select(F.size(F.split(F.lower(F.trim("text")), r"\s+")).alias("n"))
+        expect = toks.select(
+            F.sum(
+                F.greatest(F.col("n") - 1, F.lit(0))
+                + F.greatest(F.col("n") - 2, F.lit(0))
+            ).alias("p")
+        ).first()["p"]
+        got = (
+            docs.select(
+                F.explode(
+                    M._pair_arrays(F.split(F.lower(F.trim("text")), r"\s+"))
+                ).alias("pair")
+            ).count()
+        )
+        assert got == expect
+
+
+@pytest.fixture(scope="module")
+def pmi_rows(spark):
+    return M.skipgram_pmi(spark, SF).collect()
+
+
+class TestSkipgramPmi:
+    def test_topk_shape_and_order(self, pmi_rows):
+        assert len(pmi_rows) == 50
+        counts = [r["n_pairs"] for r in pmi_rows]
+        assert counts == sorted(counts, reverse=True)
+
+    def test_pmi_arithmetic(self, spark, pmi_rows):
+        # recompute one row's PMI from raw counts
+        docs = M._docs(spark, SF)
+        toks = docs.select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("t"))
+        uni = {r["t"]: r["c"] for r in toks.groupBy("t").agg(F.count("*").alias("c")).collect()}
+        n_tok = sum(uni.values())
+        p_total = sum(r["n_pairs"] for r in pmi_rows)  # lower bound only
+        # use the query's own totals: recompute P exactly
+        pairs = docs.select(
+            F.explode(
+                M._pair_arrays(F.split(F.lower(F.trim("text")), r"\s+"))
+            ).alias("pair")
+        )
+        p_total = pairs.count()
+        r = pmi_rows[0]
+        want = round(
+            math.log(r["n_pairs"])
+            + 2 * math.log(n_tok)
+            - math.log(p_total)
+            - math.log(uni[r["w1"]])
+            - math.log(uni[r["w2"]]),
+            4,
+        )
+        assert abs(r["pmi"] - want) < 1e-3
+
+
+class TestBigramLogprob:
+    def test_bounds_and_bigram_counts(self, spark):
+        rows = M.bigram_logprob(spark, SF).collect()
+        docs = {
+            r["doc_id"]: r["n"]
+            for r in M._docs(spark, SF)
+            .select(
+                "doc_id",
+                F.size(F.split(F.lower(F.trim("text")), r"\s+")).alias("n"),
+            )
+            .collect()
+        }
+        assert len(rows) == sum(1 for n in docs.values() if n >= 2)
+        for r in rows:
+            # add-1 smoothing keeps every conditional probability < 1
+            assert r["avg_logprob"] < 0
+            assert r["n_bigrams"] == docs[r["doc_id"]] - 1
+
+
+@pytest.fixture(scope="module")
+def pq_rows(spark):
+    return {r["vec_id"]: r for r in M.ann_pq(spark, SF).collect()}
+
+
+class TestAnnPq:
+    def test_every_vector_coded(self, spark, pq_rows):
+        from strava_data_pipeline_spark.sources.catalog import load_table
+
+        n = load_table(spark, SF, "embeddings").count()
+        assert len(pq_rows) == n
+        for r in pq_rows.values():
+            codes = [int(c) for c in r["codes"].split(",")]
+            assert len(codes) == M._PQ_M
+            assert all(0 <= c < M._PQ_K for c in codes)
+            assert r["err_micro2"] >= 0
+
+    def test_seeds_code_to_themselves(self, pq_rows):
+        for i in range(M._PQ_K):
+            assert pq_rows[i]["err_micro2"] == 0
+            # a seed's own subvector is at distance 0; another seed could
+            # tie only by being identical, in which case min-code wins —
+            # assert the error, and the code when it's the unique argmin
+            codes = [int(c) for c in pq_rows[i]["codes"].split(",")]
+            assert all(c <= i for c in codes)
+
+    def test_argmin_vs_numpy_bruteforce(self, spark, pq_rows):
+        import numpy as np
+
+        from strava_data_pipeline_spark.sources.catalog import load_table
+
+        emb = {
+            r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in load_table(spark, SF, "embeddings")
+            .where(F.col("vec_id") < 40)
+            .collect()
+        }
+        q = {
+            k: np.floor(v * 1e6 + 0.5).astype(np.int64) for k, v in emb.items()
+        }
+        seeds = {k: q[k] for k in range(M._PQ_K)}
+        for vid in list(q)[: 20]:
+            got = [int(c) for c in pq_rows[vid]["codes"].split(",")]
+            err = 0
+            for m in range(M._PQ_M):
+                lo, hi = m * M._PQ_SUB, (m + 1) * M._PQ_SUB
+                dists = {
+                    c: int(((q[vid][lo:hi] - sv[lo:hi]) ** 2).sum())
+                    for c, sv in seeds.items()
+                }
+                best = min(dists.items(), key=lambda kv: (kv[1], kv[0]))
+                assert got[m] == best[0]
+                err += best[1]
+            assert pq_rows[vid]["err_micro2"] == err
+
+
+class TestIvfBalance:
+    def test_conservation_and_flags(self, spark):
+        from strava_data_pipeline_spark.sources.catalog import load_table
+
+        rows = M.ivf_balance(spark, SF).collect()
+        total = load_table(spark, SF, "embeddings").count()
+        assert sum(r["n_vecs"] for r in rows) == total
+        assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-3
+        for r in rows:
+            assert 0 <= r["cid"] < 16
+            assert r["hot"] == (r["n_vecs"] * 16 > 2 * total)
+
+
+class TestSimhashErrorEval:
+    def test_consistent_with_dedup_verdicts(self, spark):
+        ev = M.simhash_error_eval(spark, SF).collect()
+        for r in ev:
+            assert 0 <= r["hamming"] <= 5
+            # HALF_UP reference: Spark/DuckDB round half away from zero,
+            # python's round() is banker's (0.78125 → 0.7812 vs 0.7813)
+            want = math.floor((1 - r["hamming"] / 32.0) * 10000 + 0.5) / 10000
+            assert abs(r["bit_agreement"] - want) < 1e-9
+            assert 0.0 <= r["exact_jaccard"] <= 1.0
+        # the audit's hamming ≤ 3 slice IS the dedup_simhash verdict set
+        # restricted to the audit's own deterministic 25% pair sample
+        from strava_data_pipeline_spark.functions.hashing import md5_u32
+
+        tight = {(r["doc_a"], r["doc_b"]) for r in ev if r["hamming"] <= 3}
+        verdicts = {
+            (r["doc_a"], r["doc_b"])
+            for r in dedup_simhash(spark, SF)
+            .where(
+                md5_u32(F.concat_ws("#", F.col("doc_a"), F.col("doc_b"))) % 4
+                == 0
+            )
+            .collect()
+        }
+        assert tight == verdicts
+        assert tight  # the sample must not be vacuous at this SF

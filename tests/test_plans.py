@@ -46,6 +46,10 @@ _BNLJ_OK = {
     "dsir_weights",  # 1-row token-totals broadcast onto the B-row bucket dim
     "domain_kl",  # B-row bucket dim + 1-row token-total broadcasts
     "embedding_power_iteration",  # 1-row max-abs renormalizer broadcast
+    "skipgram_pmi",  # 1-row (N tokens, P pairs) totals broadcast
+    "bigram_logprob",  # 1-row vocabulary-size broadcast
+    "ann_pq",  # 1-row K-entry codebook array broadcast
+    "ivf_balance",  # 1-row centroid array + 1-row total broadcasts
 }
 
 # plan-string caches; one build per query per pytest session. A failed
