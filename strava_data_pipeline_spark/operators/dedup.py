@@ -494,9 +494,10 @@ def ngram_jaccard_pairs(
       rarest grams, collapsing that to the bottom-of-the-distribution
       value (<3% of the numeric figure on every corpus measured). The
       auto statistic is Σdf²/N computed over the grams of the FIRST
-      2048 docs (limit → the scan stops early) and extrapolated by
-      ``D/D_sample`` (sample dfs scale linearly with corpus size) —
-      one count() plus one sample-sized job. Calibrated on three
+      1024 docs (bounded limit+collect, python Counter — driver-side
+      because a Spark job for a 1024-doc sample is ~all fixed
+      overhead) and extrapolated by ``D/D_sample`` (sample dfs scale
+      linearly with corpus size). Calibrated on three
       measured A/Bs (asymmetric-prefix build, warm, local[32]): stock
       sf0.1 stat 3.1e3 → numeric wins 6.7 vs 12.4s; Zipf-vocab stat
       1.3e3 → numeric 30.2 vs 36.9s; 10× mutated-replication stat
@@ -525,35 +526,38 @@ def ngram_jaccard_pairs(
     )
     if order_by_rarity == "auto":
         n_docs = df.count()
-        # sample from the RAW frame, not `base`: base rides on _spread,
-        # whose repartition is a full shuffle that would defeat limit's
-        # early scan termination and re-scan the whole corpus
-        # Two cost dodges: repartition AFTER the limit (the limit
-        # collapses to one partition; hashing every sampled gram on one
-        # thread costs more than the tiny reshuffle that spreads it),
-        # and RAW 3-char grams instead of md5_u32 — the df distribution
-        # is identical either way (the hash is injective for counting)
-        # and skipping ~600k md5 calls keeps the stat job sub-second.
-        tot = (
-            df.limit(_RARITY_SAMPLE_DOCS)
-            .repartition(32)
-            .select(
-                F.array_distinct(char_ngrams(F.col(text_col))).alias("grams")
-            )
-            .select(F.explode("grams").alias("gram"))
-            .groupBy("gram")
-            .agg(F.count("*").alias("gdf"))
-            .agg(
-                F.sum("gdf").alias("n"),
-                F.sum(F.col("gdf") * F.col("gdf")).alias("v_all"),
-            )
-            .first()
-        )
-        if not tot["n"]:
+        # The stat is DRIVER-SIDE over a bounded 1024-doc sample: one
+        # limit+collect (~300 KB) plus a python Counter pass. The
+        # previous Spark-job form (limit → repartition → explode →
+        # two chained aggs) cost ~2.5-3s per invocation — almost all
+        # fixed codegen/scheduling overhead for a 145k-row job — and
+        # sat directly on the headline floor. The choice it feeds is
+        # pure COST, never correctness: the prefix-filter lemma holds
+        # for any total order, so both orders emit the identical pair
+        # set (and the oracle hash can't see the difference). Gram
+        # semantics mirror functions/text.char_ngrams (lower-cased,
+        # distinct 3-char substrings, <3 chars → none); the collect is
+        # bounded by _RARITY_SAMPLE_DOCS by construction — the same
+        # class of driver-side bound as the writers' partition-value
+        # discovery, not a data-sized collect.
+        sample = [
+            r[0] or ""
+            for r in df.select(text_col).limit(_RARITY_SAMPLE_DOCS).collect()
+        ]
+        from collections import Counter
+
+        dfreq: Counter = Counter()
+        for txt in sample:
+            low = txt.lower()
+            if len(low) >= 3:
+                dfreq.update({low[i : i + 3] for i in range(len(low) - 2)})
+        n_rows = sum(dfreq.values())
+        if not n_rows:
             order_by_rarity = False
         else:
+            v_all = sum(c * c for c in dfreq.values())
             scale = n_docs / min(n_docs, _RARITY_SAMPLE_DOCS)
-            fanout_per_row = tot["v_all"] / tot["n"] * scale
+            fanout_per_row = v_all / n_rows * scale
             order_by_rarity = fanout_per_row >= _RARITY_SAVINGS_THRESHOLD
     if order_by_rarity:
         exploded = base.select(
