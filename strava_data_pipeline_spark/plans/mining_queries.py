@@ -16,7 +16,7 @@ makes first-class.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from strava_data_pipeline_spark.functions import text as T
@@ -539,5 +539,286 @@ def simhash_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 inter * F.lit(1.0) / (F.col("n_a") + F.col("n_b") - inter), 4
             ).alias("exact_jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 140. embedding_outliers — distance-to-own-centroid outlier flags
+# --------------------------------------------------------------------------
+# The embedding-space quality gate curation pipelines run on labeled or
+# clustered corpora: a vector far from its own label's centroid is a
+# likely mislabel / garbage-decode candidate. Exactness discipline =
+# kmeans_lloyd's: micro-unit quantization up front, centroids re-
+# quantized via one deterministic double division per (label, dim),
+# distances exact BIGINT, and the outlier rule is an integer
+# cross-multiplication (dist2 · n_label > 2 · Σdist2 ⇔ dist2 > 2×mean)
+# so no float threshold ever compares.
+_OUTLIER_ORACLE = """
+WITH q AS (
+    SELECT vec_id, label,
+           [CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+            FOR i IN range(1, 65)] AS qv
+    FROM embeddings
+), c AS (
+    SELECT label, i AS dim,
+           CAST(floor(CAST(sum(qv[i]) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS cq
+    FROM q, unnest(range(1, 65)) AS t(i)
+    GROUP BY 1, 2
+), cv AS (
+    SELECT label, list(cq ORDER BY dim) AS cv FROM c GROUP BY 1
+), d AS (
+    SELECT q.vec_id, q.label,
+           CAST(list_sum([(q.qv[i] - cv.cv[i]) * (q.qv[i] - cv.cv[i])
+                          FOR i IN range(1, 65)]) AS BIGINT) AS dist2
+    FROM q JOIN cv USING (label)
+), s AS (
+    SELECT label, CAST(sum(dist2) AS BIGINT) AS sd, CAST(count(*) AS BIGINT) AS n
+    FROM d GROUP BY 1
+)
+SELECT d.vec_id, d.label, d.dist2,
+       d.dist2 * s.n > 2 * s.sd AS is_outlier
+FROM d JOIN s USING (label)
+"""
+
+
+@register("embedding_outliers", oracle=_OUTLIER_ORACLE, tags=("llm", "ml"))
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector exact-BIGINT squared distance to its OWN label's
+    centroid, flagged outlier when above 2× the label's mean (integer
+    cross-multiply — no float threshold). Scale shape: one corpus scan
+    feeds the (label, dim) centroid aggregate — map-side combined, so
+    the exchange is L×64 rows per task regardless of corpus size — the
+    L-row centroid dim broadcasts back for an equi-join, and the
+    per-label moment aggregate is L rows again. Nothing wider than
+    (vec_id, label, dist2) shuffles; the corpus never self-joins."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = spread_small_scan(e).select(
+        "vec_id",
+        "label",
+        F.transform(
+            V.as_double(F.col("embedding")),
+            lambda x: F.floor(x * F.lit(1000000.0) + F.lit(0.5)).cast("bigint"),
+        ).alias("qv"),
+    )
+    c_long = (
+        q.select("label", F.posexplode("qv").alias("dim0", "qval"))
+        .groupBy("label", (F.col("dim0") + 1).alias("dim"))
+        .agg(
+            F.floor(F.sum("qval").cast("double") / F.count("*") + F.lit(0.5))
+            .cast("bigint")
+            .alias("cq")
+        )
+    )
+    cent = c_long.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "cq"))),
+            lambda s: s["cq"],
+        ).alias("cv")
+    )
+    dist2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    d = q.join(F.broadcast(cent), "label").select(
+        "vec_id", "label", dist2.alias("dist2")
+    )
+    s = d.groupBy("label").agg(
+        F.sum("dist2").cast("bigint").alias("sd"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    return d.join(F.broadcast(s), "label").select(
+        "vec_id",
+        "label",
+        "dist2",
+        (F.col("dist2") * F.col("n") > 2 * F.col("sd")).alias("is_outlier"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 141. cluster_purity — clustering-vs-label agreement audit
+# --------------------------------------------------------------------------
+# The evaluation a pipeline runs after (re)building the IVF/kmeans
+# index: assign every vector to its nearest seed centroid (the
+# kmeans_lloyd round-1 assignment, bit-identical discipline) and
+# cross-tabulate against the ground-truth labels — per-cluster majority
+# label and purity. A collapsing purity is the retrain signal the
+# ivf_balance histogram can't see (balanced lists can still be
+# semantically scrambled).
+_PURITY_ORACLE = f"""
+WITH q AS (
+    SELECT vec_id, label,
+           [CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+            FOR i IN range(1, 65)] AS qv
+    FROM embeddings
+), c0 AS (
+    SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < 8
+), d1 AS (
+    SELECT q.vec_id, q.label, c0.cid,
+           list_sum([(q.qv[i] - c0.cv[i]) * (q.qv[i] - c0.cv[i])
+                     FOR i IN range(1, 65)]) AS dist2
+    FROM q CROSS JOIN c0
+), a1 AS (
+    SELECT vec_id, label, cid FROM (
+        SELECT vec_id, label, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+        FROM d1
+    ) WHERE rn = 1
+), cont AS (
+    SELECT cid, label, CAST(count(*) AS BIGINT) AS n FROM a1 GROUP BY 1, 2
+), maj AS (
+    SELECT cid, label AS majority_label, n AS n_majority FROM (
+        SELECT cid, label, n,
+               row_number() OVER (PARTITION BY cid ORDER BY n DESC, label ASC)
+                   AS rn
+        FROM cont
+    ) WHERE rn = 1
+), tot AS (
+    SELECT cid, CAST(sum(n) AS BIGINT) AS n_members FROM cont GROUP BY 1
+)
+SELECT t.cid, t.n_members, m.majority_label, m.n_majority,
+       round(m.n_majority * 1.0 / t.n_members, 6) AS purity
+FROM tot t JOIN maj m USING (cid)
+"""
+
+
+@register("cluster_purity", oracle=_PURITY_ORACLE, tags=("llm", "ml"))
+def cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster size, majority ground-truth label, and purity under
+    the kmeans seed assignment (vec_id < 8 centroids, exact-BIGINT
+    argmin with min-cid ties — bit-identical to kmeans_lloyd's round
+    1). The assignment folds ONE broadcast centroid array per corpus
+    row (array_min over (dist2, cid) structs — zero row expansion); the
+    contingency table is K×L rows, map-side combined, and every
+    aggregate after it is dimension-sized. Majority ties break on the
+    smaller label, mirrored by the oracle's row_number order."""
+    from strava_data_pipeline_spark.plans.llm_queries import _nearest_cid
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = spread_small_scan(e).select(
+        "vec_id",
+        "label",
+        F.transform(
+            V.as_double(F.col("embedding")),
+            lambda x: F.floor(x * F.lit(1000000.0) + F.lit(0.5)).cast("bigint"),
+        ).alias("qv"),
+    )
+    cent = q.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
+    )
+    cent_arr = cent.agg(F.collect_list(F.struct("cid", "cv")).alias("cents"))
+    assigned = q.crossJoin(F.broadcast(cent_arr)).select(
+        "label", _nearest_cid("qv", "cents").alias("cid")
+    )
+    cont = assigned.groupBy("cid", "label").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    w = Window.partitionBy("cid").orderBy(F.col("n").desc(), F.col("label").asc())
+    maj = (
+        cont.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "cid",
+            F.col("label").alias("majority_label"),
+            F.col("n").alias("n_majority"),
+        )
+    )
+    tot = cont.groupBy("cid").agg(F.sum("n").cast("bigint").alias("n_members"))
+    return tot.join(maj, "cid").select(
+        "cid",
+        "n_members",
+        "majority_label",
+        "n_majority",
+        F.round(F.col("n_majority") * F.lit(1.0) / F.col("n_members"), 6).alias(
+            "purity"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# 142. ann_recall_eval — recall audit of the approximate ANN tiers
+# --------------------------------------------------------------------------
+# Third member of the sketch-audit family (minhash_error_eval,
+# simhash_error_eval): per-query recall of the IVF (top-10) and LSH
+# (top-5) paths against the exact brute-force ranking — the number a
+# curator reads before trading the exact scan for the bucketed index.
+# Both engines rebuild all three rankings independently, so the audit
+# itself is oracle-exact end-to-end.
+def _recall_oracle() -> str:
+    from strava_data_pipeline_spark.plans.llm_queries import (
+        _ANN_IVF_ORACLE,
+        _ANN_ORACLE,
+        _ann_lsh_oracle,
+    )
+
+    return f"""
+WITH t AS ({_ANN_ORACLE}
+), v AS ({_ANN_IVF_ORACLE}
+), l AS ({_ann_lsh_oracle()}
+), iv AS (
+    SELECT t.query_id, CAST(count(*) AS BIGINT) AS h
+    FROM t JOIN v ON v.query_id = t.query_id AND v.neighbor_id = t.neighbor_id
+    GROUP BY 1
+), ls AS (
+    SELECT t.query_id, CAST(count(*) AS BIGINT) AS h
+    FROM t JOIN l ON l.query_id = t.query_id AND l.neighbor_id = t.neighbor_id
+    WHERE t.rank <= 5
+    GROUP BY 1
+), qs AS (
+    SELECT DISTINCT query_id FROM t
+)
+SELECT qs.query_id,
+       coalesce(iv.h, 0) AS ivf_hits,
+       round(coalesce(iv.h, 0) / 10.0, 4) AS ivf_recall,
+       coalesce(ls.h, 0) AS lsh_hits,
+       round(coalesce(ls.h, 0) / 5.0, 4) AS lsh_recall
+FROM qs
+LEFT JOIN iv ON iv.query_id = qs.query_id
+LEFT JOIN ls ON ls.query_id = qs.query_id
+"""
+
+
+@register("ann_recall_eval", oracle=_recall_oracle(), tags=("llm", "similarity"))
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 (IVF, 16 lists / 2 probes) and recall@5 (hyperplane
+    LSH) against the exact brute-force ranking, per query vector. The
+    truth set is |Q|·k rows (broadcast-sized by construction: Q is the
+    query set, never the corpus), so the hit joins are broadcast
+    equi-joins; each ranking pipeline keeps its own documented scale
+    shape. At 100 TB this is the pre-flight check on a sampled query
+    set before an index swap — the same composition, Q stays small."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 8)
+    truth = S.ann_topk_bruteforce(emb, queries, k=10).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    ivf = S.ann_topk_ivf(emb, queries, k=10).select("query_id", "neighbor_id")
+    lsh = S.ann_topk_lsh(emb, queries, k=5).select("query_id", "neighbor_id")
+    iv = (
+        truth.join(ivf, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").cast("bigint").alias("ivf_h"))
+    )
+    ls = (
+        truth.where(F.col("rank") <= 5)
+        .join(lsh, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").cast("bigint").alias("lsh_h"))
+    )
+    qs = truth.select("query_id").distinct()
+    return (
+        qs.join(iv, "query_id", "left")
+        .join(ls, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("ivf_h", F.lit(0)).cast("bigint").alias("ivf_hits"),
+            F.round(F.coalesce("ivf_h", F.lit(0)) / F.lit(10.0), 4).alias(
+                "ivf_recall"
+            ),
+            F.coalesce("lsh_h", F.lit(0)).cast("bigint").alias("lsh_hits"),
+            F.round(F.coalesce("lsh_h", F.lit(0)) / F.lit(5.0), 4).alias(
+                "lsh_recall"
+            ),
         )
     )

@@ -58,6 +58,9 @@ _ENUMERATE_FIRST: tuple[str, ...] = (
     "ann_pq",  # new in r5
     "ivf_balance",  # new in r5
     "simhash_error_eval",  # new in r5
+    "embedding_outliers",  # new in r5 (mining pack, 2nd batch)
+    "cluster_purity",  # new in r5
+    "ann_recall_eval",  # new in r5
     "classifier_quality_score",  # new in r5 (curation pack)
     "dsir_weights",  # new in r5
     "bpe_pair_counts",  # new in r5

@@ -214,3 +214,94 @@ class TestSimhashErrorEval:
         }
         assert tight == verdicts
         assert tight  # the sample must not be vacuous at this SF
+
+
+class TestEmbeddingOutliers:
+    def test_flags_derive_from_exact_moments(self, spark):
+        rows = M.embedding_outliers(spark, SF).collect()
+        from strava_data_pipeline_spark.sources.catalog import load_table
+
+        n = load_table(spark, SF, "embeddings").count()
+        assert len(rows) == n
+        by_label: dict = {}
+        for r in rows:
+            by_label.setdefault(r["label"], []).append(r)
+        for label, rs in by_label.items():
+            sd = sum(r["dist2"] for r in rs)
+            for r in rs:
+                assert r["dist2"] >= 0
+                assert r["is_outlier"] == (r["dist2"] * len(rs) > 2 * sd)
+
+    def test_dist2_matches_numpy(self, spark):
+        import numpy as np
+
+        from strava_data_pipeline_spark.sources.catalog import load_table
+
+        rows = {r["vec_id"]: r for r in M.embedding_outliers(spark, SF).collect()}
+        emb = load_table(spark, SF, "embeddings").collect()
+        q = {
+            r["vec_id"]: (
+                r["label"],
+                np.floor(np.array(r["embedding"], dtype=np.float64) * 1e6 + 0.5
+                         ).astype(np.int64),
+            )
+            for r in emb
+        }
+        cents: dict = {}
+        for label, qv in q.values():
+            cents.setdefault(label, []).append(qv)
+        cents = {
+            lab: np.floor(np.stack(vs).sum(0) / len(vs) + 0.5).astype(np.int64)
+            for lab, vs in cents.items()
+        }
+        for vid in list(q)[:25]:
+            lab, qv = q[vid]
+            want = int(((qv - cents[lab]) ** 2).sum())
+            assert rows[vid]["dist2"] == want
+
+
+class TestClusterPurity:
+    def test_conservation_and_arithmetic(self, spark):
+        from strava_data_pipeline_spark.sources.catalog import load_table
+
+        rows = M.cluster_purity(spark, SF).collect()
+        total = load_table(spark, SF, "embeddings").count()
+        assert sum(r["n_members"] for r in rows) == total
+        for r in rows:
+            assert 1 <= r["n_majority"] <= r["n_members"]
+            want = math.floor(
+                r["n_majority"] / r["n_members"] * 1e6 + 0.5
+            ) / 1e6
+            assert abs(r["purity"] - want) < 1e-9
+
+
+class TestAnnRecallEval:
+    def test_hits_match_operator_outputs(self, spark):
+        from strava_data_pipeline_spark.operators import similarity as S
+        from strava_data_pipeline_spark.sources.catalog import load_table
+
+        rows = {r["query_id"]: r for r in M.ann_recall_eval(spark, SF).collect()}
+        assert len(rows) == 8
+        emb = load_table(spark, SF, "embeddings")
+        queries = emb.where(F.col("vec_id") < 8)
+        truth = {
+            (r["query_id"], r["neighbor_id"]): r["rank"]
+            for r in S.ann_topk_bruteforce(emb, queries, k=10).collect()
+        }
+        ivf = {
+            (r["query_id"], r["neighbor_id"])
+            for r in S.ann_topk_ivf(emb, queries, k=10).collect()
+        }
+        lsh = {
+            (r["query_id"], r["neighbor_id"])
+            for r in S.ann_topk_lsh(emb, queries, k=5).collect()
+        }
+        for qid, r in rows.items():
+            want_ivf = sum(1 for k in truth if k[0] == qid and k in ivf)
+            want_lsh = sum(
+                1 for k, rk in truth.items() if k[0] == qid and rk <= 5 and k in lsh
+            )
+            assert r["ivf_hits"] == want_ivf
+            assert r["lsh_hits"] == want_lsh
+            assert 0.0 <= r["ivf_recall"] <= 1.0
+            assert 0.0 <= r["lsh_recall"] <= 1.0

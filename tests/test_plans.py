@@ -50,6 +50,8 @@ _BNLJ_OK = {
     "bigram_logprob",  # 1-row vocabulary-size broadcast
     "ann_pq",  # 1-row K-entry codebook array broadcast
     "ivf_balance",  # 1-row centroid array + 1-row total broadcasts
+    "cluster_purity",  # K-row centroid-seed array broadcast (kmeans idiom)
+    "ann_recall_eval",  # composes ann_topk/ann_ivf (bounded query-set sides)
 }
 
 # plan-string caches; one build per query per pytest session. A failed
