@@ -44,75 +44,23 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # Enumeration-order priority: the driver's correctness harness samples a
 # rotating subset of ``queries()`` per round, and dict order is the only
 # lever the engine has over which queries get officially recorded.  The
-# r5 ordering cycles OLDEST-GREEN-FIRST (VERDICT r4 task 4): first the
-# queries with no green driver row at all (the two array-serialization
-# fixes and the two sketch queries that now emit exact-checkable bounds,
-# plus any query new this round), then every query whose latest official
-# hash-match is still round 1 or 2 — three rounds of code churn vouched
-# for only by the local replica.  Every other query follows in
-# registration (module-import) order (their latest green is r3/r4).
+# r6 ordering cycles OLDEST-GREEN-FIRST (VERDICT r5 task 1): the six
+# queries whose latest official hash-match is still round 1/2
+# (sync_window, text_quality, token_count, token_histogram,
+# user_activity_join, parts_brand_stats) lead, followed by the r3 block,
+# then r4, then r5 — so the driver's ~50-query window always re-proves
+# the stalest rows first and no query's official green can age more
+# than a few rounds.
 _ENUMERATE_FIRST: tuple[str, ...] = (
-    # --- no green driver row yet ---
-    "skipgram_pmi",  # new in r5 (mining pack)
-    "bigram_logprob",  # new in r5
-    "ann_pq",  # new in r5
-    "ivf_balance",  # new in r5
-    "simhash_error_eval",  # new in r5
-    "embedding_outliers",  # new in r5 (mining pack, 2nd batch)
-    "cluster_purity",  # new in r5
-    "ann_recall_eval",  # new in r5
-    "classifier_quality_score",  # new in r5 (curation pack)
-    "dsir_weights",  # new in r5
-    "bpe_pair_counts",  # new in r5
-    "decontaminate_bloom",  # new in r5
-    "ngram_novelty",  # new in r5
-    "domain_kl",  # new in r5
-    "copurchase_triangles",  # new in r5
-    "embedding_power_iteration",  # new in r5
-    "minhash_error_eval",  # new in r5
-    "snapshot_diff",  # new in r5 (streaming CDF's batch twin)
-    "embedding_quantize",  # r4 ERR: array output → now canonical CSV string
-    "inverted_index",  # r4 ERR: same fix
-    "percentile_stats_approx",  # rows-only → now exact-checkable bounds
-    "events_profile_approx",  # rows-only → now exact-checkable bounds
-    # --- latest green row is round 1 ---
-    "activities_page",
-    "activity_by_id",
-    "ann_ivf",
-    "ann_lsh",
-    "ann_topk",
-    "api_key_validate",
-    "athlete_type_stats",
-    "athlete_weekly_summary",
-    "cdc_merge",
-    "corpus_dedup_keep",
-    "corpus_mixture",
-    "corpus_split_counts",
-    "dedup_embedding",
-    "dedup_exact",
-    "dedup_minhash",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "doc_fingerprint",
-    "events_profile",
-    "events_running_total",
-    "events_sessionize",
-    "ingest_upsert",
-    "json_flatten",
-    "keys_per_user",
-    "lang_id",
-    "multimodal_meta",
-    "recent_activities",
-    "sync_daily_counts",
+    # --- latest official green row is round 1 ---
     "sync_window",
     "text_quality",
     "token_count",
     "token_histogram",
     "user_activity_join",
-    # --- latest green row is round 2 ---
+    # --- latest official green row is round 2 ---
     "parts_brand_stats",
-    # --- latest green row is round 3 (oldest-first tail; the driver's
-    #     ~50-query subset reaches partway into this block) ---
+    # --- latest official green row is round 3 ---
     "customer_rfm",
     "events_cube",
     "events_gapfill",
@@ -153,6 +101,104 @@ _ENUMERATE_FIRST: tuple[str, ...] = (
     "top_customers_by_revenue",
     "user_churn_setops",
     "weekly_type_trend",
+    # --- latest official green row is round 4 ---
+    "activities_keyset",
+    "ann_filtered",
+    "boilerplate_prune",
+    "bucketed_join",
+    "corpus_chunk",
+    "corpus_dedup_keep_clusters",
+    "corpus_pack_bins",
+    "decontaminate",
+    "dedup_clusters",
+    "dedup_containment",
+    "dedup_incremental",
+    "dedup_simhash64",
+    "dedup_substring",
+    "embedding_centroids",
+    "events_asof_profile",
+    "events_funnel",
+    "events_in_windows",
+    "events_pivot",
+    "events_rollup",
+    "jwt_validate",
+    "key_lifecycle",
+    "key_lookup",
+    "kmeans_lloyd",
+    "lang_confusion",
+    "multimodal_features",
+    "percentile_stats",
+    "perplexity_buckets",
+    "pii_redact",
+    "quality_filter",
+    "repetition_metrics",
+    "retention_cohorts",
+    "semdedup",
+    "session_stats",
+    "source_caps",
+    "stratified_sample",
+    "tfidf_top_terms",
+    "token_refresh",
+    "type_streaks",
+    "unigram_logprob",
+    "user_activity_join_salted",
+    "user_erasure",
+    "user_lookup",
+    "user_token_state",
+    "user_upsert",
+    "vocab_oov_rate",
+    "zorder_curve",
+    # --- latest official green row is round 5 ---
+    "activities_page",
+    "activity_by_id",
+    "ann_ivf",
+    "ann_lsh",
+    "ann_pq",
+    "ann_recall_eval",
+    "ann_topk",
+    "api_key_validate",
+    "athlete_type_stats",
+    "athlete_weekly_summary",
+    "bigram_logprob",
+    "bpe_pair_counts",
+    "cdc_merge",
+    "classifier_quality_score",
+    "cluster_purity",
+    "copurchase_triangles",
+    "corpus_dedup_keep",
+    "corpus_mixture",
+    "corpus_split_counts",
+    "decontaminate_bloom",
+    "dedup_embedding",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "doc_fingerprint",
+    "domain_kl",
+    "dsir_weights",
+    "embedding_outliers",
+    "embedding_power_iteration",
+    "embedding_quantize",
+    "events_profile",
+    "events_profile_approx",
+    "events_running_total",
+    "events_sessionize",
+    "ingest_upsert",
+    "inverted_index",
+    "ivf_balance",
+    "json_flatten",
+    "keys_per_user",
+    "lang_id",
+    "minhash_error_eval",
+    "multimodal_meta",
+    "ngram_novelty",
+    "percentile_stats_approx",
+    "recent_activities",
+    "simhash_error_eval",
+    "skipgram_pmi",
+    "snapshot_diff",
+    "sync_daily_counts",
 )
 
 
