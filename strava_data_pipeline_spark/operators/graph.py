@@ -160,12 +160,13 @@ def triangle_participation(
       cells but inside per-row codegen, emitting only actual triangles
       (measured at sf0.1: 41M wedge rows → 1.9M triangle rows, ~2.5×
       faster end-to-end);
-    - the adjacency frame is one row per node (edge count, its upper
-      bound, gates the choice): under ``broadcast_adj_max`` it
-      BROADCASTS onto the edge pass (zero extra shuffles); past that
-      it degrades to two partitioned joins keyed on the edge endpoints
-      — payload bounded by the same O(√m) array cap, nothing wider
-      ever moves.
+    - the adjacency frame AND the degree dim are each one row per node
+      (edge count, their shared upper bound, gates both): under
+      ``broadcast_adj_max`` they BROADCAST onto the edge pass (zero
+      extra shuffles); past that every join degrades to a partitioned
+      equi-join keyed on the edge endpoints — payload bounded by the
+      same O(√m) array cap, nothing wider ever moves, and no frame is
+      force-broadcast unbounded.
 
     ``edges`` is persisted internally (it feeds the degree count, the
     orientation pass, and — via lineage — the adjacency build); the
@@ -182,17 +183,20 @@ def triangle_participation(
         .groupBy("node")
         .agg(F.count("*").cast("bigint").alias("deg"))
     )
+    # The degree dim is node-sized (same cardinality class as the
+    # adjacency), so its broadcast is gated on the SAME n_edges bound
+    # as the adjacency frames below — past the bound both degree joins
+    # degrade to plain partitioned equi-joins on the edge endpoints
+    # (r5 ADVICE: an ungated F.broadcast here would OOM the driver on
+    # a 10^8-node graph before the adjacency gate was ever consulted).
+    deg_a = deg.withColumnRenamed("node", "a")
+    deg_b = deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "deg_b")
+    if n_edges <= broadcast_adj_max:
+        deg_a, deg_b = F.broadcast(deg_a), F.broadcast(deg_b)
     e = (
-        edges.join(F.broadcast(deg.withColumnRenamed("node", "a")), "a")
+        edges.join(deg_a, "a")
         .withColumnRenamed("deg", "deg_a")
-        .join(
-            F.broadcast(
-                deg.withColumnRenamed("node", "b").withColumnRenamed(
-                    "deg", "deg_b"
-                )
-            ),
-            "b",
-        )
+        .join(deg_b, "b")
     )
     lower_first = (F.col("deg_a") < F.col("deg_b")) | (
         (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))

@@ -127,9 +127,15 @@ def classifier_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # buckets unigram models, then resample proportionally. Target = one
 # curated source (src0 stands in for "Wikipedia"); raw = the rest.
 # Per-token log-ratio terms are quantized to exact 1e-4 units BEFORE
-# the per-doc sum (floor of an identically-computed double), so the
-# accumulation is BIGINT-exact in any partition order — the package's
-# standard defense against cross-engine double-sum divergence.
+# the per-doc sum (floor(x + 0.5) of an identically-computed double),
+# so the accumulation is BIGINT-exact in any partition order — the
+# package's standard defense against cross-engine double-sum
+# divergence. The half-unit nudge keeps the quantization boundary off
+# exactly-representable values (a mathematically-zero log-ratio that
+# computes as -1ulp would otherwise floor to -1 on one engine only);
+# residual assumption: Spark and DuckDB lns agree to < half a quantum
+# AWAY from half-integer boundaries, the same contract round() queries
+# (unigram_logprob) rely on.
 _DSIR_B = 512
 
 _DSIR_TGT = "'src0'"
@@ -149,7 +155,7 @@ WITH tok AS (
 ), term AS (
     SELECT bucket,
            CAST(floor(ln(((tc + 1) * 1.0 / (t_total + {_DSIR_B}))
-                         / ((rc + 1) * 1.0 / (r_total + {_DSIR_B}))) * 10000)
+                         / ((rc + 1) * 1.0 / (r_total + {_DSIR_B}))) * 10000 + 0.5)
                 AS BIGINT) AS lr_q4
     FROM bc CROSS JOIN tot
 )
@@ -199,6 +205,7 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / ((F.col("rc") + 1) * 1.0 / (F.col("r_total") + _DSIR_B))
             )
             * 10000
+            + F.lit(0.5)
         )
         .cast("bigint")
         .alias("lr_q4"),
@@ -471,8 +478,11 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 # statistic behind corpus_mixture — a source whose KL drifts up is
 # diverging from the blend it was weighted for. Bucketing (B=256)
 # bounds the state at any corpus size; add-1 smoothing keeps every
-# term finite; each term is floor-quantized to 1e-9 units so the
-# per-source sum is BIGINT-exact in any aggregation order.
+# term finite; each term quantizes to 1e-9 units via floor(x + 0.5) so
+# the per-source sum is BIGINT-exact in any aggregation order (the
+# half-unit nudge keeps p_s == p_c terms — mathematically zero, often
+# ±1ulp in double — from flooring to -1 on one engine; see the DSIR
+# block note for the residual cross-engine ln assumption).
 _KL_B = 256
 
 _KL_ORACLE = f"""
@@ -496,7 +506,7 @@ WITH tok AS (
            CAST(floor(((c_sb + 1) * 1.0 / (n_s + {_KL_B}))
                       * ln(((c_sb + 1) * 1.0 / (n_s + {_KL_B}))
                            / ((c_b + 1) * 1.0 / (n_total + {_KL_B})))
-                      * 1000000000) AS BIGINT) AS kl_term_q9
+                      * 1000000000 + 0.5) AS BIGINT) AS kl_term_q9
     FROM grid CROSS JOIN n
 )
 SELECT source,
@@ -542,7 +552,7 @@ def domain_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     term = grid.join(F.broadcast(n)).select(
         "source",
         "n_s",
-        F.floor(p_s * F.log(p_s / p_c) * 1000000000)
+        F.floor(p_s * F.log(p_s / p_c) * 1000000000 + F.lit(0.5))
         .cast("bigint")
         .alias("kl_term_q9"),
     )

@@ -47,6 +47,7 @@ def read_jsonl_corpus(
     spark: SparkSession,
     path: str,
     schema: T.StructType = DOCUMENTS_SCHEMA,
+    observe_name: str | None = None,
 ) -> DataFrame:
     """Read a JSONL corpus with an explicit schema; malformed lines land
     in ``_corrupt_record`` with every data column null — filter
@@ -58,7 +59,12 @@ def read_jsonl_corpus(
     native JSON file source forbids exactly that —
     UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN — which breaks
     the obvious ``corrupt_docs(df).count()`` audit). Cost is identical:
-    one scan, per-line parsing, no inference pass."""
+    one scan, per-line parsing, no inference pass.
+
+    ``observe_name`` (opt-in): attach the :func:`observe_corrupt`
+    counters under that name; the Observation rides on the returned
+    frame as ``df.corrupt_observation`` — read
+    ``.get["n_corrupt"]`` after the first action."""
     parsed = spark.read.text(path).select(
         F.from_json("value", _with_corrupt(schema)).alias("_d"),
         F.col("value"),
@@ -67,7 +73,7 @@ def read_jsonl_corpus(
     # declares _corrupt_record would otherwise emit the column twice
     # and break every df[CORRUPT_COL] reference with AMBIGUOUS_REFERENCE
     data_fields = [f for f in schema.fields if f.name != CORRUPT_COL]
-    return parsed.select(
+    out = parsed.select(
         *[F.col(f"_d.{f.name}").alias(f.name) for f in data_fields],
         # from_json stores the raw line in the struct's corrupt field;
         # surface it top-level (fall back to the raw line: a line that is
@@ -77,6 +83,19 @@ def read_jsonl_corpus(
             F.col("value"),
         ).alias(CORRUPT_COL),
     )
+    return _attach_observation(out, observe_name)
+
+
+def _attach_observation(df: DataFrame, observe_name: str | None) -> DataFrame:
+    """Wrap a reader's output in :func:`observe_corrupt` (when named)
+    and ride the Observation on the frame itself, keeping the reader's
+    plain-DataFrame return type. Quarantined rows then surface in
+    metrics at the first action instead of only via a manual count."""
+    if observe_name is None:
+        return df
+    df, obs = observe_corrupt(df, observe_name)
+    df.corrupt_observation = obs
+    return df
 
 
 def observe_corrupt(df: DataFrame, name: str = "corpus_read"):
@@ -124,6 +143,7 @@ def read_csv_table(
     header: bool = True,
     delimiter: str = ",",
     multi_line: bool = False,
+    observe_name: str | None = None,
 ) -> DataFrame:
     """Read a CSV dim/fact with an explicit schema (no inference scan);
     malformed rows quarantine in ``_corrupt_record`` like the JSONL
@@ -142,15 +162,19 @@ def read_csv_table(
     ``multi_line=True`` switches to the native record-aware source for
     quoted embedded newlines — accepting BOTH costs: one task per file
     (multiLine parsing cannot split) and no corrupt-column-only
-    queries. Keep it off unless the data genuinely contains them — and
-    wrap the result in :func:`observe_corrupt` on ingest paths, so data
-    that DID need it (rows silently quarantining into
-    ``_corrupt_record``) raises a visible nonzero counter instead of
-    shrinking the table quietly.
+    queries. Keep it off unless the data genuinely contains them.
+
+    ``observe_name`` (opt-in, same contract as :func:`read_jsonl_corpus`):
+    attach :func:`observe_corrupt` counters so rows silently
+    quarantining into ``_corrupt_record`` (the exact failure mode of
+    reading embedded newlines WITHOUT ``multi_line``) raise a visible
+    nonzero ``n_corrupt`` after the first action instead of shrinking
+    the table quietly; the Observation rides on the returned frame as
+    ``df.corrupt_observation``.
     """
     data_fields = [f for f in schema.fields if f.name != CORRUPT_COL]
     if multi_line:
-        return (
+        return _attach_observation(
             spark.read.schema(_with_corrupt(schema))
             .option("header", str(header).lower())
             .option("sep", delimiter)
@@ -159,7 +183,8 @@ def read_csv_table(
             .option("multiLine", "true")
             .option("mode", "PERMISSIVE")
             .option("columnNameOfCorruptRecord", CORRUPT_COL)
-            .csv(path)
+            .csv(path),
+            observe_name,
         )
     raw = spark.read.text(path)
     if header:
@@ -176,13 +201,14 @@ def read_csv_table(
         F.from_csv("value", _with_corrupt(schema).simpleString(), opts).alias("_d"),
         F.col("value"),
     )
-    return parsed.select(
+    out = parsed.select(
         *[F.col(f"_d.{f.name}").alias(f.name) for f in data_fields],
         F.when(
             F.col("_d").isNull() | F.col(f"_d.{CORRUPT_COL}").isNotNull(),
             F.col("value"),
         ).alias(CORRUPT_COL),
     )
+    return _attach_observation(out, observe_name)
 
 
 def write_csv_table(

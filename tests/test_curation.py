@@ -50,6 +50,36 @@ class TestTriangleParticipation:
         assert {r["node"] for r in got} == {0, 1, 2, 10, 11, 12}
         assert all(r["n_triangles"] == 1 for r in got)
 
+    def test_broadcast_gate_covers_degree_and_adjacency(self, spark):
+        # The degree dim and the adjacency frames are BOTH node-sized,
+        # so BOTH must honor broadcast_adj_max: under the bound the
+        # plan broadcasts (zero extra exchanges), past it every join
+        # degrades to a partitioned strategy — no forced broadcast of
+        # an unbounded frame may survive (r5 ADVICE: the ungated
+        # degree broadcast would OOM before the adjacency gate fired).
+        k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+        edges = _edges(spark, k4)
+        # disable size-based auto-broadcast so the plan shows only the
+        # operator's OWN hint decision (a 6-row frame would otherwise
+        # broadcast regardless of the gate)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            small = triangle_participation(edges, broadcast_adj_max=10**6)
+            plan_small = small._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastHashJoin" in plan_small
+            spark.catalog.clearCache()
+            big = triangle_participation(edges, broadcast_adj_max=0)
+            plan_big = big._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastHashJoin" not in plan_big
+            assert "BroadcastNestedLoopJoin" not in plan_big
+            # the partitioned-join mode computes the same answer
+            want = {0: 3, 1: 3, 2: 3, 3: 3}
+            assert {r["node"]: r["n_triangles"] for r in big.collect()} == want
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.catalog.clearCache()
+
 
 @pytest.fixture(scope="module")
 def bloom_rows(spark):

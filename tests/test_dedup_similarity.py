@@ -100,6 +100,23 @@ class TestMinhashIncremental:
         } | {(a, b) for a, b in full if a >= 10}
         assert inc == expected
 
+    def test_cache_lifecycle_is_caller_owned(self, spark, sig):
+        # r5 VERDICT task 8: the default persist_sig=True caches the
+        # signature frame and CANNOT unpersist behind its own lazy
+        # result — loops must clearCache (bench.py does per query).
+        # persist_sig=False must leave the cache manager untouched, so
+        # callers managing their own persist (streaming sink) don't
+        # leak one frame per trigger.
+        cm = spark._jsparkSession.sharedState().cacheManager()
+        spark.catalog.clearCache()
+        assert cm.isEmpty()
+        D.minhash_incremental_pairs(sig, persist_sig=False).count()
+        assert cm.isEmpty()  # no hidden persist in the False mode
+        D.minhash_incremental_pairs(sig).count()
+        assert not cm.isEmpty()  # default mode caches — by design
+        spark.catalog.clearCache()  # the documented caller duty
+        assert cm.isEmpty()
+
 
 def test_simhash_near_dup(spark, docs):
     pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in D.simhash_pairs(D.simhash(docs)).collect()}

@@ -186,6 +186,46 @@ class TestCorpusIO:
         df.write.format("noop").mode("overwrite").save()
         assert obs.get == {"n_rows": 3, "n_corrupt": 1}
 
+    def test_reader_builtin_observe_name(self, spark, tmp_path):
+        # the quarantine counter is attachable AT the reader (r5 VERDICT
+        # task 8): observe_name rides the Observation on the frame, so
+        # ingest call sites can't forget the wrap — both readers, both
+        # csv paths (splittable from_csv and native multiLine)
+        from pyspark.sql import types as T
+
+        from strava_data_pipeline_spark.sources import corpus_io as cio
+
+        schema = T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("name", T.StringType()),
+            ]
+        )
+        p = tmp_path / "mixed.csv"
+        p.write_text("id,name\n1,alpha\nnot_a_long,beta\n3,gamma\n")
+        df = cio.read_csv_table(
+            spark, str(p), schema, observe_name="csv_ingest_r6"
+        )
+        df.write.format("noop").mode("overwrite").save()
+        assert df.corrupt_observation.get == {"n_rows": 3, "n_corrupt": 1}
+
+        j = tmp_path / "mixed.jsonl"
+        j.write_text('{"doc_id": 1, "text": "ok"}\n{broken\n')
+        dj = cio.read_jsonl_corpus(
+            spark, str(j), observe_name="jsonl_ingest_r6"
+        )
+        dj.write.format("noop").mode("overwrite").save()
+        assert dj.corrupt_observation.get == {"n_rows": 2, "n_corrupt": 1}
+
+        m = tmp_path / "multi.csv"
+        m.write_text('id,name\n1,"two\nlines"\nbad_long,x\n')
+        dm = cio.read_csv_table(
+            spark, str(m), schema, multi_line=True,
+            observe_name="csv_multiline_ingest_r6",
+        )
+        dm.write.format("noop").mode("overwrite").save()
+        assert dm.corrupt_observation.get == {"n_rows": 2, "n_corrupt": 1}
+
     def test_csv_custom_delimiter_roundtrip(self, spark, tmp_path):
         from pyspark.sql import types as T
 

@@ -18,15 +18,17 @@ def main() -> int:
     with open(os.path.join(REPO, "SCALING_CURATION_R5.json")) as f:
         cur = json.load(f)
 
-    scaling["_comment"] += (
-        " curation_tier_r5: the nine queries added in r5 (curation pack"
-        " + snapshot_diff + embedding_power_iteration), mult=10,"
-        " min-of-2 warm runs with the same collision-free dialect"
-        " builder; worst exponent 0.708 (copurchase_triangles — the"
-        " scaled graph is 10 disjoint copies, so triangle volume grows"
-        " linearly and the measured sublinearity is fixed-cost"
-        " amortization plus per-copy parallelism)."
-    )
+    # idempotent: re-running the merge must not duplicate the sentence
+    if "curation_tier_r5:" not in scaling["_comment"]:
+        scaling["_comment"] += (
+            " curation_tier_r5: the nine queries added in r5 (curation pack"
+            " + snapshot_diff + embedding_power_iteration), mult=10,"
+            " min-of-2 warm runs with the same collision-free dialect"
+            " builder; worst exponent 0.708 (copurchase_triangles — the"
+            " scaled graph is 10 disjoint copies, so triangle volume grows"
+            " linearly and the measured sublinearity is fixed-cost"
+            " amortization plus per-copy parallelism)."
+        )
     scaling["curation_tier_r5"] = {
         "mult": cur["mult"],
         "scaled_rows": cur["scaled_rows"],
