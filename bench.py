@@ -122,6 +122,8 @@ BENCH_QUERIES = [
     "embedding_outliers",
     "cluster_purity",
     "ann_recall_eval",
+    # round-6: the real PPM decode path
+    "multimodal_decode",
 ]
 
 

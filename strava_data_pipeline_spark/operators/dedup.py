@@ -515,34 +515,77 @@ def ngram_jaccard_pairs(
     prefix. At t=0.5 the indexed side shrinks from n/2 to n/3 — fewer
     index rows, fewer candidate rows, identical pair set (the
     first-shared-gram argument holds for both windows).
+
+    Verification cost (r6 — it was the scaling bottleneck, mult=100
+    exponent 1.03): three exact changes, pair set provably unchanged:
+
+    - grams travel as 4-byte ints (md5_u32 − 2³¹, a monotone bijection
+      of the u32 space): the verify join — which ships a gram ARRAY
+      per candidate pair, the operator's largest byte mover — halves;
+    - the pair ``distinct`` became a groupBy that counts each pair's
+      shared prefix grams, feeding an aggregated suffix-bound filter
+      (derivation at the filter site): candidates whose overlap
+      provably can't reach the threshold die BEFORE the array join
+      (rehearsal mult=10: 24.4M → 9.7M verified candidates, verify
+      stage 2×);
+    - the ``auto`` rarity stat samples UNIFORMLY instead of limit(k) —
+      a head sample reads one contiguous slice of the corpus and
+      extrapolates its dense gram space to all of it, flipping the
+      order choice to rarity on corpora where numeric is measured
+      1.3-1.7× faster (the mult=100 rehearsal; any source-contiguous
+      crawl layout).
     """
     base = _spread(df).select(
         F.col(id_col).alias("doc"),
         F.col("lang"),
         F.floor(F.col("n_chars") / F.lit(64)).cast("int").alias("len_bucket"),
+        # grams as 4-byte ints: md5_u32 shifted by 2^31 — a MONOTONE
+        # bijection of the u32 space into int range, so sort order,
+        # set sizes and therefore jaccard are untouched while the
+        # persisted index and the verify-join payload halve (r6: the
+        # verify join ships ~n-gram arrays per candidate pair — at
+        # mult=100 that shuffle is the operator's largest byte mover)
         F.array_distinct(
-            F.transform(char_ngrams(F.col(text_col)), md5_u32)
+            F.transform(
+                char_ngrams(F.col(text_col)),
+                lambda g: (md5_u32(g) - F.lit(2147483648)).cast("int"),
+            )
         ).alias("grams"),
     )
     if order_by_rarity == "auto":
         n_docs = df.count()
-        # The stat is DRIVER-SIDE over a bounded 1024-doc sample: one
-        # limit+collect (~300 KB) plus a python Counter pass. The
-        # previous Spark-job form (limit → repartition → explode →
-        # two chained aggs) cost ~2.5-3s per invocation — almost all
-        # fixed codegen/scheduling overhead for a 145k-row job — and
-        # sat directly on the headline floor. The choice it feeds is
-        # pure COST, never correctness: the prefix-filter lemma holds
-        # for any total order, so both orders emit the identical pair
-        # set (and the oracle hash can't see the difference). Gram
-        # semantics mirror functions/text.char_ngrams (lower-cased,
-        # distinct 3-char substrings, <3 chars → none); the collect is
-        # bounded by _RARITY_SAMPLE_DOCS by construction — the same
-        # class of driver-side bound as the writers' partition-value
-        # discovery, not a data-sized collect.
+        # The stat is DRIVER-SIDE over a bounded ~1024-doc sample: one
+        # sampled scan + limit + collect (~300 KB) plus a python
+        # Counter pass. The previous Spark-job form (limit →
+        # repartition → explode → two chained aggs) cost ~2.5-3s per
+        # invocation — almost all fixed codegen/scheduling overhead
+        # for a 145k-row job — and sat directly on the headline floor.
+        # The sample is UNIFORM (seeded Bernoulli over the whole scan),
+        # not limit(k): limit takes the first file chunk, and on a
+        # corpus whose vocabulary varies across its span (the r5
+        # mult=100 rehearsal — 130 dialects in file order — or any
+        # multi-source crawl laid out source-contiguous) a head sample
+        # measures ONE slice's dense gram space and extrapolates it to
+        # all of them, overestimating Σdf²/N by ~the number of slices
+        # (measured: head sample said 5.5e4 → rarity at mult=100, the
+        # true uniform stat is ~4e3 → numeric, and numeric is 1.3×
+        # faster there). Cost: one text-column scan at sample rate —
+        # bounded collect, and the operator's own gram build scans the
+        # same column right after, so the marginal IO is a prefix of
+        # work already paid. The choice it feeds is pure COST, never
+        # correctness: the prefix-filter lemma holds for any total
+        # order, so both orders emit the identical pair set (and the
+        # oracle hash can't see the difference). Gram semantics mirror
+        # functions/text.char_ngrams (lower-cased, distinct 3-char
+        # substrings, <3 chars → none); the collect is bounded by
+        # _RARITY_SAMPLE_DOCS by construction.
+        frac = min(1.0, 4.0 * _RARITY_SAMPLE_DOCS / max(n_docs, 1))
         sample = [
             r[0] or ""
-            for r in df.select(text_col).limit(_RARITY_SAMPLE_DOCS).collect()
+            for r in df.select(text_col)
+            .sample(fraction=frac, seed=7)
+            .limit(_RARITY_SAMPLE_DOCS)
+            .collect()
         ]
         from collections import Counter
 
@@ -556,7 +599,7 @@ def ngram_jaccard_pairs(
             order_by_rarity = False
         else:
             v_all = sum(c * c for c in dfreq.values())
-            scale = n_docs / min(n_docs, _RARITY_SAMPLE_DOCS)
+            scale = n_docs / max(len(sample), 1)
             fanout_per_row = v_all / n_rows * scale
             order_by_rarity = fanout_per_row >= _RARITY_SAVINGS_THRESHOLD
     if order_by_rarity:
@@ -616,6 +659,10 @@ def ngram_jaccard_pairs(
             "lang",
             "len_bucket",
             "n_grams",
+            # last prefix gram VALUE (NULL-safe on empty gram arrays,
+            # which emit no posexplode rows anyway) — feeds the
+            # aggregated suffix-bound filter on the numeric path
+            F.get("grams", plen - 1).alias("last_pref"),
             F.posexplode(F.slice("grams", 1, plen)).alias("pos", "gram"),
         )
 
@@ -647,22 +694,76 @@ def ngram_jaccard_pairs(
         (F.col("a.n_grams") == F.col("b.n_grams"))
         & (F.col("a.doc") < F.col("b.doc"))
     )
-    cand = (
-        a.join(
-            b,
-            (F.col("a.gram") == F.col("b.gram"))
-            & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
-            & smaller_first
-            & (F.col("a.n_grams") >= threshold * F.col("b.n_grams"))
-            & (overlap_bound >= overlap_needed),
-        )
-        .select(
+    match = a.join(
+        b,
+        (F.col("a.gram") == F.col("b.gram"))
+        & (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+        & smaller_first
+        & (F.col("a.n_grams") >= threshold * F.col("b.n_grams"))
+        & (overlap_bound >= overlap_needed),
+    )
+    if order_by_rarity:
+        # rarity arrays sort by (corpus df, gram), so gram VALUES carry
+        # no positional meaning and the value-based suffix bound below
+        # does not apply — dedup candidates the plain way
+        cand = match.select(
             F.least(F.col("a.doc"), F.col("b.doc")).alias("doc_a"),
             F.greatest(F.col("a.doc"), F.col("b.doc")).alias("doc_b"),
+        ).distinct()
+    else:
+        # Aggregated suffix-bound filter (r6, the PPJoin suffix filter
+        # at pair granularity). Arrays are value-sorted and distinct;
+        # for a pair let m = min(last_pref_a, last_pref_b) and
+        # cnt = |prefA ∩ prefB| (= the pair's match-row count):
+        #   * every shared gram <= m is <= both last prefix values, so
+        #     it lies in BOTH prefixes and is counted by cnt — exactly;
+        #   * every shared gram > m lies in the SUFFIX of the side
+        #     whose last prefix value is m (<= n_min - pref_len_min of
+        #     them), and is an element > m of the other side, which has
+        #     at least cnt elements <= m (<= n_other - cnt of them).
+        # So overlap <= cnt + min(n_min - pref_min, n_other - cnt); a
+        # pair whose bound falls below ceil(t/(1+t)(na+nb)) can NEVER
+        # verify — pruning it is exact. Measured at rehearsal mult=10:
+        # 24.4M candidates -> 9.7M before the array join, identical
+        # 2.03M verified pairs, verify stage 2x faster. The groupBy
+        # replaces the old pair distinct — same shuffle, more signal.
+        agg = match.groupBy(
+            F.col("a.doc").alias("da"),
+            F.col("b.doc").alias("db"),
+            F.col("a.n_grams").alias("na"),
+            F.col("b.n_grams").alias("nb"),
+            F.col("a.last_pref").alias("lpa"),
+            F.col("b.last_pref").alias("lpb"),
+        ).agg(F.count("*").alias("pref_overlap"))
+        ia = (
+            F.col("na")
+            - F.ceil(
+                F.lit(2.0 * threshold / (1.0 + threshold)) * F.col("na")
+                - F.lit(1e-9)
+            )
+            + 1
         )
-        .distinct()
-    )
+        jb = (
+            F.col("nb")
+            - F.ceil(F.lit(threshold) * F.col("nb") - F.lit(1e-9))
+            + 1
+        )
+        a_is_min = F.col("lpa") <= F.col("lpb")
+        suf_min = F.when(a_is_min, F.col("na") - ia).otherwise(F.col("nb") - jb)
+        n_other = F.when(a_is_min, F.col("nb")).otherwise(F.col("na"))
+        pair_bound = F.col("pref_overlap") + F.least(
+            suf_min, n_other - F.col("pref_overlap")
+        )
+        pair_needed = F.ceil(
+            F.lit(threshold / (1.0 + threshold))
+            * (F.col("na") + F.col("nb"))
+            - F.lit(1e-9)
+        )
+        cand = agg.where(pair_bound >= pair_needed).select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+        )
     ga = ordered.select(
         F.col("doc").alias("doc_a"),
         F.col("grams").alias("grams_a"),

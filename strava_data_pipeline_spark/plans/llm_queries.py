@@ -791,14 +791,77 @@ FROM chars
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The multimodal decode path end to end: attach_payload (built-in
     metadata) → extract_features (Arrow-batched mapInPandas over binary
-    payloads — operators/multimodal.py:107). The ONE registry query
-    allowed to run Python: codec decode is the sanctioned Pandas-UDF
-    slow path, and this entry keeps its batch plumbing under the
-    driver's cross-engine gate, not just pytest."""
+    payloads — operators/multimodal.py:107). One of the two registry
+    queries allowed to run Python (with multimodal_decode): codec
+    decode is the sanctioned Pandas-UDF slow path, and this entry keeps
+    its batch plumbing under the driver's cross-engine gate, not just
+    pytest."""
     from strava_data_pipeline_spark.operators import multimodal as M
 
     docs = _docs(spark, sf_dir)
     return M.extract_features(M.attach_payload(docs))
+
+
+# --------------------------------------------------------------------------
+# 143. multimodal_decode — REAL image decode (binary PPM) end to end
+# --------------------------------------------------------------------------
+# The codec stubs are sanctioned (no media libs in this container), but
+# binary PPM needs none: the plant stage builds REAL P6 byte buffers
+# (header + raw RGB raster) as a binary Arrow column, and a separate
+# decode stage parses them with operators/multimodal.decode_image —
+# a genuine whitespace/comment-tolerant netpbm parser — then reduces
+# the raster to per-channel sums. Every header field and pixel is a
+# pure function of the doc's md5_u32 seed (computed JVM-side), so the
+# oracle recomputes the decoded stats arithmetically: any parser bug
+# (header offset, raster truncation, channel interleave) breaks the
+# hash. Means are exact 1e-4 units via positive floor division
+# (python // == DuckDB //).
+_MM_DECODE_ORACLE = """
+WITH h AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(text), 1, 8))::UBIGINT AS BIGINT) AS x
+    FROM documents
+), dims AS (
+    SELECT doc_id,
+           CAST(4 + x % 13 AS INT) AS width,
+           CAST(4 + (x // 7) % 9 AS INT) AS height,
+           x % 251 AS base
+    FROM h
+), px AS (
+    SELECT doc_id, width, height, base,
+           CAST(width * height AS BIGINT) AS n_pixels,
+           CAST(list_sum([(base + 3*p) % 256 FOR p IN range(0, width*height)]) AS BIGINT) AS sum_r,
+           CAST(list_sum([(base + 3*p + 1) % 256 FOR p IN range(0, width*height)]) AS BIGINT) AS sum_g,
+           CAST(list_sum([(base + 3*p + 2) % 256 FOR p IN range(0, width*height)]) AS BIGINT) AS sum_b
+    FROM dims
+)
+SELECT doc_id, width, height, n_pixels,
+       sum_r, sum_g, sum_b,
+       CAST(sum_r * 10000 // n_pixels AS BIGINT) AS mean_r_q4,
+       CAST(sum_g * 10000 // n_pixels AS BIGINT) AS mean_g_q4,
+       CAST(sum_b * 10000 // n_pixels AS BIGINT) AS mean_b_q4
+FROM px
+"""
+
+
+@register(
+    "multimodal_decode", oracle=_MM_DECODE_ORACLE, tags=("llm", "multimodal")
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image decode through the Arrow path: plant P6 payloads
+    (operators/multimodal.plant_ppm → binary column), decode them with
+    the pure-python netpbm parser (decode_image), reduce rasters to
+    channel stats. Two separate mapInPandas stages on purpose — the
+    decoder parses bytes that crossed the Arrow boundary as a binary
+    column, not bytes it built in-process. At 100 TB the same two-stage
+    shape holds with a real codec swapped into decode_image; payloads
+    stay in their own pruned parquet column (multimodal_meta's layout
+    note) and each Arrow batch holds one task's worth of images."""
+    from strava_data_pipeline_spark.operators import multimodal as M
+
+    docs = _docs(spark, sf_dir)
+    seeded = docs.select("doc_id", md5_u32(F.col("text")).alias("x"))
+    return M.extract_image_stats(M.attach_ppm_payload(seeded))
 
 
 # --------------------------------------------------------------------------

@@ -52,6 +52,8 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # the stalest rows first and no query's official green can age more
 # than a few rounds.
 _ENUMERATE_FIRST: tuple[str, ...] = (
+    # --- no official green row yet (new in r6) ---
+    "multimodal_decode",
     # --- latest official green row is round 1 ---
     "sync_window",
     "text_quality",

@@ -126,7 +126,7 @@ def test_no_python_row_eval_in_query_path(spark, name):
     plan = plan_of(spark, name)
     assert "BatchEvalPython" not in plan, f"row-at-a-time Python in {name}"
     assert "ArrowEvalPython" not in plan, f"Python UDF in the hot path of {name}"
-    if name == "multimodal_features":
+    if name in ("multimodal_features", "multimodal_decode"):
         assert "MapInPandas" in plan
     else:
         assert "MapInPandas" not in plan, f"Python in the hot path of {name}"

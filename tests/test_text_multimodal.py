@@ -95,12 +95,72 @@ class TestMultimodal:
         assert feats[1]["hist_1"] == ref["hist"][1]
 
     def test_codec_stubs_raise(self):
+        # compressed formats stay stubbed (no codec libs here); PPM is
+        # real — see TestPpmDecode
         with pytest.raises(NotImplementedError):
-            M.decode_image(b"x")
+            M.decode_image(b"\x89PNG....")
         with pytest.raises(NotImplementedError):
             M.resize_image(b"x", 2, 2)
         with pytest.raises(NotImplementedError):
             M.sample_frames(b"x", 2)
+
+
+class TestPpmDecode:
+    """The real pure-python P6 codec (r5 VERDICT task 7)."""
+
+    def test_roundtrip_known_pixels(self):
+        px = bytes(range(2 * 3 * 3))  # 2x3 image, 18 raster bytes
+        d = M.decode_image(M.encode_ppm(2, 3, px))
+        assert (d["width"], d["height"], d["maxval"]) == (2, 3, 255)
+        assert d["pixels"] == px
+
+    def test_header_comments_and_whitespace(self):
+        px = bytes(12)
+        payload = b"P6 # a comment\n# another\n 2\t2 \n255\n" + px
+        d = M.decode_image(payload)
+        assert (d["width"], d["height"]) == (2, 2)
+        assert d["pixels"] == px
+
+    def test_truncated_raster_raises(self):
+        with pytest.raises(ValueError):
+            M.decode_image(b"P6\n2 2\n255\n" + bytes(11))
+
+    def test_bad_header_raises(self):
+        with pytest.raises(ValueError):
+            M.decode_image(b"P6\n2 x\n255\n" + bytes(12))
+
+    def test_encode_rejects_wrong_raster_size(self):
+        with pytest.raises(ValueError):
+            M.encode_ppm(2, 2, bytes(11))
+
+    def test_plant_decode_stats_match_arithmetic(self):
+        # the oracle's closed form vs the real parse, off-Spark
+        for x in (0, 7, 123456789, 4294967295):
+            d = M.decode_image(M.plant_ppm(x))
+            w, h, base = 4 + x % 13, 4 + (x // 7) % 9, x % 251
+            assert (d["width"], d["height"]) == (w, h)
+            want_r = sum((base + 3 * p) % 256 for p in range(w * h))
+            got_r = sum(d["pixels"][0 :: 3])
+            assert got_r == want_r
+
+    def test_spark_pipeline_end_to_end(self, spark, tdf):
+        from strava_data_pipeline_spark.functions.hashing import md5_u32
+
+        seeded = tdf.select(
+            F.col("doc_id"), md5_u32(F.col("text")).alias("x")
+        )
+        stats = {
+            r["doc_id"]: r
+            for r in M.extract_image_stats(
+                M.attach_ppm_payload(seeded)
+            ).collect()
+        }
+        x = seeded.where(F.col("doc_id") == 1).collect()[0]["x"]
+        d = M.decode_image(M.plant_ppm(int(x)))
+        row = stats[1]
+        assert (row["width"], row["height"]) == (d["width"], d["height"])
+        assert row["sum_g"] == sum(d["pixels"][1 :: 3])
+        assert row["mean_g_q4"] == row["sum_g"] * 10000 // row["n_pixels"]
 
 
 class TestApiKeys:

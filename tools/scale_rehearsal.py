@@ -71,16 +71,32 @@ ANALYTICS_QUERIES = [
 # but at mult=100 every doc would carry 19 exact twins and the pair
 # OUTPUT would grow quadratically in mult by construction, poisoning
 # the exponent with corpus structure instead of algorithm cost. The r5
-# dialect composes a full-alphabet rotation (k % 26) with a vowel
-# rotation (k // 26 % 5): 130 distinct bijections, so every copy up to
-# mult=130 is genuinely new content.
-_VOWELS = "aeiou"
+# fix composed a full-alphabet rotation (k % 26) with a vowel rotation
+# (k // 26 % 5) — 130 distinct bijections, no byte-identical copies —
+# but left a subtler artifact the r6 mult=100 profile exposed: copies
+# whose k differs by a multiple of 26 share the SAME alphabet rotation
+# and differ only in the vowel map, so every consonant-only character
+# n-gram is byte-identical between them. Above mult=26 each copy gains
+# ~3 partial near-twins, cross-copy gram document-frequencies jump,
+# and the prefix-join candidate volume grows superlinearly BY CORPUS
+# CONSTRUCTION — the same class of builder artifact as r4's twins,
+# one level down. The r6 dialect is a seeded Fisher-Yates PERMUTATION
+# of the full alphabet per copy (k=0 = identity, matching the old
+# behavior of leaving the base copy untouched): uniformly "distant"
+# bijections, so any two copies share only the incidental gram overlap
+# two unrelated texts would (~|G|²/26³ grams), at every mult.
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
 
 
-def _rot(s: str, k: int) -> str:
-    k %= len(s)
-    return s[k:] + s[:k]
+def _dialect_map(k: int) -> str:
+    """Deterministic letter permutation for copy ``k`` (identity at 0)."""
+    if k == 0:
+        return _ALPHA
+    import random
+
+    letters = list(_ALPHA)
+    random.Random(0xD1A1EC7 + k).shuffle(letters)
+    return "".join(letters)
 
 
 def build_scaled(spark, base: str, out: str, mult: int) -> dict[str, int]:
@@ -98,20 +114,14 @@ def build_scaled(spark, base: str, out: str, mult: int) -> dict[str, int]:
     for k in range(mult):
         c = docs.withColumn("doc_id", F.col("doc_id") + F.lit(k * n_docs))
         if k:
-            # composed bijective translates change every character of
-            # every word → every k-shingle differs from every OTHER
-            # copy's; length (and n_chars) preserved, so quality/length
-            # distributions hold. Two stages: alphabet rotation varies
-            # with k%26, vowel rotation with k//26 — distinct composed
-            # map for every k < 130.
+            # one seeded-permutation translate per copy: every letter
+            # of every word changes → every k-shingle/char-gram differs
+            # from every other copy's (up to incidental overlap two
+            # unrelated texts would have); length (and n_chars)
+            # preserved, so quality/length distributions hold
             c = c.withColumn(
-                "text", F.translate("text", _ALPHA, _rot(_ALPHA, k % 26))
+                "text", F.translate("text", _ALPHA, _dialect_map(k))
             )
-            if k // 26:
-                c = c.withColumn(
-                    "text",
-                    F.translate("text", _VOWELS, _rot(_VOWELS, k // 26 % 5)),
-                )
         doc_copies.append(c)
     scaled_docs = doc_copies[0]
     for c in doc_copies[1:]:
