@@ -124,6 +124,10 @@ BENCH_QUERIES = [
     "ann_recall_eval",
     # round-6: the real PPM decode path
     "multimodal_decode",
+    # round-6 additions (rewrite pack)
+    "dedup_span_rewrite",
+    "decontaminate_span",
+    "entropy_score",
 ]
 
 

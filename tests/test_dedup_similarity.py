@@ -147,6 +147,49 @@ def test_ngram_jaccard(spark, docs):
     assert pairs[(1, 3)] > 0.8
 
 
+def test_auto_gram_order_thresholds():
+    # the rule is part of the cross-run reproducibility contract: every
+    # provided testdata SF (500..5000 docs) must stay at n=3 (that is
+    # what the static DuckDB oracle checks), and the boundaries are
+    # exact integer arithmetic, not float logs
+    assert D.auto_gram_order(0) == 3
+    assert D.auto_gram_order(500) == 3
+    assert D.auto_gram_order(5000) == 3
+    assert D.auto_gram_order(5858) == 3  # 3*5858 = 17574 <= 26^3
+    assert D.auto_gram_order(5859) == 4  # 3*5859 = 17577 > 17576
+    assert D.auto_gram_order(152_325) == 4
+    assert D.auto_gram_order(152_326) == 5
+    assert D.auto_gram_order(500_000) == 5  # the mult=100 rehearsal corpus
+    assert D.auto_gram_order(10**12) == 7  # capped
+
+
+def test_ngram_jaccard_pinned_order_matches_naive(spark, docs):
+    # pinned gram_order=4 must equal the naive all-pairs jaccard over
+    # 4-gram sets — the PPJoin prefix/positional/suffix filters are
+    # exact for ANY gram order, not just the default 3
+    rows = {r["doc_id"]: (r["text"].lower(), r["lang"]) for r in docs.collect()}
+    grams = {
+        d: {t[i : i + 4] for i in range(len(t) - 3)}
+        for d, (t, _) in rows.items()
+    }
+    block = {d: (lang, len(t) // 64) for d, (t, lang) in rows.items()}
+    expect = {}
+    ids = sorted(grams)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if block[a] != block[b]:
+                continue
+            inter = len(grams[a] & grams[b])
+            j = inter / len(grams[a] | grams[b])
+            if j >= 0.5:
+                expect[(a, b)] = round(j, 4)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, gram_order=4).collect()
+    }
+    assert got == expect
+
+
 def test_fingerprints_match_for_dups(spark, docs):
     fp = D.doc_fingerprints(docs)
     rows = fp.collect()
