@@ -439,6 +439,17 @@ _RARITY_SAMPLE_DOCS = 1024
 #: corpus-extrapolated candidate-savings-per-gram-row above which the
 #: rarity order's df-count shuffle pays for itself (see docstring)
 _RARITY_SAVINGS_THRESHOLD = 6000.0
+#: above this many docs the gram-array and gram-df frames are
+#: corpus-sized, never broadcast-sized: pin their joins to non-broadcast
+#: strategies so AQE's post-shuffle size estimate (compressed bytes —
+#: integer gram payloads compress 10-30x) can't pick a broadcast whose
+#: in-memory build is GBs. Below the bound the frames are genuinely
+#: small and AQE's broadcast is the faster plan — same gate shape as
+#: graph.broadcast_adj_max. 50k docs x ~800 grams x 8B ~= 320 MB raw,
+#: already past any sane driver budget; measured: the mult=100
+#: rehearsal (500k docs, gram order 5) OOMed an 8g driver on a 2 GB
+#: broadcast build of exactly these frames before this gate existed.
+_HINT_DOCS_BOUND = 50_000
 
 
 def auto_gram_order(n_docs: int) -> int:
@@ -581,6 +592,10 @@ def ngram_jaccard_pairs(
     )
     if gram_order == "auto":
         gram_order = auto_gram_order(n_docs)
+    # past the bound, corpus-sized frames must not be broadcast —
+    # see _HINT_DOCS_BOUND. The hint changes the physical strategy
+    # only; the pair set and the oracle hash are join-order-invariant.
+    big_corpus = n_docs > _HINT_DOCS_BOUND
     base = _spread(df).select(
         F.col(id_col).alias("doc"),
         F.col("lang"),
@@ -659,6 +674,11 @@ def ngram_jaccard_pairs(
         )
         # grams are distinct per doc → count(*) per gram == document freq
         dfreq = exploded.groupBy("gram").agg(F.count("*").alias("gram_df"))
+        if big_corpus:
+            # gram-df cardinality approaches the gram SPACE (26^order,
+            # sized to 3x the corpus by auto_gram_order) — corpus-sized,
+            # not dim-sized; shuffle-hash keeps the build per-partition
+            dfreq = dfreq.hint("shuffle_hash")
         ordered = (
             exploded.join(dfreq, "gram")
             .groupBy("doc", "lang", "len_bucket")
@@ -718,6 +738,11 @@ def ngram_jaccard_pairs(
         )
 
     a, b = _inv(idx_len).alias("a"), _inv(probe_len).alias("b")
+    if big_corpus:
+        # both sides of the prefix-index join are the EXPLODED corpus
+        # (every doc x its prefix grams) — the largest frames in the
+        # plan; a broadcast build of either side is corpus-sized
+        a, b = a.hint("merge").alias("a"), b.hint("merge").alias("b")
     # PPJoin positional filter: for a shared gram at sorted positions
     # (i, j), overlap <= min(i, j) + min(n_a - i, n_b - j) — shared
     # grams below the match are bounded by the smaller position, those
@@ -825,6 +850,10 @@ def ngram_jaccard_pairs(
         F.col("grams").alias("grams_b"),
         F.col("n_grams").alias("n_b"),
     )
+    if big_corpus:
+        # the gram-array frames carry the whole corpus's gram payload;
+        # sort-merge spills instead of building a multi-GB broadcast
+        ga, gb = ga.hint("merge"), gb.hint("merge")
     # grams are DISTINCT per doc, so |union| = n_a + n_b - |intersect|:
     # one array scan per candidate instead of two (array_union dropped)
     inter = F.size(F.array_intersect("grams_a", "grams_b"))

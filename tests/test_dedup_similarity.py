@@ -190,6 +190,26 @@ def test_ngram_jaccard_pinned_order_matches_naive(spark, docs):
     assert got == expect
 
 
+def test_ngram_jaccard_big_corpus_forbids_broadcast(spark, docs, monkeypatch):
+    # past _HINT_DOCS_BOUND the gram-array / gram-df frames are
+    # corpus-sized: the plan must pin non-broadcast joins (the mult=100
+    # rehearsal OOMed an 8g driver on a 2 GB AQE broadcast build before
+    # the gate). Patch the bound below the fixture corpus and check the
+    # pre-AQE physical plan: the verify joins become SortMergeJoin and
+    # no broadcast exchange appears anywhere.
+    baseline = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.ngram_jaccard_pairs(docs).collect()
+    }
+    monkeypatch.setattr(D, "_HINT_DOCS_BOUND", 2)
+    out = D.ngram_jaccard_pairs(docs)
+    plan = out._jdf.queryExecution().sparkPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan and "BroadcastExchange" not in plan
+    # the physical strategy must not change the answer
+    assert {(r["doc_a"], r["doc_b"]) for r in out.collect()} == baseline
+
+
 def test_fingerprints_match_for_dups(spark, docs):
     fp = D.doc_fingerprints(docs)
     rows = fp.collect()
