@@ -128,6 +128,10 @@ BENCH_QUERIES = [
     "dedup_span_rewrite",
     "decontaminate_span",
     "entropy_score",
+    # round-6 additions (LM pack)
+    "bigram_kneser_ney",
+    "split_leakage",
+    "bpe_merge_rounds",
 ]
 
 

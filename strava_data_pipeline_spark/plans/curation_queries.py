@@ -349,12 +349,16 @@ WHERE d.doc_id % 97 <> 0
 def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter decontamination: the benchmark's shingles set k=3
     bits in an m=4096 bitmap; a training shingle is flagged when ALL
-    its k positions are set. The bitmap travels as a ≤m-row position
-    table — constant-size broadcast however large the benchmark — and
-    the corpus streams through explode → broadcast probe, never
-    shuffling. Emits bloom hits AND exact hits per doc so the false-
-    positive rate is audited in the result itself; the oracle checks
-    the filter arithmetic bit-for-bit."""
+    its k positions are set. The bitmap travels as ONE row of m/64
+    BIGINT words — constant size however large the benchmark — cross-
+    joined broadcast onto the corpus, and each shingle's verdict is k
+    O(1) bit tests inside codegen. The corpus never shuffles for the
+    bloom decision (r6: the previous form exploded k position rows per
+    shingle and re-grouped by (doc, shingle) — a 3x-corpus shuffle
+    that was the query's largest byte mover and its mult=100 cost
+    center at exponent 1.049). Emits bloom hits AND exact hits per doc
+    so the false-positive rate is audited in the result itself; the
+    oracle checks the filter arithmetic bit-for-bit."""
     docs = _docs(spark, sf_dir)
     sh = (
         docs.select(
@@ -371,19 +375,58 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(_BLOOM_K)
         ]
     )
-    bloom = (
+    # fold the benchmark's set positions into one m-bit bitmap row:
+    # per 64-bit word a bit_or of the set bits, then a dense
+    # 0..m/64-1 array with zero-filled gaps (empty benchmark -> the
+    # global agg still emits its one row -> all-zero bitmap -> no hits)
+    words = (
         sh.where(F.col("doc_id") % 97 == 0)
         .select(F.explode(pos_arr).alias("pos"))
-        .distinct()
+        .select(
+            (F.col("pos") / 64).cast("int").alias("w"),
+            (F.col("pos") % 64).cast("int").alias("b"),
+        )
+        .groupBy("w")
+        # shiftleft's python wrapper takes only a literal shift; the SQL
+        # form accepts the column
+        .agg(F.bit_or(F.expr("shiftleft(1L, b)")).alias("mask"))
+    )
+    bitmap = (
+        words.groupBy()
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("w", "mask"))
+            ).alias("m")
+        )
+        .select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_BLOOM_M // 64 - 1)),
+                # try_element_at: ANSI-safe null (not error) on the
+                # words the benchmark never touched
+                lambda w: F.coalesce(
+                    F.try_element_at("m", w), F.lit(0).cast("bigint")
+                ),
+            ).alias("bitmap")
+        )
     )
     bench = sh.where(F.col("doc_id") % 97 == 0).select("sh").distinct()
-    probe = sh.where(F.col("doc_id") % 97 != 0).select(
-        "doc_id", "sh", F.explode(pos_arr).alias("pos")
-    )
     hits = (
-        probe.join(F.broadcast(bloom.withColumn("_in", F.lit(1))), "pos", "left")
-        .groupBy("doc_id", "sh")
-        .agg((F.sum(F.coalesce("_in", F.lit(0))) == _BLOOM_K).alias("bloom_hit"))
+        sh.where(F.col("doc_id") % 97 != 0)
+        .crossJoin(F.broadcast(bitmap))
+        .select(
+            "doc_id",
+            "sh",
+            F.forall(
+                pos_arr,
+                lambda p: F.getbit(
+                    F.element_at(
+                        "bitmap", (p / F.lit(64)).cast("int") + F.lit(1)
+                    ),
+                    (p % 64).cast("int"),
+                )
+                == 1,
+            ).alias("bloom_hit"),
+        )
     )
     per_doc = (
         hits.join(

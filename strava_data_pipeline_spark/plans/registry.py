@@ -57,6 +57,9 @@ _ENUMERATE_FIRST: tuple[str, ...] = (
     "dedup_span_rewrite",
     "decontaminate_span",
     "entropy_score",
+    "bigram_kneser_ney",
+    "split_leakage",
+    "bpe_merge_rounds",
     # --- latest official green row is round 1 ---
     "sync_window",
     "text_quality",
@@ -242,6 +245,7 @@ def _load() -> None:
         analytics_queries,
         curation_queries,
         llm_queries,
+        lm_queries,
         mining_queries,
         pipeline_queries,
         rewrite_queries,

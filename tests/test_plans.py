@@ -52,6 +52,8 @@ _BNLJ_OK = {
     "ivf_balance",  # 1-row centroid array + 1-row total broadcasts
     "cluster_purity",  # K-row centroid-seed array broadcast (kmeans idiom)
     "ann_recall_eval",  # composes ann_topk/ann_ivf (bounded query-set sides)
+    "decontaminate_bloom",  # 1-row 4096-bit bloom bitmap broadcast
+    "bigram_kneser_ney",  # 1-row bigram-type total broadcast
 }
 
 # plan-string caches; one build per query per pytest session. A failed
