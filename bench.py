@@ -132,6 +132,10 @@ BENCH_QUERIES = [
     "bigram_kneser_ney",
     "split_leakage",
     "bpe_merge_rounds",
+    # round-6 additions (tokenizer pack)
+    "wordpiece_vocab",
+    "wordpiece_encode",
+    "tokenizer_fertility",
 ]
 
 

@@ -60,6 +60,9 @@ _ENUMERATE_FIRST: tuple[str, ...] = (
     "bigram_kneser_ney",
     "split_leakage",
     "bpe_merge_rounds",
+    "wordpiece_vocab",
+    "wordpiece_encode",
+    "tokenizer_fertility",
     # --- latest official green row is round 1 ---
     "sync_window",
     "text_quality",
@@ -249,6 +252,7 @@ def _load() -> None:
         mining_queries,
         pipeline_queries,
         rewrite_queries,
+        tokenizer_queries,
     )
 
     _LOADED = True

@@ -54,6 +54,8 @@ _BNLJ_OK = {
     "ann_recall_eval",  # composes ann_topk/ann_ivf (bounded query-set sides)
     "decontaminate_bloom",  # 1-row 4096-bit bloom bitmap broadcast
     "bigram_kneser_ney",  # 1-row bigram-type total broadcast
+    "wordpiece_encode",  # 1-row <=500-entry vocab map broadcast
+    "tokenizer_fertility",  # same vocab-map broadcast via _encoded_words
 }
 
 # plan-string caches; one build per query per pytest session. A failed
