@@ -136,6 +136,9 @@ BENCH_QUERIES = [
     "wordpiece_vocab",
     "wordpiece_encode",
     "tokenizer_fertility",
+    # round-6 additions (graph pack)
+    "kcore_peel",
+    "degree_histogram",
 ]
 
 

@@ -63,6 +63,8 @@ _ENUMERATE_FIRST: tuple[str, ...] = (
     "wordpiece_vocab",
     "wordpiece_encode",
     "tokenizer_fertility",
+    "kcore_peel",
+    "degree_histogram",
     # --- latest official green row is round 1 ---
     "sync_window",
     "text_quality",
@@ -247,6 +249,7 @@ def _load() -> None:
         analytics_extra,
         analytics_queries,
         curation_queries,
+        graph_queries,
         llm_queries,
         lm_queries,
         mining_queries,
