@@ -56,6 +56,7 @@ _BNLJ_OK = {
     "bigram_kneser_ney",  # 1-row bigram-type total broadcast
     "wordpiece_encode",  # 1-row <=500-entry vocab map broadcast
     "tokenizer_fertility",  # same vocab-map broadcast via _encoded_words
+    "bpe_merge_rounds",  # 1-row per-round argmax merge-pair broadcast
 }
 
 # plan-string caches; one build per query per pytest session. A failed

@@ -48,6 +48,7 @@ def main() -> int:
         ("jaccard_adaptive_gram", "SCALING_M100_R6_jac.json"),
         ("curation_tier", "SCALING_M100_R6_cur.json"),
         ("r6_new_packs", "SCALING_M100_R6_new.json"),
+        ("r6_graph_pack", "SCALING_M100_R6_graph.json"),
     ):
         p = os.path.join(REPO, fname)
         if os.path.exists(p):
