@@ -144,19 +144,26 @@ def kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-joins pruning the edge list. Only (BIGINT, BIGINT) edge
     tuples and node-sized (id, count) frames ever shuffle; nothing
     broadcasts (node lists are unbounded), and the edge list only
-    SHRINKS round over round. Each round ends in a localCheckpoint —
-    the connected_components discipline, and here it is CORRECTNESS
-    of the plan, not just hygiene: round r's edge list references
-    round r-1's THREE times (degree count + two semi-joins), so an
-    uncut lineage grows 3^rounds and the analyzer chokes on the
-    exponential tree long before any data moves. The checkpoint cuts
-    it to linear; the materialization it forces is the same work the
-    round would do anyway."""
+    SHRINKS round over round. Each round's edge list and degree frame
+    are persisted — and here the lineage cut is CORRECTNESS of the
+    plan, not just hygiene: round r's edge list references round
+    r-1's THREE times (degree count + two semi-joins), so an uncut
+    lineage grows 3^rounds and the analyzer chokes on the exponential
+    tree long before any data moves. The persist makes every later
+    reference resolve to the cached relation, keeping the tree linear.
+    Edge generations cache DISK_ONLY (compact columnar blocks; the r6
+    mult=100 probe holds five generations of a 240M-row edge list —
+    deserialized localCheckpoint storage OOMed a 32g heap, disk-backed
+    columnar does not); the node-sized degree frames stay in memory.
+    Cache lifecycle is caller-owned, as with minhash_lsh_pairs (bench
+    clears per query; loops must clearCache after materializing)."""
+    from pyspark.storagelevel import StorageLevel
+
     edges = _copurchase_edges(spark, sf_dir)
     und = edges.select(
         F.col("a").alias("s"), F.col("b").alias("d")
     ).unionAll(edges.select(F.col("b").alias("s"), F.col("a").alias("d")))
-    und = und.localCheckpoint()
+    und = und.persist(StorageLevel.DISK_ONLY)
     nodes = und.select("s").distinct()
     outs: list[DataFrame] = []
     for r in range(1, _KCORE_ROUNDS + 1):
@@ -164,7 +171,7 @@ def kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         deg = nodes.join(cnt, "s", "left").select(
             "s", F.coalesce("c", F.lit(0)).cast("bigint").alias("c")
         )
-        deg = deg.localCheckpoint()
+        deg = deg.persist()
         outs.append(
             deg.where(F.col("c") < _KCORE_K).select(
                 "s",
@@ -175,7 +182,7 @@ def kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         nodes = deg.where(F.col("c") >= _KCORE_K).select("s")
         und = und.join(nodes, "s", "left_semi").join(
             nodes.withColumnRenamed("s", "d"), "d", "left_semi"
-        ).localCheckpoint()
+        ).persist(StorageLevel.DISK_ONLY)
     cnt = und.groupBy("s").agg(F.count("*").cast("bigint").alias("c"))
     surv = nodes.join(cnt, "s", "left").select(
         "s",

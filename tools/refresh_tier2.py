@@ -1,0 +1,91 @@
+"""Refresh the tier2 (all-registry, sf0.01) floor set in
+BASELINE_BENCH.json.
+
+bench_bands.py owns the HEADLINE floors/bands; this tool owns the
+tier2 floors — the only perf guard the non-headline queries have. It
+runs `bench.py` with SPARK_GRAFT_BENCH_ALL=1 N times (fresh process
+per run, the driver's protocol) and min-merges `tier2_queries` into
+the baseline: floors only ever move DOWN, new queries get their first
+floor, nothing is dropped.
+
+Usage:
+    python tools/refresh_tier2.py [--runs 2] [--write]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_once(env: dict) -> dict[str, float]:
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=3600,
+    )
+    line = out.stdout.strip().splitlines()[-1]
+    doc = json.loads(line)
+    return doc["tier2_queries"]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument(
+        "--baseline", default=os.path.join(REPO, "BASELINE_BENCH.json")
+    )
+    ap.add_argument("--write", action="store_true")
+    args = ap.parse_args()
+
+    env = dict(os.environ)
+    env["SPARK_GRAFT_BENCH_ALL"] = "1"
+    runs: list[dict[str, float]] = []
+    for i in range(args.runs):
+        t2 = run_once(env)
+        runs.append(t2)
+        print(
+            f"run {i + 1}/{args.runs}: tier2 total {sum(t2.values()):.1f}s"
+            f" over {len(t2)} queries",
+            file=sys.stderr,
+        )
+
+    with open(args.baseline) as f:
+        base = json.load(f)
+    floors = base.setdefault("tier2_queries", {})
+    names = sorted(set().union(*[set(r) for r in runs]))
+    added, improved = [], []
+    for n in names:
+        lo = round(min(r[n] for r in runs if n in r), 3)
+        if n not in floors:
+            floors[n] = lo
+            added.append(n)
+        elif lo < floors[n]:
+            floors[n] = lo
+            improved.append(n)
+    base["tier2_total"] = round(sum(floors.values()), 3)
+    base["tier2_queries"] = dict(sorted(floors.items()))
+
+    if args.write:
+        with open(args.baseline, "w") as f:
+            json.dump(base, f, indent=1)
+            f.write("\n")
+        print(
+            f"wrote {args.baseline}: +{len(added)} new, "
+            f"{len(improved)} improved, total {base['tier2_total']}s",
+            file=sys.stderr,
+        )
+    else:
+        print(json.dumps({"added": added, "improved": improved}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
