@@ -279,7 +279,8 @@ p{r} AS (
 _BPE_ORACLE = (
     f"""
 WITH tok AS (
-    SELECT unnest({_DUCK_TOKENS}) AS w FROM documents
+    SELECT w FROM (SELECT unnest({_DUCK_TOKENS}) AS w FROM documents)
+    WHERE w <> ''
 ), w0 AS (
     SELECT {_duck_chars('w')} AS s FROM tok
 ), """
@@ -330,7 +331,14 @@ def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     30k-merge training run would hoist the argmax into a driver loop
     over this exact per-round plan — same physics, shorter lineage."""
     docs = _docs(spark, sf_dir)
-    words = docs.select(F.explode(T.tokens(F.col("text"))).alias("w"))
+    # the empty-token filter is load-bearing, not hygiene: tokens('')
+    # is [''] by the tokenizer contract, and sequence(1, length(''))
+    # is Spark's DESCENDING [1, 0] — an unfiltered empty word would
+    # fabricate a ('', '') symbol pair the DuckDB twin (range -> [])
+    # never sees
+    words = docs.select(F.explode(T.tokens(F.col("text"))).alias("w")).where(
+        F.col("w") != ""
+    )
     sym = words.select(
         F.transform(
             F.sequence(F.lit(1), F.length("w")),

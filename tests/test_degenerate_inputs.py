@@ -1,0 +1,91 @@
+"""Degenerate-input hardening for the r6 packs: an empty table or a
+whitespace-only document is what a stray partition of a 100 TB corpus
+actually hands an operator — every query must return an empty (or
+degenerate-but-typed) result, never throw.
+
+The oracle gate only exercises sf0.01; these tests pin the edges the
+driver's data never reaches (empty aggregations feeding 1-row
+broadcasts, argmax-of-nothing merge rounds, graphs with no edges)."""
+
+from __future__ import annotations
+
+import pytest
+
+from strava_data_pipeline_spark.plans import graph_queries as GQ
+from strava_data_pipeline_spark.plans import lm_queries as LM
+from strava_data_pipeline_spark.plans import tokenizer_queries as TQ
+
+
+def _empty_docs(spark, tmpdir):
+    df = spark.createDataFrame(
+        [],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmpdir}/documents.parquet")
+    return str(tmpdir)
+
+
+def _ws_docs(spark, tmpdir):
+    rows = [(0, "   ", "en", "src", 3), (1, "", "de", "src", 0)]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmpdir}/documents.parquet")
+    return str(tmpdir)
+
+
+def _empty_lineitem(spark, tmpdir):
+    df = spark.createDataFrame(
+        [], "l_orderkey bigint, l_partkey bigint, l_shipdate bigint"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmpdir}/lineitem.parquet")
+    return str(tmpdir)
+
+
+_DOC_QUERIES = [
+    LM.bigram_kneser_ney,
+    LM.bpe_merge_rounds,
+    TQ.wordpiece_vocab,
+    TQ.wordpiece_encode,
+    TQ.tokenizer_fertility,
+]
+
+
+class TestEmptyCorpus:
+    @pytest.mark.parametrize("q", _DOC_QUERIES, ids=lambda q: q.__name__)
+    def test_empty_documents_yield_empty_result(self, spark, tmp_path, q):
+        sf = _empty_docs(spark, tmp_path)
+        assert q(spark, sf).count() == 0
+
+    @pytest.mark.parametrize("q", _DOC_QUERIES, ids=lambda q: q.__name__)
+    def test_whitespace_only_documents_yield_empty_result(
+        self, spark, tmp_path, q
+    ):
+        # the tokenizer contract maps whitespace-only text to [''];
+        # every word-level builder filters the empty token, so the
+        # corpus is empty from the packs' point of view
+        sf = _ws_docs(spark, tmp_path)
+        assert q(spark, sf).count() == 0
+
+
+class TestEmptyGraph:
+    def test_kcore_on_edgeless_graph(self, spark, tmp_path):
+        sf = _empty_lineitem(spark, tmp_path)
+        assert GQ.kcore_peel(spark, sf).count() == 0
+
+    def test_degree_histogram_on_edgeless_graph(self, spark, tmp_path):
+        sf = _empty_lineitem(spark, tmp_path)
+        assert GQ.degree_histogram(spark, sf).count() == 0
+
+    def test_single_order_single_part_has_no_edges(self, spark, tmp_path):
+        # one item per order -> no co-purchase pairs at all
+        df = spark.createDataFrame(
+            [(1, 10, 0), (2, 20, 0)],
+            "l_orderkey bigint, l_partkey bigint, l_shipdate bigint",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(
+            f"{tmp_path}/lineitem.parquet"
+        )
+        assert GQ.kcore_peel(spark, str(tmp_path)).count() == 0
+        assert GQ.degree_histogram(spark, str(tmp_path)).count() == 0
