@@ -163,7 +163,12 @@ def kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = edges.select(
         F.col("a").alias("s"), F.col("b").alias("d")
     ).unionAll(edges.select(F.col("b").alias("s"), F.col("a").alias("d")))
-    und = und.persist(StorageLevel.DISK_ONLY)
+    # ONE upfront hash-partition on the degree key: the node-list
+    # semi-joins broadcast (node ids are tiny next to edges) and so
+    # PRESERVE this partitioning through every round — all four
+    # degree-count groupBys run exchange-free on the cached layout.
+    # One shuffle paid once replaces one per round.
+    und = und.repartition("s").persist(StorageLevel.DISK_ONLY)
     nodes = und.select("s").distinct()
     outs: list[DataFrame] = []
     for r in range(1, _KCORE_ROUNDS + 1):
@@ -182,7 +187,12 @@ def kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         nodes = deg.where(F.col("c") >= _KCORE_K).select("s")
         und = und.join(nodes, "s", "left_semi").join(
             nodes.withColumnRenamed("s", "d"), "d", "left_semi"
-        ).persist(StorageLevel.DISK_ONLY)
+        )
+        if r < _KCORE_ROUNDS:
+            # the final round's edge list feeds exactly one consumer
+            # (the survivor degree count) — persisting it would be a
+            # write with no second read
+            und = und.persist(StorageLevel.DISK_ONLY)
     cnt = und.groupBy("s").agg(F.count("*").cast("bigint").alias("c"))
     surv = nodes.join(cnt, "s", "left").select(
         "s",
