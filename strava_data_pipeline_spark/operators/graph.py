@@ -226,6 +226,110 @@ def triangle_participation(
     )
 
 
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "a",
+    dst: str = "b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """K-core decomposition to FIXPOINT: per node, the round it was
+    peeled (degree < k on the then-surviving subgraph; 1-based) and
+    its degree at peel time, with ``peel_round = 0`` for true k-core
+    members — the production form of the registry's 4-round
+    ``kcore_peel`` query (plans/graph_queries.py), which unrolls the
+    identical per-round plan so the DuckDB oracle can mirror it.
+
+    ``edges`` is an undirected pair list (either orientation,
+    duplicates fine). Isolated nodes never enter (no edges), matching
+    connected_components' convention.
+
+    Scale design (the same physics the unrolled query documents):
+    ONE upfront hash-partition on the degree key survives the
+    broadcast node-list semi-joins, so every round's degree count is
+    exchange-free; edge generations persist DISK_ONLY (columnar
+    blocks — five deserialized generations OOMed a 32g heap at the
+    mult=100 rehearsal) and each generation is unpersisted as soon as
+    its successor is materialized, so the driver loop holds at most
+    two generations of storage however many rounds run. The
+    convergence check is the peel count the round computes anyway —
+    no extra driver-side data."""
+    from pyspark.storagelevel import StorageLevel
+
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    und = (
+        e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .distinct()
+        .repartition("s")
+        .persist(StorageLevel.DISK_ONLY)
+    )
+    nodes = und.select("s").distinct()
+    peeled: list[DataFrame] = []
+    survivors: DataFrame | None = None
+    for r in range(1, max_iter + 1):
+        cnt = und.groupBy("s").agg(F.count("*").cast("bigint").alias("c"))
+        deg = (
+            nodes.join(cnt, "s", "left")
+            .select("s", F.coalesce("c", F.lit(0)).cast("bigint").alias("c"))
+            .persist()
+        )
+        n_peel = deg.where(F.col("c") < k).count()  # materializes deg
+        if n_peel == 0:
+            survivors = deg.where(F.col("c") >= k).select(
+                "s",
+                F.lit(0).cast("int").alias("peel_round"),
+                F.col("c").alias("deg_at_peel"),
+            ).localCheckpoint(eager=True)
+            deg.unpersist()
+            break
+        # peel sets are node-sized and must outlive this round's
+        # caches — flatten them now
+        peeled.append(
+            deg.where(F.col("c") < k)
+            .select(
+                "s",
+                F.lit(r).cast("int").alias("peel_round"),
+                F.col("c").alias("deg_at_peel"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # the survivor list must outlive this round's caches (it is
+        # next round's left-join spine); without flattening it here,
+        # round r+1 would re-derive it through the UNPERSISTED deg_r
+        # and recompute the whole peel history — the same 3^rounds
+        # blow-up the persists exist to prevent, at runtime instead of
+        # in the analyzer. Node-sized, so the flatten is cheap.
+        nodes = (
+            deg.where(F.col("c") >= k)
+            .select("s")
+            .localCheckpoint(eager=True)
+        )
+        new_und = (
+            und.join(nodes, "s", "left_semi")
+            .join(nodes.withColumnRenamed("s", "d"), "d", "left_semi")
+            .persist(StorageLevel.DISK_ONLY)
+        )
+        new_und.count()  # materialize before releasing the parent
+        und.unpersist()
+        deg.unpersist()
+        und = new_und
+        # everything peels eventually when k exceeds every degree; the
+        # empty edge list still yields one more round that peels the
+        # remaining zero-degree nodes, then n_peel == 0 terminates
+    if survivors is None:  # max_iter hit: remaining nodes stay round-0
+        cnt = und.groupBy("s").agg(F.count("*").cast("bigint").alias("c"))
+        survivors = nodes.join(cnt, "s", "left").select(
+            "s",
+            F.lit(0).cast("int").alias("peel_round"),
+            F.coalesce("c", F.lit(0)).cast("bigint").alias("deg_at_peel"),
+        ).localCheckpoint(eager=True)
+    und.unpersist()
+    out = survivors
+    for p in peeled:
+        out = out.unionAll(p)
+    return out.withColumnRenamed("s", "node")
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 3,

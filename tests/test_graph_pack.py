@@ -123,3 +123,81 @@ class TestDegreeHistogram:
         }
         assert got == expect
         assert set(got) == {1, 2, 3}
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs], "a bigint, b bigint"
+    )
+
+
+def _ref_kcore_fixpoint(adj, k):
+    nodes = set(adj)
+    out = {}
+    r = 0
+    while True:
+        r += 1
+        deg = {n: sum(1 for m in adj[n] if m in nodes) for n in nodes}
+        peeledset = {n for n in nodes if deg[n] < k}
+        if not peeledset:
+            for n in nodes:
+                out[n] = (0, deg[n])
+            return out
+        for n in peeledset:
+            out[n] = (r, deg[n])
+        nodes -= peeledset
+
+
+class TestKcoreFixpointOperator:
+    def test_long_cascade_beyond_four_rounds(self, spark):
+        # a 7-link chain hanging off a triangle peels one node per
+        # round at k=2 — seven rounds, past the unrolled query's four
+        from strava_data_pipeline_spark.operators.graph import kcore
+
+        chain = [(i, i + 1) for i in range(1, 8)] + [(8, 101)]
+        tri = [(101, 102), (102, 103), (101, 103)]
+        got = {
+            r["node"]: (r["peel_round"], r["deg_at_peel"])
+            for r in kcore(_edges_df(spark, chain + tri), k=2).collect()
+        }
+        assert got == _ref_kcore_fixpoint(_adj(chain + tri), k=2)
+        assert got[1] == (1, 1) and got[8][0] == 8
+        assert all(got[n] == (0, 2) for n in (101, 102, 103))
+
+    def test_random_graph_matches_reference(self, spark):
+        import random
+
+        rng = random.Random(0xC03E)
+        pairs = {
+            tuple(sorted(rng.sample(range(40), 2))) for _ in range(120)
+        }
+        from strava_data_pipeline_spark.operators.graph import kcore
+
+        got = {
+            r["node"]: (r["peel_round"], r["deg_at_peel"])
+            for r in kcore(_edges_df(spark, sorted(pairs)), k=3).collect()
+        }
+        assert got == _ref_kcore_fixpoint(_adj(sorted(pairs)), k=3)
+
+    def test_agrees_with_unrolled_query_when_converged_early(
+        self, spark, tmp_path, monkeypatch
+    ):
+        # on a graph whose peel converges within 4 rounds, the
+        # fixpoint operator and the registry's unrolled query must
+        # emit the identical row set
+        from strava_data_pipeline_spark.operators.graph import kcore
+
+        monkeypatch.setattr(G, "_KCORE_K", 2)
+        edges = [(1, 2), (2, 3), (3, 101)]
+        cliques = [(101, 102, 103)]
+        sf = _mklineitem(spark, tmp_path, edges, cliques)
+        unrolled = {
+            (r["partkey"], r["peel_round"], r["deg_at_peel"])
+            for r in G.kcore_peel(spark, sf).collect()
+        }
+        allpairs = edges + [(101, 102), (102, 103), (101, 103)]
+        fix = {
+            (r["node"], r["peel_round"], r["deg_at_peel"])
+            for r in kcore(_edges_df(spark, allpairs), k=2).collect()
+        }
+        assert fix == unrolled
