@@ -139,6 +139,13 @@ BENCH_QUERIES = [
     # round-6 additions (graph pack)
     "kcore_peel",
     "degree_histogram",
+    # round-6 additions (ops pack)
+    "range_partition_plan",
+    "view_delta_maintenance",
+    "fuzzy_dict_match",
+    "weighted_sample",
+    "ann_mrr_ndcg",
+    "table_stats",
 ]
 
 

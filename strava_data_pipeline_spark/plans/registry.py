@@ -53,6 +53,12 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # than a few rounds.
 _ENUMERATE_FIRST: tuple[str, ...] = (
     # --- no official green row yet (new in r6) ---
+    "range_partition_plan",
+    "view_delta_maintenance",
+    "fuzzy_dict_match",
+    "weighted_sample",
+    "ann_mrr_ndcg",
+    "table_stats",
     "multimodal_decode",
     "dedup_span_rewrite",
     "decontaminate_span",
@@ -253,6 +259,7 @@ def _load() -> None:
         llm_queries,
         lm_queries,
         mining_queries,
+        ops_queries,
         pipeline_queries,
         rewrite_queries,
         tokenizer_queries,

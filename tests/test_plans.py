@@ -57,6 +57,8 @@ _BNLJ_OK = {
     "wordpiece_encode",  # 1-row <=500-entry vocab map broadcast
     "tokenizer_fertility",  # same vocab-map broadcast via _encoded_words
     "bpe_merge_rounds",  # 1-row per-round argmax merge-pair broadcast
+    "range_partition_plan",  # 1-row total-count broadcast onto the domain frame
+    "ann_mrr_ndcg",  # composes ann_topk/ann_ivf (bounded query-set sides)
 }
 
 # plan-string caches; one build per query per pytest session. A failed
