@@ -146,6 +146,11 @@ BENCH_QUERIES = [
     "weighted_sample",
     "ann_mrr_ndcg",
     "table_stats",
+    # round-6 additions (time-series pack)
+    "events_ewma",
+    "mad_outliers",
+    "event_transitions",
+    "cusum_changepoint",
 ]
 
 

@@ -59,6 +59,10 @@ _ENUMERATE_FIRST: tuple[str, ...] = (
     "weighted_sample",
     "ann_mrr_ndcg",
     "table_stats",
+    "events_ewma",
+    "mad_outliers",
+    "event_transitions",
+    "cusum_changepoint",
     "multimodal_decode",
     "dedup_span_rewrite",
     "decontaminate_span",
@@ -262,6 +266,7 @@ def _load() -> None:
         ops_queries,
         pipeline_queries,
         rewrite_queries,
+        timeseries_queries,
         tokenizer_queries,
     )
 

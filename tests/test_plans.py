@@ -218,6 +218,21 @@ def test_session_stats_single_exchange(spark):
     assert n == 1, f"session_stats executed plan has {n} exchanges, expected 1"
 
 
+@pytest.mark.parametrize("name", ["events_ewma", "cusum_changepoint"])
+def test_timeseries_windows_share_one_exchange(spark, name):
+    # all window passes (lags / prefix+totals+peak-rank) must ride ONE
+    # user_id hash partitioning — the docstrings' one-exchange claim
+    n = len(re.findall(r"\bExchange hashpartitioning", tree_of(spark, name)))
+    assert n == 1, f"{name} executed plan has {n} exchanges, expected 1"
+
+
+def test_mad_outliers_scans_events_once(spark):
+    # the (type, value) domain frame is persisted and reused by the
+    # median, MAD, and outlier passes — the fact table must be read once
+    seg = tree_of(spark, "mad_outliers")
+    assert len(re.findall(r"Scan parquet", seg)) == 1
+
+
 def test_decontaminate_training_side_never_shuffles_for_probe(spark):
     # the benchmark shingle set must broadcast: the corpus-side probe
     # is a BroadcastHashJoin, never a sort-merge shuffle of shingles
