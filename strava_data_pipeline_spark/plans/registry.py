@@ -63,6 +63,10 @@ _ENUMERATE_FIRST: tuple[str, ...] = (
     "mad_outliers",
     "event_transitions",
     "cusum_changepoint",
+    "bfs_distance",
+    "join_delta_maintenance",
+    "skyline_pareto",
+    "interval_coverage",
     "multimodal_decode",
     "dedup_span_rewrite",
     "decontaminate_span",
@@ -268,6 +272,7 @@ def _load() -> None:
         rewrite_queries,
         timeseries_queries,
         tokenizer_queries,
+        traversal_queries,
     )
 
     _LOADED = True
