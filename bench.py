@@ -151,6 +151,11 @@ BENCH_QUERIES = [
     "mad_outliers",
     "event_transitions",
     "cusum_changepoint",
+    # round-6 additions (traversal pack)
+    "bfs_distance",
+    "join_delta_maintenance",
+    "skyline_pareto",
+    "interval_coverage",
 ]
 
 
