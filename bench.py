@@ -156,6 +156,10 @@ BENCH_QUERIES = [
     "join_delta_maintenance",
     "skyline_pareto",
     "interval_coverage",
+    # round-6 additions (stats pack)
+    "corr_matrix",
+    "trend_fit",
+    "chi2_independence",
 ]
 
 

@@ -67,6 +67,9 @@ _ENUMERATE_FIRST: tuple[str, ...] = (
     "join_delta_maintenance",
     "skyline_pareto",
     "interval_coverage",
+    "corr_matrix",
+    "trend_fit",
+    "chi2_independence",
     "multimodal_decode",
     "dedup_span_rewrite",
     "decontaminate_span",
@@ -270,6 +273,7 @@ def _load() -> None:
         ops_queries,
         pipeline_queries,
         rewrite_queries,
+        stats_queries,
         timeseries_queries,
         tokenizer_queries,
         traversal_queries,

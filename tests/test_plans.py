@@ -226,6 +226,14 @@ def test_timeseries_windows_share_one_exchange(spark, name):
     assert n == 1, f"{name} executed plan has {n} exchanges, expected 1"
 
 
+def test_corr_matrix_single_scan_single_aggregate(spark):
+    # all 6 pair rows must explode from ONE 1-row moment aggregate —
+    # the union-of-selects form re-ran the aggregate (and the fact
+    # scan) once per pair
+    seg = tree_of(spark, "corr_matrix")
+    assert len(re.findall(r"Scan parquet", seg)) == 1
+
+
 def test_mad_outliers_scans_events_once(spark):
     # the (type, value) domain frame is persisted and reused by the
     # median, MAD, and outlier passes — the fact table must be read once
