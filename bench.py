@@ -160,6 +160,10 @@ BENCH_QUERIES = [
     "corr_matrix",
     "trend_fit",
     "chi2_independence",
+    # round-6 additions (product pack)
+    "attribution_last_touch",
+    "ab_test_eval",
+    "dau_mau_stickiness",
 ]
 
 
@@ -246,9 +250,20 @@ def gate(timings: dict, floor_path: str | None = None, tier2: dict | None = None
         return 0
     with open(floor_path) as f:
         floor_doc = json.load(f)
-    # 0.5s absolute cutoff: sub-second queries jitter multiplicatively
+    # 0.5s absolute cutoff: sub-second queries jitter multiplicatively.
+    # The recorded variance bands MUST reach the compare (a query at or
+    # below its band high is observed machine variance, not a plan
+    # regression) — the r6 gate run flagged decontaminate at 1.46s,
+    # inside its recorded [1.33, 1.62] band, because the bands weren't
+    # passed here.
     regressed = set(
-        compare(floor_doc["queries"], timings, ratio=1.5, min_abs_sec=0.5)
+        compare(
+            floor_doc["queries"],
+            timings,
+            ratio=1.5,
+            min_abs_sec=0.5,
+            bands=floor_doc.get("bands"),
+        )
     )
     # tier2 (all-registry sf0.01) compares when BOTH sides carry it —
     # the non-headline queries' only perf guard
@@ -256,7 +271,11 @@ def gate(timings: dict, floor_path: str | None = None, tier2: dict | None = None
         regressed |= {
             f"tier2:{n}"
             for n in compare(
-                floor_doc["tier2_queries"], tier2, ratio=1.5, min_abs_sec=0.5
+                floor_doc["tier2_queries"],
+                tier2,
+                ratio=1.5,
+                min_abs_sec=0.5,
+                bands=floor_doc.get("tier2_bands"),
             )
         }
     if regressed:

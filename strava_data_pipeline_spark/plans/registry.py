@@ -70,6 +70,9 @@ _ENUMERATE_FIRST: tuple[str, ...] = (
     "corr_matrix",
     "trend_fit",
     "chi2_independence",
+    "attribution_last_touch",
+    "ab_test_eval",
+    "dau_mau_stickiness",
     "multimodal_decode",
     "dedup_span_rewrite",
     "decontaminate_span",
@@ -272,6 +275,7 @@ def _load() -> None:
         mining_queries,
         ops_queries,
         pipeline_queries,
+        product_queries,
         rewrite_queries,
         stats_queries,
         timeseries_queries,

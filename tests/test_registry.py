@@ -146,6 +146,33 @@ def test_regression_gate_compare_logic(tmp_path):
     assert bench.gate({"a": 99.0}, str(tmp_path / "absent.json")) == 0
 
 
+def test_regression_gate_honors_recorded_bands(tmp_path):
+    # the gate (bench.gate, not just the compare helper) must excuse a
+    # time inside the recorded variance band even when it is past
+    # 1.5x the historical floor — the r6 gate run flagged decontaminate
+    # at 1.46s (floor 0.95, band [1.33, 1.62]) because bench.py never
+    # forwarded the bands to compare()
+    import json
+
+    import bench
+
+    fp = tmp_path / "floor.json"
+    fp.write_text(
+        json.dumps(
+            {
+                "queries": {"a": 1.0},
+                "bands": {"a": [1.3, 1.7]},
+                "tier2_queries": {"x": 1.0},
+                "tier2_bands": {"x": [1.4, 1.8]},
+            }
+        )
+    )
+    assert bench.gate({"a": 1.6}, str(fp)) == 0  # inside band
+    assert bench.gate({"a": 1.9}, str(fp)) == 1  # past ratio AND band
+    assert bench.gate({"a": 1.0}, str(fp), tier2={"x": 1.7}) == 0
+    assert bench.gate({"a": 1.0}, str(fp), tier2={"x": 2.0}) == 1
+
+
 def test_regression_gate_covers_tier2(tmp_path):
     # tier2 (all-registry sf0.01) compares only when both the floor and
     # the run carry it — the non-headline queries' only perf guard
