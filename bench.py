@@ -164,6 +164,10 @@ BENCH_QUERIES = [
     "attribution_last_touch",
     "ab_test_eval",
     "dau_mau_stickiness",
+    # round-6 additions (planner-audit pack)
+    "join_cardinality_audit",
+    "selectivity_audit",
+    "compaction_plan",
 ]
 
 

@@ -73,6 +73,9 @@ _ENUMERATE_FIRST: tuple[str, ...] = (
     "attribution_last_touch",
     "ab_test_eval",
     "dau_mau_stickiness",
+    "join_cardinality_audit",
+    "selectivity_audit",
+    "compaction_plan",
     "multimodal_decode",
     "dedup_span_rewrite",
     "decontaminate_span",
@@ -275,6 +278,7 @@ def _load() -> None:
         mining_queries,
         ops_queries,
         pipeline_queries,
+        planner_queries,
         product_queries,
         rewrite_queries,
         stats_queries,

@@ -1,0 +1,162 @@
+"""Semantic tests for the r6 planner-audit pack
+(plans/planner_queries.py): FK controls prove the estimator exact
+where theory says it is, the date join measures real skew error,
+selectivity probes match per-key truth, and the compaction plan
+replays a python greedy-fill reference (including its incremental
+append-stability property)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from strava_data_pipeline_spark.plans import planner_queries as P
+from strava_data_pipeline_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestJoinCardinalityAudit:
+    def test_fk_controls_are_exact_and_skew_join_measured(self, spark):
+        got = {
+            r["join_name"]: r
+            for r in P.join_cardinality_audit(spark, SF).collect()
+        }
+        assert set(got) == {n for n, *_ in P._JCA_SPECS}
+        li = load_table(spark, SF, "lineitem")
+        n_li = li.count()
+        # FK joins: every lineitem matches exactly one dimension row,
+        # and the unique-key estimate is provably exact
+        for ctrl in ("lineitem_orders_fk", "lineitem_part_fk"):
+            r = got[ctrl]
+            assert r["actual_rows"] == n_li, ctrl
+            assert r["est_rows"] == r["actual_rows"], ctrl
+            assert r["err_ratio"] == 1.0, ctrl
+        # date join: brute-force the count-product sum
+        ship = Counter(
+            r["d"]
+            for r in li.select(
+                F.expr(
+                    "cast(unix_timestamp(l_shipdate) div 86400 as bigint)"
+                ).alias("d")
+            ).collect()
+        )
+        odate = Counter(
+            r["d"]
+            for r in load_table(spark, SF, "orders")
+            .select(
+                F.expr(
+                    "cast(unix_timestamp(o_orderdate) div 86400 as bigint)"
+                ).alias("d")
+            )
+            .collect()
+        )
+        actual = sum(c * odate.get(d, 0) for d, c in ship.items())
+        r = got["shipdate_orderdate"]
+        assert r["actual_rows"] == actual
+        est = (r["n_l"] * r["n_r"]) // max(r["ndv_l"], r["ndv_r"])
+        assert r["est_rows"] == est
+
+
+class TestSelectivityAudit:
+    def test_probes_match_truth(self, spark):
+        orders = Counter(
+            r["o_custkey"]
+            for r in load_table(spark, SF, "orders")
+            .select("o_custkey")
+            .collect()
+        )
+        n = sum(orders.values())
+        ndv = len(orders)
+        got = {r["probe"]: r for r in P.selectivity_audit(spark, SF).collect()}
+        probes = {
+            r["c_custkey"]
+            for r in load_table(spark, SF, "customer")
+            .where(F.col("c_custkey") % 199 == 1)
+            .collect()
+        }
+        assert set(got) == probes
+        for probe, r in got.items():
+            assert r["est_rows"] == n // ndv
+            assert r["actual_rows"] == orders.get(probe, 0)
+            assert r["err_rows"] == r["actual_rows"] - r["est_rows"]
+
+    def test_absent_probe_key_reports_zero(self, spark, tmp_path):
+        # a probe customer with no orders must appear with actual 0 —
+        # the estimate is wrong about absent keys too (the testdata has
+        # no zero-order customers, so this path needs planting)
+        d = str(tmp_path / "planted")
+        spark.createDataFrame(
+            [(1, "a", "x"), (200, "b", "x")],
+            "c_custkey bigint, c_name string, c_mktsegment string",
+        ).coalesce(1).write.mode("overwrite").parquet(d + "/customer.parquet")
+        import datetime as dt
+
+        ts = dt.datetime(2024, 1, 1)
+        # o_orderdate present because load_table's timestamp-repair
+        # contract touches it on every orders read
+        spark.createDataFrame(
+            [(10, 1, ts), (11, 1, ts), (12, 7, ts)],
+            "o_orderkey bigint, o_custkey bigint, o_orderdate timestamp",
+        ).coalesce(1).write.mode("overwrite").parquet(d + "/orders.parquet")
+        got = {r["probe"]: r for r in P.selectivity_audit(spark, d).collect()}
+        assert set(got) == {1, 200}
+        assert got[1]["actual_rows"] == 2
+        assert got[200]["actual_rows"] == 0
+        assert got[200]["err_rows"] == -got[200]["est_rows"]
+
+
+class TestCompactionPlan:
+    def _reference(self, spark, sf):
+        days = (
+            load_table(spark, sf, "events")
+            .groupBy(
+                F.expr("cast(unix_timestamp(ts) div 86400 as bigint)").alias(
+                    "day"
+                )
+            )
+            .agg(
+                (
+                    F.lit(40) * F.count("*")
+                    + F.sum(
+                        F.octet_length("props") + F.octet_length("event_type")
+                    )
+                )
+                .cast("bigint")
+                .alias("b")
+            )
+            .collect()
+        )
+        plan, cum = {}, 0
+        for r in sorted(days, key=lambda r: r["day"]):
+            plan[r["day"]] = cum // P._COMPACT_TARGET
+            cum += r["b"]
+        return plan
+
+    def test_matches_greedy_fill_reference(self, spark):
+        want = self._reference(spark, SF)
+        got = {r["day"]: r["bin"] for r in P.compaction_plan(spark, SF).collect()}
+        assert got == want
+        # bins are nondecreasing in day order and start at 0
+        bins = [got[d] for d in sorted(got)]
+        assert bins[0] == 0
+        assert all(a <= b for a, b in zip(bins, bins[1:]))
+
+    def test_plan_is_append_stable(self, spark, tmp_path):
+        # re-planning after appending days must not move earlier days:
+        # plan(prefix) == prefix of plan(full) — the property that makes
+        # re-running compaction incremental
+        full = {
+            r["day"]: r["bin"] for r in P.compaction_plan(spark, SF).collect()
+        }
+        cutoff = sorted(full)[len(full) // 2]
+        d = str(tmp_path / "prefix")
+        load_table(spark, SF, "events").where(
+            F.expr("cast(unix_timestamp(ts) div 86400 as bigint)") <= cutoff
+        ).coalesce(1).write.mode("overwrite").parquet(d + "/events.parquet")
+        prefix = {
+            r["day"]: r["bin"] for r in P.compaction_plan(spark, d).collect()
+        }
+        assert prefix == {day: b for day, b in full.items() if day <= cutoff}

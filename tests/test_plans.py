@@ -59,6 +59,8 @@ _BNLJ_OK = {
     "bpe_merge_rounds",  # 1-row per-round argmax merge-pair broadcast
     "range_partition_plan",  # 1-row total-count broadcast onto the domain frame
     "ann_mrr_ndcg",  # composes ann_topk/ann_ivf (bounded query-set sides)
+    "join_cardinality_audit",  # 1-row stats-frame broadcasts per join spec
+    "selectivity_audit",  # 1-row (N, ndv) broadcast onto the probe set
 }
 
 # plan-string caches; one build per query per pytest session. A failed

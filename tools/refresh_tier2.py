@@ -72,6 +72,17 @@ def main() -> int:
             improved.append(n)
     base["tier2_total"] = round(sum(floors.values()), 3)
     base["tier2_queries"] = dict(sorted(floors.items()))
+    # record the observed [lo, hi] spread too — bench.py's gate uses
+    # tier2_bands to excuse run-to-run variance, exactly like the
+    # headline bands from bench_bands.py
+    base["tier2_bands"] = {
+        n: [
+            round(min(r[n] for r in runs if n in r), 3),
+            round(max(r[n] for r in runs if n in r), 3),
+        ]
+        for n in names
+    }
+    base["tier2_band_runs"] = args.runs
 
     if args.write:
         with open(args.baseline, "w") as f:
