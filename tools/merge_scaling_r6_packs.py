@@ -15,12 +15,13 @@ import os
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 NOTE = (
-    " r6_packs: the 17 queries added by the r6 ops/time-series/"
-    "traversal/stats packs, rehearsed at mult=10 (all ten ops+ts "
-    "queries, worst 0.285) and mult=100 (the thirteen data-bound "
-    "ones, worst 0.535 = view_delta_maintenance; bfs_distance 0.487 "
-    "on the 120M-edge graph). Negative exponents are domain-frame-"
-    "bound queries whose base-scale fixed cost dominates both runs."
+    " r6_packs: the 23 queries added by the r6 ops/time-series/"
+    "traversal/stats/product/planner packs, rehearsed at mult=10 "
+    "(all ten ops+ts queries, worst 0.285) and mult=100 (the "
+    "nineteen data-bound ones, worst 0.535 = view_delta_maintenance; "
+    "bfs_distance 0.487 on the 120M-edge graph). Negative exponents "
+    "are domain-frame-bound queries whose base-scale fixed cost "
+    "dominates both runs."
 )
 
 INPUTS = {
@@ -28,6 +29,8 @@ INPUTS = {
     "mult100_ops_ts": "SCALING_M100_R6_opsts.json",
     "mult100_traversal": "SCALING_M100_R6_trav.json",
     "mult100_stats": "SCALING_M100_R6_stats.json",
+    "mult100_product": "SCALING_M100_R6_prod.json",
+    "mult100_planner": "SCALING_M100_R6_planner.json",
 }
 
 
