@@ -168,6 +168,7 @@ BENCH_QUERIES = [
     "join_cardinality_audit",
     "selectivity_audit",
     "compaction_plan",
+    "data_quality_checks",
 ]
 
 

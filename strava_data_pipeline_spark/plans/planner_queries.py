@@ -293,3 +293,141 @@ def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         # round up across the bin boundary before truncation
         F.expr(f"cum_before div {_COMPACT_TARGET}").cast("bigint").alias("bin"),
     )
+
+
+# --------------------------------------------------------------------------
+# 178. data_quality_checks — one-pass expectation audit per table
+# --------------------------------------------------------------------------
+# The dbt-test / Great-Expectations layer as queries: each check is a
+# conditional COUNT, checks over the same table share one scan, and
+# the FK check is a count-frame anti-join (ids only). Zero violations
+# on healthy data is the expected output — the planted-violation test
+# (tests/test_planner.py) proves each check actually detects.
+_DQ_ORACLE = """
+WITH o AS (
+    SELECT CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS pk_dup,
+           CAST(coalesce(sum(CASE WHEN o_custkey IS NULL THEN 1 END), 0)
+             AS BIGINT) AS null_cust,
+           CAST(coalesce(sum(CASE WHEN o_totalprice <= 0 THEN 1 END), 0)
+             AS BIGINT) AS nonpos_price
+    FROM orders
+), l AS (
+    SELECT CAST(coalesce(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                                  THEN 1 END), 0) AS BIGINT) AS bad_discount,
+           CAST(coalesce(sum(CASE WHEN l_quantity <= 0 THEN 1 END), 0)
+             AS BIGINT) AS nonpos_qty,
+           CAST(coalesce(sum(CASE WHEN
+                abs(l_extendedprice * 100 - round(l_extendedprice * 100))
+                  > 0.000001 THEN 1 END), 0) AS BIGINT) AS noncents_price
+    FROM lineitem
+), fk AS (
+    SELECT CAST(count(*) AS BIGINT) AS orphans FROM (
+        SELECT DISTINCT l_orderkey FROM lineitem
+        EXCEPT SELECT o_orderkey FROM orders
+    )
+)
+SELECT 'orders_pk_unique' AS check_name, pk_dup AS n_violations FROM o
+UNION ALL SELECT 'orders_custkey_not_null', null_cust FROM o
+UNION ALL SELECT 'orders_totalprice_positive', nonpos_price FROM o
+UNION ALL SELECT 'lineitem_discount_in_range', bad_discount FROM l
+UNION ALL SELECT 'lineitem_quantity_positive', nonpos_qty FROM l
+UNION ALL SELECT 'lineitem_price_cents_exact', noncents_price FROM l
+UNION ALL SELECT 'lineitem_orderkey_fk', orphans FROM fk
+"""
+
+
+@register("data_quality_checks", oracle=_DQ_ORACLE, tags=("ops", "pipeline"))
+def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data-quality expectation audit (the dbt-test /
+    Great-Expectations layer as a query): primary-key uniqueness,
+    non-null and range expectations, cents-exactness of prices, and
+    lineitem→orders referential integrity — one (check, violations)
+    row each. Zero everywhere is the healthy output; the planted-
+    violation test proves each check detects its failure class.
+
+    Scale design: all checks on the same table fold into ONE
+    conditional-aggregate scan of it (orders: 3 checks, one scan;
+    lineitem: 3 checks, one scan); the FK check anti-joins the
+    DISTINCT key frames (ids only, map-side pre-aggregated). At
+    100 TB this is the post-ingest gate that runs on every landed
+    partition — O(#tables) scans and O(#checks) output rows, no
+    joins wider than key frames."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def cnt(cond):
+        return F.coalesce(
+            F.sum(F.when(cond, F.lit(1))), F.lit(0)
+        ).cast("bigint")
+
+    o_stats = o.agg(
+        (F.count("*") - F.countDistinct("o_orderkey"))
+        .cast("bigint")
+        .alias("pk_dup"),
+        cnt(F.col("o_custkey").isNull()).alias("null_cust"),
+        cnt(F.col("o_totalprice") <= 0).alias("nonpos_price"),
+    )
+    l_stats = li.agg(
+        cnt(
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)
+        ).alias("bad_discount"),
+        cnt(F.col("l_quantity") <= 0).alias("nonpos_qty"),
+        cnt(
+            F.abs(
+                F.col("l_extendedprice") * 100
+                - F.round(F.col("l_extendedprice") * 100)
+            )
+            > 0.000001
+        ).alias("noncents_price"),
+    )
+    orphans = (
+        li.select(F.col("l_orderkey").alias("k"))
+        .distinct()
+        .join(
+            o.select(F.col("o_orderkey").alias("k")).distinct(),
+            "k",
+            "left_anti",
+        )
+        .agg(F.count("*").cast("bigint").alias("orphans"))
+    )
+    rows = o_stats.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("orders_pk_unique").alias("check_name"),
+                    F.col("pk_dup").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("orders_custkey_not_null").alias("check_name"),
+                    F.col("null_cust").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("orders_totalprice_positive").alias("check_name"),
+                    F.col("nonpos_price").alias("n_violations"),
+                ),
+            )
+        ).alias("c")
+    ).select("c.check_name", "c.n_violations")
+    rows_l = l_stats.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("lineitem_discount_in_range").alias("check_name"),
+                    F.col("bad_discount").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("lineitem_quantity_positive").alias("check_name"),
+                    F.col("nonpos_qty").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("lineitem_price_cents_exact").alias("check_name"),
+                    F.col("noncents_price").alias("n_violations"),
+                ),
+            )
+        ).alias("c")
+    ).select("c.check_name", "c.n_violations")
+    rows_fk = orphans.select(
+        F.lit("lineitem_orderkey_fk").alias("check_name"),
+        F.col("orphans").alias("n_violations"),
+    )
+    return rows.unionAll(rows_l).unionAll(rows_fk)

@@ -76,6 +76,7 @@ _ENUMERATE_FIRST: tuple[str, ...] = (
     "join_cardinality_audit",
     "selectivity_audit",
     "compaction_plan",
+    "data_quality_checks",
     "multimodal_decode",
     "dedup_span_rewrite",
     "decontaminate_span",

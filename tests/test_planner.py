@@ -160,3 +160,60 @@ class TestCompactionPlan:
             r["day"]: r["bin"] for r in P.compaction_plan(spark, d).collect()
         }
         assert prefix == {day: b for day, b in full.items() if day <= cutoff}
+
+
+class TestDataQualityChecks:
+    def test_healthy_data_is_all_zero(self, spark):
+        rows = {
+            r["check_name"]: r["n_violations"]
+            for r in P.data_quality_checks(spark, SF).collect()
+        }
+        assert len(rows) == 7
+        assert all(v == 0 for v in rows.values()), rows
+
+    def test_planted_violations_are_each_detected(self, spark, tmp_path):
+        import datetime as dt
+
+        ts = dt.datetime(2024, 1, 1)
+        d = str(tmp_path / "planted")
+        # orders: duplicate pk (1), null custkey (1), nonpositive price (1)
+        spark.createDataFrame(
+            [
+                (1, 5, "O", 10.0, ts, "1-URGENT"),
+                (1, 5, "O", 10.0, ts, "1-URGENT"),
+                (2, None, "O", 10.0, ts, "1-URGENT"),
+                (3, 5, "O", -4.0, ts, "1-URGENT"),
+            ],
+            "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+            " o_totalprice double, o_orderdate timestamp,"
+            " o_orderpriority string",
+        ).coalesce(1).write.mode("overwrite").parquet(d + "/orders.parquet")
+        # lineitem: bad discount, nonpositive qty, non-cents price,
+        # orphan orderkey (99), plus one clean row
+        li_rows = [
+            (1, 1, 1, 1, 1.0, 100.00, 0.50, 0.0, "N", "O", ts),
+            (1, 1, 1, 2, 0.0, 100.00, 0.05, 0.0, "N", "O", ts),
+            (2, 1, 1, 1, 1.0, 100.001, 0.05, 0.0, "N", "O", ts),
+            (99, 1, 1, 1, 1.0, 100.00, 0.05, 0.0, "N", "O", ts),
+            (3, 1, 1, 1, 1.0, 100.00, 0.05, 0.0, "N", "O", ts),
+        ]
+        spark.createDataFrame(
+            li_rows,
+            "l_orderkey bigint, l_partkey bigint, l_suppkey bigint,"
+            " l_linenumber int, l_quantity double, l_extendedprice double,"
+            " l_discount double, l_tax double, l_returnflag string,"
+            " l_linestatus string, l_shipdate timestamp",
+        ).coalesce(1).write.mode("overwrite").parquet(d + "/lineitem.parquet")
+        rows = {
+            r["check_name"]: r["n_violations"]
+            for r in P.data_quality_checks(spark, d).collect()
+        }
+        assert rows == {
+            "orders_pk_unique": 1,  # 4 rows, 3 distinct keys
+            "orders_custkey_not_null": 1,
+            "orders_totalprice_positive": 1,
+            "lineitem_discount_in_range": 1,
+            "lineitem_quantity_positive": 1,
+            "lineitem_price_cents_exact": 1,
+            "lineitem_orderkey_fk": 1,
+        }
