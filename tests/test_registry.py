@@ -168,9 +168,12 @@ def test_regression_gate_honors_recorded_bands(tmp_path):
         )
     )
     assert bench.gate({"a": 1.6}, str(fp)) == 0  # inside band
-    assert bench.gate({"a": 1.9}, str(fp)) == 1  # past ratio AND band
-    assert bench.gate({"a": 1.0}, str(fp), tier2={"x": 1.7}) == 0
-    assert bench.gate({"a": 1.0}, str(fp), tier2={"x": 2.0}) == 1
+    # the band high carries a 1.25x jitter margin (finite-sample highs
+    # underestimate the spread): 1.7*1.25 = 2.125 is the real ceiling
+    assert bench.gate({"a": 2.0}, str(fp)) == 0
+    assert bench.gate({"a": 2.2}, str(fp)) == 1  # past ratio AND margined band
+    assert bench.gate({"a": 1.0}, str(fp), tier2={"x": 2.2}) == 0
+    assert bench.gate({"a": 1.0}, str(fp), tier2={"x": 2.3}) == 1
 
 
 def test_regression_gate_covers_tier2(tmp_path):
@@ -207,10 +210,13 @@ def test_bench_compare_tool_flags_regressions(tmp_path):
     # min_abs_sec suppresses sub-threshold jitter
     assert compare({"z": 0.1}, {"z": 0.3}) == ["z"]
     assert compare({"z": 0.1}, {"z": 0.3}, min_abs_sec=0.5) == []
-    # variance bands excuse times inside the recorded spread, but a
-    # time past BOTH the ratio and the band high still regresses
+    # variance bands excuse times inside the recorded spread (plus the
+    # 1.25x finite-sample jitter margin), but a time past BOTH the
+    # ratio and the margined band high still regresses
     bands = {"x": [4.0, 7.5]}
     assert compare(base, {"x": 7.0}, bands=bands) == []
-    assert compare(base, {"x": 8.0}, bands=bands) == ["x"]
+    assert compare(base, {"x": 9.0}, bands=bands) == []  # <= 7.5 * 1.25
+    assert compare(base, {"x": 9.5}, bands=bands) == ["x"]
+    assert compare(base, {"x": 8.0}, bands=bands, band_margin=1.0) == ["x"]
     # a query with no band falls back to the plain ratio rule
     assert compare(base, {"y": 2.0}, bands=bands) == ["y"]

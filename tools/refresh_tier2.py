@@ -74,15 +74,28 @@ def main() -> int:
     base["tier2_queries"] = dict(sorted(floors.items()))
     # record the observed [lo, hi] spread too — bench.py's gate uses
     # tier2_bands to excuse run-to-run variance, exactly like the
-    # headline bands from bench_bands.py
-    base["tier2_bands"] = {
+    # headline bands from bench_bands.py. Bands WIDEN monotonically
+    # (min/max-merged with the recorded ones): their contract is
+    # "slower than ever legitimately measured", and a fresh 2-run high
+    # underestimates the true spread.
+    old_bands = base.get("tier2_bands", {})
+    new_bands = {
         n: [
             round(min(r[n] for r in runs if n in r), 3),
             round(max(r[n] for r in runs if n in r), 3),
         ]
         for n in names
     }
-    base["tier2_band_runs"] = args.runs
+    for n, ob in old_bands.items():
+        if n in new_bands:
+            new_bands[n] = [
+                min(new_bands[n][0], ob[0]),
+                max(new_bands[n][1], ob[1]),
+            ]
+        else:
+            new_bands[n] = ob
+    base["tier2_bands"] = new_bands
+    base["tier2_band_runs"] = base.get("tier2_band_runs", 0) + args.runs
 
     if args.write:
         with open(args.baseline, "w") as f:
