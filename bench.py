@@ -169,6 +169,7 @@ BENCH_QUERIES = [
     "selectivity_audit",
     "compaction_plan",
     "data_quality_checks",
+    "groupwise_quantiles",
 ]
 
 

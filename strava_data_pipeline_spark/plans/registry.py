@@ -77,6 +77,7 @@ _ENUMERATE_FIRST: tuple[str, ...] = (
     "selectivity_audit",
     "compaction_plan",
     "data_quality_checks",
+    "groupwise_quantiles",
     "multimodal_decode",
     "dedup_span_rewrite",
     "decontaminate_span",

@@ -381,3 +381,69 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("score").cast("bigint").alias("peak_score"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# 179. groupwise_quantiles — exact per-type quartiles from the domain frame
+# --------------------------------------------------------------------------
+# Lower-quantile semantics: q_k = first v with 4·cum >= k·n (k=1,2,3) —
+# pure BIGINT comparisons, no interpolation, no float rank. All three
+# quartiles come out of ONE cumulative pass over the same (type, value)
+# domain frame mad_outliers uses.
+_GQ_ORACLE = """
+WITH d AS (
+    SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
+           CAST(count(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+), cum AS (
+    SELECT event_type, v, c,
+           sum(c) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+           sum(c) OVER (PARTITION BY event_type) AS n
+    FROM d
+)
+SELECT event_type,
+       CAST(min(n) AS BIGINT) AS n,
+       CAST(min(CASE WHEN 4 * cum >= 1 * n THEN v END) AS BIGINT) AS p25_cents,
+       CAST(min(CASE WHEN 4 * cum >= 2 * n THEN v END) AS BIGINT) AS p50_cents,
+       CAST(min(CASE WHEN 4 * cum >= 3 * n THEN v END) AS BIGINT) AS p75_cents
+FROM cum GROUP BY 1
+"""
+
+
+@register("groupwise_quantiles", oracle=_GQ_ORACLE, tags=("temporal", "ops"))
+def groupwise_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type quartiles (lower-quantile semantics — the first
+    value whose cumulative count reaches k·n/4, pure BIGINT, no
+    interpolation): the distribution summary that pairs with
+    mad_outliers' robust gates and replaces Spark's exact
+    percentile() aggregate, which buffers every value per group — the
+    shape that dies on a 100 TB group.
+
+    Scale design: same machinery as mad_outliers' median — the fact
+    collapses ONCE to the (type, value) domain frame (bounded by the
+    cents domain at any SF), one type-partitioned cumulative window,
+    and all three quartiles are conditional MINs over that single
+    pass. Shuffles value COUNTS, never values."""
+    d = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.round(F.col("value") * 100).cast("bigint").alias("v")
+        )
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    wv = Window.partitionBy("event_type").orderBy("v")
+    wt = Window.partitionBy("event_type")
+    cum = d.select(
+        "event_type",
+        "v",
+        F.sum("c").over(wv).alias("cum"),
+        F.sum("c").over(wt).alias("n"),
+    )
+    aggs = [F.min("n").cast("bigint").alias("n")]
+    for k, name in ((1, "p25_cents"), (2, "p50_cents"), (3, "p75_cents")):
+        aggs.append(
+            F.min(F.when(4 * F.col("cum") >= k * F.col("n"), F.col("v")))
+            .cast("bigint")
+            .alias(name)
+        )
+    return cum.groupBy("event_type").agg(*aggs)

@@ -147,3 +147,28 @@ class TestCusumChangepoint:
         for r in T.cusum_changepoint(spark, SF).collect():
             assert r["peak_score"] >= 0
             assert 1 <= r["peak_k"] <= r["n"]
+
+
+class TestGroupwiseQuantiles:
+    def test_matches_bruteforce_lower_quantiles(self, spark):
+        events = load_table(spark, SF, "events").select(
+            "event_type", F.round(F.col("value") * 100).cast("bigint").alias("v")
+        )
+        by_type: dict[str, list[int]] = {}
+        for r in events.collect():
+            by_type.setdefault(r["event_type"], []).append(r["v"])
+        got = {
+            r["event_type"]: r
+            for r in T.groupwise_quantiles(spark, SF).collect()
+        }
+        assert set(got) == set(by_type)
+        for t, vals in by_type.items():
+            vals.sort()
+            n = len(vals)
+            r = got[t]
+            assert r["n"] == n
+            for k, col in ((1, "p25_cents"), (2, "p50_cents"), (3, "p75_cents")):
+                # first v with 4*cum >= k*n == element at ceil(k*n/4)-1
+                want = vals[-(-k * n // 4) - 1]
+                assert r[col] == want, (t, col)
+            assert r["p25_cents"] <= r["p50_cents"] <= r["p75_cents"]
