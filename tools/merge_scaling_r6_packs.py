@@ -15,10 +15,10 @@ import os
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 NOTE = (
-    " r6_packs: the 24 queries added by the r6 ops/time-series/"
+    " r6_packs: the 25 queries added by the r6 ops/time-series/"
     "traversal/stats/product/planner packs, rehearsed at mult=10 "
     "(all ten ops+ts queries, worst 0.285) and mult=100 (the "
-    "twenty data-bound ones, worst 0.535 = view_delta_maintenance; "
+    "twenty-one data-bound ones, worst 0.535 = view_delta_maintenance; "
     "bfs_distance 0.487 on the 120M-edge graph). Negative exponents "
     "are domain-frame-bound queries whose base-scale fixed cost "
     "dominates both runs."
@@ -32,6 +32,7 @@ INPUTS = {
     "mult100_product": "SCALING_M100_R6_prod.json",
     "mult100_planner": "SCALING_M100_R6_planner.json",
     "mult100_data_quality": "SCALING_M100_R6_dq.json",
+    "mult100_quantiles": "SCALING_M100_R6_gq.json",
 }
 
 
