@@ -44,68 +44,15 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # Enumeration-order priority: the driver's correctness harness samples a
 # rotating subset of ``queries()`` per round, and dict order is the only
 # lever the engine has over which queries get officially recorded.  The
-# r6 ordering cycles OLDEST-GREEN-FIRST (VERDICT r5 task 1): the six
-# queries whose latest official hash-match is still round 1/2
-# (sync_window, text_quality, token_count, token_histogram,
-# user_activity_join, parts_brand_stats) lead, followed by the r3 block,
-# then r4, then r5 — so the driver's ~50-query window always re-proves
-# the stalest rows first and no query's official green can age more
-# than a few rounds.
+# r7 ordering cycles OLDEST-GREEN-FIRST (VERDICT r6 task 7): queries new
+# in r7 (no official green row yet) lead, then the 33 queries whose
+# latest official hash-match is still round 3, then the r4 block, r5,
+# and finally the 50 queries the r6 window just re-proved — so the
+# driver's ~50-query window always re-proves the stalest rows first and
+# no query's official green can age more than a few rounds.
 _ENUMERATE_FIRST: tuple[str, ...] = (
-    # --- no official green row yet (new in r6) ---
-    "range_partition_plan",
-    "view_delta_maintenance",
-    "fuzzy_dict_match",
-    "weighted_sample",
-    "ann_mrr_ndcg",
-    "table_stats",
-    "events_ewma",
-    "mad_outliers",
-    "event_transitions",
-    "cusum_changepoint",
-    "bfs_distance",
-    "join_delta_maintenance",
-    "skyline_pareto",
-    "interval_coverage",
-    "corr_matrix",
-    "trend_fit",
-    "chi2_independence",
-    "attribution_last_touch",
-    "ab_test_eval",
-    "dau_mau_stickiness",
-    "join_cardinality_audit",
-    "selectivity_audit",
-    "compaction_plan",
-    "data_quality_checks",
-    "groupwise_quantiles",
-    "multimodal_decode",
-    "dedup_span_rewrite",
-    "decontaminate_span",
-    "entropy_score",
-    "bigram_kneser_ney",
-    "split_leakage",
-    "bpe_merge_rounds",
-    "wordpiece_vocab",
-    "wordpiece_encode",
-    "tokenizer_fertility",
-    "kcore_peel",
-    "degree_histogram",
-    # --- latest official green row is round 1 ---
-    "sync_window",
-    "text_quality",
-    "token_count",
-    "token_histogram",
-    "user_activity_join",
-    # --- latest official green row is round 2 ---
-    "parts_brand_stats",
+    # --- new in r7: no official green row yet ---
     # --- latest official green row is round 3 ---
-    "customer_rfm",
-    "events_cube",
-    "events_gapfill",
-    "events_grouping_sets",
-    "events_latest_n",
-    "events_rank_suite",
-    "events_rolling_7d",
     "events_sliding_window",
     "events_zscore",
     "heavy_hitters",
@@ -237,6 +184,57 @@ _ENUMERATE_FIRST: tuple[str, ...] = (
     "skipgram_pmi",
     "snapshot_diff",
     "sync_daily_counts",
+    # --- latest official green row is round 6 ---
+    "ab_test_eval",
+    "ann_mrr_ndcg",
+    "attribution_last_touch",
+    "bfs_distance",
+    "bigram_kneser_ney",
+    "bpe_merge_rounds",
+    "chi2_independence",
+    "compaction_plan",
+    "corr_matrix",
+    "customer_rfm",
+    "cusum_changepoint",
+    "data_quality_checks",
+    "dau_mau_stickiness",
+    "decontaminate_span",
+    "dedup_span_rewrite",
+    "degree_histogram",
+    "entropy_score",
+    "event_transitions",
+    "events_cube",
+    "events_ewma",
+    "events_gapfill",
+    "events_grouping_sets",
+    "events_latest_n",
+    "events_rank_suite",
+    "events_rolling_7d",
+    "fuzzy_dict_match",
+    "groupwise_quantiles",
+    "interval_coverage",
+    "join_cardinality_audit",
+    "join_delta_maintenance",
+    "kcore_peel",
+    "mad_outliers",
+    "multimodal_decode",
+    "parts_brand_stats",
+    "range_partition_plan",
+    "selectivity_audit",
+    "skyline_pareto",
+    "split_leakage",
+    "sync_window",
+    "table_stats",
+    "text_quality",
+    "token_count",
+    "token_histogram",
+    "tokenizer_fertility",
+    "trend_fit",
+    "user_activity_join",
+    "view_delta_maintenance",
+    "weighted_sample",
+    "wordpiece_encode",
+    "wordpiece_vocab",
 )
 
 

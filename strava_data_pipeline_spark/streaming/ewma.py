@@ -9,10 +9,16 @@ emits its (num, den) pair and shifts the state. Semantics contract:
 within a micro-batch rows are ordered by the SAME (ts, event_id) total
 order the batch operator uses; across micro-batches the feed is
 append-ordered (the incremental-sync landing contract all streaming
-operators here share). Under that contract the streaming output is
-ROW-IDENTICAL to the batch query — pinned by the chunked-replay
-equivalence test in tests/test_streaming_ewma.py, including a
-mid-stream checkpoint-resume.
+operators here share). Under that contract — which additionally
+requires ``ts IS NOT NULL`` (the stream drops null-ts rows; the batch
+query emits them with window-order placement, so the equivalence holds
+only for feeds the upstream quality gate has already screened; see
+streaming/quality_gate.py) — the streaming output is ROW-IDENTICAL to
+the batch query — pinned by the chunked-replay equivalence test in
+tests/test_streaming_ewma.py, including a mid-stream checkpoint-resume
+and a multi-Arrow-chunk group (the update fn materializes each group
+with ``pd.concat`` before sorting, because chunk-local sorts do not
+establish a group total order).
 
 State is 7 BIGINTs per user — bounded per key, arbitrary key
 cardinality across the cluster, checkpoint-recovered on restart.
@@ -69,23 +75,29 @@ def ewma_stream(stream: DataFrame) -> DataFrame:
             "ewma_den": [],
             "ewma_cents": [],
         }
-        for pdf in pdfs:
-            pdf = pdf[pdf["ts"].notna()].sort_values(["ts", "event_id"])
-            for _, row in pdf.iterrows():
-                vc = int(round(float(row["value"]) * 100))
-                window = [vc] + hist[: _LAGS - 1]
-                num = sum(
-                    w << (_LAGS - 1 - j) for j, w in enumerate(window)
-                )
-                den = sum(
-                    1 << (_LAGS - 1 - j) for j in range(len(window))
-                )
-                out["event_id"].append(int(row["event_id"]))
-                out["user_id"].append(user_id)
-                out["ewma_num"].append(num)
-                out["ewma_den"].append(den)
-                out["ewma_cents"].append(round(num / den, 6))
-                hist = window[: _LAGS - 1]
+        # A group's micro-batch rows can span multiple Arrow chunks
+        # (spark.sql.execution.arrow.maxRecordsPerBatch), and the
+        # groupBy shuffle gives no intra-group order — so the (ts,
+        # event_id) total order must be established over the WHOLE
+        # group, not per chunk. State is 7 ints/key, so concatenating
+        # the group is bounded by the micro-batch size, not the stream.
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf[pdf["ts"].notna()].sort_values(["ts", "event_id"])
+        for _, row in pdf.iterrows():
+            vc = int(round(float(row["value"]) * 100))
+            window = [vc] + hist[: _LAGS - 1]
+            num = sum(
+                w << (_LAGS - 1 - j) for j, w in enumerate(window)
+            )
+            den = sum(
+                1 << (_LAGS - 1 - j) for j in range(len(window))
+            )
+            out["event_id"].append(int(row["event_id"]))
+            out["user_id"].append(user_id)
+            out["ewma_num"].append(num)
+            out["ewma_den"].append(den)
+            out["ewma_cents"].append(round(num / den, 6))
+            hist = window[: _LAGS - 1]
         state.update(
             tuple(hist + [None] * (_LAGS - 1 - len(hist)))
         )

@@ -12,9 +12,15 @@ byte-complete for diagnosis, and the audit trail is itself queryable.
 
 Scale shape: the expectation pass is ONE conditional aggregate over
 the batch (O(batch), map-side combinable — the same plan as the batch
-query's per-table scan); routing is a single write either way. Replays
-of a quarantined batch are idempotent: the quarantine dir is
-``batch_id=N`` and overwritten, not appended.
+query's per-table scan); routing is a single write either way. BOTH
+routes are replay-idempotent under foreachBatch's at-least-once
+contract: clean batches land under ``target_dir/batch_id=N`` with
+overwrite (a crash between the parquet commit and the checkpoint
+commit re-runs the batch into the same directory, replacing — not
+duplicating — it), and quarantined batches mirror the same keying
+under ``quarantine_dir/batch_id=N``. Readers see ``batch_id`` as a
+discovered partition column on the target — the same layout the
+versioned sink (versioned_sink.py) publishes.
 """
 
 from __future__ import annotations
@@ -61,7 +67,8 @@ def start_quality_gated_sink(
     quarantine_dir: str,
     checkpoint_dir: str,
 ):
-    """availableNow sink: clean batches append to ``target_dir``; a
+    """availableNow sink: clean batches publish under
+    ``target_dir/batch_id=N/`` (overwrite — replay-idempotent); a
     batch with ANY violation lands whole under
     ``quarantine_dir/batch_id=N/`` (rows + audit), never in the target."""
 
@@ -79,7 +86,13 @@ def start_quality_gated_sink(
                 os.path.join(bdir, "audit")
             )
             return
-        batch.write.mode("append").parquet(target_dir)
+        # batch_id-keyed overwrite mirrors the quarantine path: a
+        # foreachBatch replay (crash between parquet commit and
+        # checkpoint commit) rewrites the same directory instead of
+        # appending a duplicate copy of the whole batch.
+        batch.write.mode("overwrite").parquet(
+            os.path.join(target_dir, f"batch_id={batch_id}")
+        )
 
     return (
         stream.writeStream.foreachBatch(apply_batch)

@@ -74,6 +74,31 @@ class TestQualityGate:
             r["event_id"] for r in spark.read.parquet(target).collect()
         } == {1, 2}
 
+    def test_clean_publish_replay_idempotent(self, spark, tmp_path):
+        # Simulate foreachBatch's at-least-once replay on the CLEAN
+        # path: run a clean batch, then wipe the checkpoint so the same
+        # landing replays under the same batch_id. The batch_id-keyed
+        # overwrite must replace, not duplicate, the published rows.
+        import shutil
+
+        landing = str(tmp_path / "landing")
+        target = str(tmp_path / "target")
+        quarantine = str(tmp_path / "quarantine")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(landing)
+        spark.createDataFrame(CLEAN, EVENT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+        self._run(spark, landing, target, quarantine, ckpt)
+        assert {
+            r["event_id"] for r in spark.read.parquet(target).collect()
+        } == {1, 2}
+        shutil.rmtree(ckpt)  # lose the offset commit → replay batch 0
+        self._run(spark, landing, target, quarantine, ckpt)
+        published = spark.read.parquet(target).collect()
+        assert {r["event_id"] for r in published} == {1, 2}
+        assert len(published) == 2  # replaced, not appended
+
     def test_audit_batch_counts_per_check(self, spark):
         batch = spark.createDataFrame(
             [
