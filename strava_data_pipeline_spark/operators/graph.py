@@ -244,16 +244,33 @@ def kcore(
     duplicates fine). Isolated nodes never enter (no edges), matching
     connected_components' convention.
 
-    Scale design (the same physics the unrolled query documents):
-    ONE upfront hash-partition on the degree key survives the
-    broadcast node-list semi-joins, so every round's degree count is
-    exchange-free; edge generations persist DISK_ONLY (columnar
-    blocks — five deserialized generations OOMed a 32g heap at the
-    mult=100 rehearsal) and each generation is unpersisted as soon as
-    its successor is materialized, so the driver loop holds at most
-    two generations of storage however many rounds run. The
-    convergence check is the peel count the round computes anyway —
-    no extra driver-side data."""
+    Scale design (the same physics the unrolled query documents —
+    INCREMENTAL degree maintenance): the peeled nodes' edges are
+    known, so round r+1's degrees are round r's minus the edges lost
+    to just-peeled neighbors,
+
+        deg_{r+1}(s) = deg_r(s) - |{d in peel_r : (s,d) in u0}|,
+
+    and the subtraction is exact against the ORIGINAL edge list: s
+    survived rounds 1..r and d peeled in round r, so no earlier round
+    removed any (s,d) edge between them. The edge list is therefore
+    hash-partitioned on the degree key and persisted ONCE (DISK_ONLY
+    — five deserialized edge generations OOMed a 32g heap at the
+    mult=100 rehearsal; one disk-backed columnar copy does not) and
+    never pruned; each round is one cached-scan join against the
+    node-sized peel set plus a node-sized LEFT subtraction join. A
+    survivor whose every neighbor peeled reaches degree 0 and peels
+    next round, so zero-degree stragglers still peel instead of
+    vanishing. Versus the prune-per-round shape this drops, per
+    round, a full-edge degree recount, two semi-join scans, and an
+    edge-generation persist+materialize. Each round's degree frame is
+    localCheckpoint'ed (node-sized, memory-resident): the frame is
+    referenced TWICE by the next round (survivor filter + peel-side
+    lost count), so an uncut lineage doubles per round — 2^rounds
+    analyzer trees OOM the driver long before any data moves; the
+    checkpoint makes every round start from a leaf. The convergence
+    check is the peel count the round computes anyway — no extra
+    driver-side data."""
     from pyspark.storagelevel import StorageLevel
 
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
@@ -263,66 +280,66 @@ def kcore(
         .repartition("s")
         .persist(StorageLevel.DISK_ONLY)
     )
-    nodes = und.select("s").distinct()
+    # round-1 degrees: the only full count (every node of u0 has >= 1
+    # edge, so the groupBy covers the node set exactly). Checkpointed,
+    # like every round's frame — see the 2^rounds note above.
+    deg = (
+        und.groupBy("s")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)
+    )
     peeled: list[DataFrame] = []
     survivors: DataFrame | None = None
     for r in range(1, max_iter + 1):
-        cnt = und.groupBy("s").agg(F.count("*").cast("bigint").alias("c"))
-        deg = (
-            nodes.join(cnt, "s", "left")
-            .select("s", F.coalesce("c", F.lit(0)).cast("bigint").alias("c"))
-            .persist()
-        )
-        n_peel = deg.where(F.col("c") < k).count()  # materializes deg
+        peel = deg.where(F.col("c") < k)
+        n_peel = peel.count()
         if n_peel == 0:
-            survivors = deg.where(F.col("c") >= k).select(
+            survivors = deg.select(
                 "s",
                 F.lit(0).cast("int").alias("peel_round"),
                 F.col("c").alias("deg_at_peel"),
-            ).localCheckpoint(eager=True)
-            deg.unpersist()
+            )
             break
-        # peel sets are node-sized and must outlive this round's
-        # caches — flatten them now
+        # peel derives from the checkpointed deg leaf — no flatten
+        # needed; the list reference keeps the leaf alive through the
+        # final union
         peeled.append(
-            deg.where(F.col("c") < k)
-            .select(
+            peel.select(
                 "s",
                 F.lit(r).cast("int").alias("peel_round"),
                 F.col("c").alias("deg_at_peel"),
             )
-            .localCheckpoint(eager=True)
         )
-        # the survivor list must outlive this round's caches (it is
-        # next round's left-join spine); without flattening it here,
-        # round r+1 would re-derive it through the UNPERSISTED deg_r
-        # and recompute the whole peel history — the same 3^rounds
-        # blow-up the persists exist to prevent, at runtime instead of
-        # in the analyzer. Node-sized, so the flatten is cheap.
-        nodes = (
+        # edges lost to this round's peel: ORIGINAL edge list joined
+        # against the peeled ids on the NEIGHBOR end; the survivor
+        # LEFT join below discards peeled-s rows, so no s-side filter
+        # is needed here. No broadcast hint: AQE picks broadcast from
+        # the peel set's measured size, shuffle-join above threshold.
+        lost = (
+            und.join(peel.select(F.col("s").alias("d")), "d")
+            .groupBy("s")
+            .agg(F.count("*").cast("bigint").alias("lost"))
+        )
+        deg = (
             deg.where(F.col("c") >= k)
-            .select("s")
+            .join(lost, "s", "left")
+            .select(
+                "s",
+                (F.col("c") - F.coalesce(F.col("lost"), F.lit(0))).alias(
+                    "c"
+                ),
+            )
             .localCheckpoint(eager=True)
         )
-        new_und = (
-            und.join(nodes, "s", "left_semi")
-            .join(nodes.withColumnRenamed("s", "d"), "d", "left_semi")
-            .persist(StorageLevel.DISK_ONLY)
-        )
-        new_und.count()  # materialize before releasing the parent
-        und.unpersist()
-        deg.unpersist()
-        und = new_und
-        # everything peels eventually when k exceeds every degree; the
-        # empty edge list still yields one more round that peels the
-        # remaining zero-degree nodes, then n_peel == 0 terminates
+        # everything peels eventually when k exceeds every degree: a
+        # node whose neighbors all peeled reaches degree 0 < k and
+        # peels the following round, then n_peel == 0 terminates
     if survivors is None:  # max_iter hit: remaining nodes stay round-0
-        cnt = und.groupBy("s").agg(F.count("*").cast("bigint").alias("c"))
-        survivors = nodes.join(cnt, "s", "left").select(
+        survivors = deg.select(
             "s",
             F.lit(0).cast("int").alias("peel_round"),
-            F.coalesce("c", F.lit(0)).cast("bigint").alias("deg_at_peel"),
-        ).localCheckpoint(eager=True)
+            F.col("c").alias("deg_at_peel"),
+        )
     und.unpersist()
     out = survivors
     for p in peeled:

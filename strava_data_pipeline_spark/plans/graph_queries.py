@@ -137,67 +137,99 @@ def kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from a one-shot degree filter, and it is the standard dense-
     subgraph screen before community detection.
 
-    Scale design: each round is (a) a map-side-combinable degree
-    count, (b) a node-sized LEFT join from the surviving node list
-    (so zero-degree stragglers peel instead of vanishing — the edge
-    groupBy alone would lose them), and (c) two key-partitioned
-    semi-joins pruning the edge list. Only (BIGINT, BIGINT) edge
-    tuples and node-sized (id, count) frames ever shuffle; nothing
-    broadcasts (node lists are unbounded), and the edge list only
-    SHRINKS round over round. Each round's edge list and degree frame
-    are persisted — and here the lineage cut is CORRECTNESS of the
-    plan, not just hygiene: round r's edge list references round
-    r-1's THREE times (degree count + two semi-joins), so an uncut
-    lineage grows 3^rounds and the analyzer chokes on the exponential
-    tree long before any data moves. The persist makes every later
-    reference resolve to the cached relation, keeping the tree linear.
-    Edge generations cache DISK_ONLY (compact columnar blocks; the r6
-    mult=100 probe holds five generations of a 240M-row edge list —
-    deserialized localCheckpoint storage OOMed a 32g heap, disk-backed
-    columnar does not); the node-sized degree frames stay in memory.
-    Cache lifecycle is caller-owned, as with minhash_lsh_pairs (bench
-    clears per query; loops must clearCache after materializing)."""
+    Scale design — INCREMENTAL degree maintenance (r7): the peeled
+    nodes' edges are known, so round r+1's degrees are round r's
+    minus the edges lost to just-peeled neighbors,
+
+        deg_{r+1}(s) = deg_r(s) - |{d in peel_r : (s,d) in u0}|,
+
+    and the subtraction is exact against the ORIGINAL edge list: s
+    survived rounds 1..r and d survived rounds 1..r-1 (it peeled in
+    round r), so every (s,d) edge of u0 between them is still present
+    in u_{r-1} — no earlier round can have removed it. That identity
+    eliminates the per-round edge-list prune entirely: the edge list
+    is partitioned by the degree key and persisted ONCE (DISK_ONLY —
+    compact columnar blocks; the r6 mult=100 probe's 240M-row list
+    OOMed a 32g heap deserialized, disk-backed columnar does not),
+    then each round is one cached-scan join against the node-sized
+    peel set (filtering to edges that touch a peeled d) plus a
+    map-side-combinable count by s and a node-sized LEFT join for the
+    subtraction (coalesce(lost, 0) — most survivors lose nothing; a
+    node whose every neighbor peeled reaches 0 and peels next round,
+    so zero-degree stragglers still peel instead of vanishing).
+    Versus the r6 shape this drops, per round, one full-edge degree
+    recount, two semi-join scans, and one edge-generation persist —
+    only (BIGINT, BIGINT) edge tuples are ever scanned and only
+    node-sized (id, count) frames ever shuffle. Lineage stays linear
+    because each round's node-sized degree frame is persisted (memory)
+    and the edge list resolves to the one cached relation — the
+    3^rounds analyzer blow-up of an uncut prune chain never forms.
+
+    Broadcast contract: the per-round peel join auto-broadcasts while
+    the peel set fits spark.sql.autoBroadcastJoinThreshold (AQE decides
+    from the MEASURED size), which preserves the edge partitioning and
+    keeps the count-by-s exchange-free. Above the threshold (1e9-node
+    graphs where a round peels more ids than fit in a broadcast) Spark
+    falls back to a shuffle join on d — correctness unchanged, but the
+    round then pays two edge-subset exchanges (re-key by d, then back
+    by s for the count). Both modes are pinned by
+    tests/test_graph_pack.py::TestKcorePlan. Cache lifecycle is
+    caller-owned, as with minhash_lsh_pairs (bench clears per query;
+    loops must clearCache after materializing)."""
     from pyspark.storagelevel import StorageLevel
 
     edges = _copurchase_edges(spark, sf_dir)
     und = edges.select(
         F.col("a").alias("s"), F.col("b").alias("d")
     ).unionAll(edges.select(F.col("b").alias("s"), F.col("a").alias("d")))
-    # ONE upfront hash-partition on the degree key: the node-list
-    # semi-joins broadcast (node ids are tiny next to edges) and so
-    # PRESERVE this partitioning through every round — all four
-    # degree-count groupBys run exchange-free on the cached layout.
-    # One shuffle paid once replaces one per round.
+    # ONE upfront hash-partition on the degree key, persisted once and
+    # never pruned: the initial count and every per-round lost-count
+    # run exchange-free on this layout (peel sets broadcast).
     und = und.repartition("s").persist(StorageLevel.DISK_ONLY)
-    nodes = und.select("s").distinct()
+    # Round-1 degrees: the only full count. Every node of u0 has >= 1
+    # edge, so the groupBy covers nodes0 exactly.
+    deg = (
+        und.groupBy("s")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .persist()
+    )
     outs: list[DataFrame] = []
     for r in range(1, _KCORE_ROUNDS + 1):
-        cnt = und.groupBy("s").agg(F.count("*").cast("bigint").alias("c"))
-        deg = nodes.join(cnt, "s", "left").select(
-            "s", F.coalesce("c", F.lit(0)).cast("bigint").alias("c")
-        )
-        deg = deg.persist()
+        peel = deg.where(F.col("c") < _KCORE_K)
         outs.append(
-            deg.where(F.col("c") < _KCORE_K).select(
+            peel.select(
                 "s",
                 F.lit(r).cast("int").alias("peel_round"),
                 F.col("c").alias("deg_at_peel"),
             )
         )
-        nodes = deg.where(F.col("c") >= _KCORE_K).select("s")
-        und = und.join(nodes, "s", "left_semi").join(
-            nodes.withColumnRenamed("s", "d"), "d", "left_semi"
+        survivors = deg.where(F.col("c") >= _KCORE_K).select("s", "c")
+        # Edges lost to this round's peel: original edge list joined
+        # against the peeled ids on the NEIGHBOR end. Restricting s to
+        # survivors afterwards (the LEFT join below) discards the
+        # peeled-s rows, so no s-side filter is needed here.
+        # No explicit broadcast hint: AQE picks broadcast from the
+        # peel set's measured size and falls back to a shuffle join
+        # above the threshold (the documented degraded mode).
+        lost = (
+            und.join(peel.select(F.col("s").alias("d")), "d")
+            .groupBy("s")
+            .agg(F.count("*").cast("bigint").alias("lost"))
         )
-        if r < _KCORE_ROUNDS:
-            # the final round's edge list feeds exactly one consumer
-            # (the survivor degree count) — persisting it would be a
-            # write with no second read
-            und = und.persist(StorageLevel.DISK_ONLY)
-    cnt = und.groupBy("s").agg(F.count("*").cast("bigint").alias("c"))
-    surv = nodes.join(cnt, "s", "left").select(
+        deg = (
+            survivors.join(lost, "s", "left")
+            .select(
+                "s",
+                (
+                    F.col("c") - F.coalesce(F.col("lost"), F.lit(0))
+                ).alias("c"),
+            )
+            .persist()
+        )
+    surv = deg.select(
         "s",
         F.lit(0).cast("int").alias("peel_round"),
-        F.coalesce("c", F.lit(0)).cast("bigint").alias("deg_at_peel"),
+        F.col("c").alias("deg_at_peel"),
     )
     out = outs[0]
     for o in outs[1:]:

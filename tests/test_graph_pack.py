@@ -201,3 +201,91 @@ class TestKcoreFixpointOperator:
             for r in kcore(_edges_df(spark, allpairs), k=2).collect()
         }
         assert fix == unrolled
+
+
+class TestKcorePlan:
+    """Pins the r7 incremental-degree physical shape of kcore_peel:
+    exactly ONE persisted edge relation (DISK_ONLY) however many
+    rounds run — the prune-per-round shape persisted one edge
+    generation per round — plus one node-sized degree frame per round
+    boundary; and BOTH peel-join modes (AQE auto-broadcast under the
+    threshold, shuffle fallback above it) produce identical rows."""
+
+    def test_one_edge_persist_total(self, spark):
+        # sf0.001 through the registry entry: after full execution the
+        # cache inventory must hold exactly 1 DISK_ONLY relation (the
+        # edge list, persisted once, never pruned) and
+        # _KCORE_ROUNDS + 1 memory degree frames (initial + one per
+        # round). A second DISK_ONLY entry would mean the per-round
+        # edge prune crept back in.
+        spark.catalog.clearCache()
+        # earlier tests' localCheckpoint RDDs linger in storage until
+        # GC (clearCache only drops catalog-cached relations) — count
+        # only the entries THIS query adds
+        before = {
+            i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        }
+        try:
+            df = G.kcore_peel(spark, "/root/testdata/sf0.001")
+            df.write.format("noop").mode("overwrite").save()
+            levels = Counter(
+                i.storageLevel().description()
+                for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+                if i.id() not in before
+            )
+            disk_only = sum(
+                n
+                for lvl, n in levels.items()
+                if "Disk" in lvl and "Memory" not in lvl
+            )
+            in_memory = sum(
+                n for lvl, n in levels.items() if "Memory" in lvl
+            )
+            assert disk_only == 1, levels
+            assert in_memory == G._KCORE_ROUNDS + 1, levels
+        finally:
+            spark.catalog.clearCache()
+
+    def test_broadcast_and_shuffle_fallback_agree(
+        self, spark, tmp_path, monkeypatch
+    ):
+        # same planted cascade graph as TestKcorePeel; k=2
+        monkeypatch.setattr(G, "_KCORE_K", 2)
+        edges = [(1, 2), (2, 3), (3, 101)]
+        cliques = [(101, 102, 103)]
+        sf = _mklineitem(spark, tmp_path, edges, cliques)
+
+        def run():
+            df = G.kcore_peel(spark, sf)
+            rows = {
+                (r["partkey"], r["peel_round"], r["deg_at_peel"])
+                for r in df.collect()
+            }
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            return rows, plan
+
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            # broadcast mode: tiny peel sets auto-broadcast, the edge
+            # partitioning is preserved and the lost-count groupBy is
+            # exchange-free on the cached layout
+            rows_b, plan_b = run()
+            assert "BroadcastHashJoin" in plan_b
+            spark.catalog.clearCache()
+            # degraded mode (1e9-node graphs: peel set exceeds any
+            # broadcast threshold): every join falls back to a
+            # partitioned strategy — correctness must be unaffected
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            rows_s, plan_s = run()
+            assert "BroadcastHashJoin" not in plan_s
+            assert "BroadcastNestedLoopJoin" not in plan_s
+            assert rows_s == rows_b
+            assert rows_b == {
+                (n, r, d)
+                for n, (r, d) in _ref_kcore(
+                    _adj(edges, cliques), k=2, rounds=4
+                ).items()
+            }
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.catalog.clearCache()
