@@ -244,6 +244,36 @@ def main() -> None:
         raise SystemExit(gate(out["queries"], tier2=out.get("tier2_queries")))
 
 
+def _subsecond_aggregate_regressions(
+    floor: dict,
+    cur: dict,
+    band: list | None,
+    label: str,
+    ratio: float = 1.5,
+    cutoff: float = 1.0,
+    band_margin: float = 1.25,
+) -> set:
+    """One gated quantity for the queries the per-query cutoff skips:
+    SUM of current times over queries whose FLOOR is sub-cutoff,
+    compared against the sum of those floors (ratio) and the recorded
+    sum band (same margin discipline as per-query bands). Only queries
+    present in BOTH maps count, so a trimmed run stays comparable."""
+    names = [n for n, f in floor.items() if f < cutoff and n in cur]
+    if not names:
+        return set()
+    base_sum = sum(floor[n] for n in names)
+    cur_sum = sum(cur[n] for n in names)
+    # the absolute-delta floor mirrors the per-query cutoff: a sum
+    # that grew by less than one cutoff's worth is the same scheduler
+    # jitter the cutoff exists to ignore (a lone 0.1s query doubling
+    # must not trip the aggregate)
+    if cur_sum <= ratio * base_sum or cur_sum - base_sum < cutoff:
+        return set()
+    if band is not None and cur_sum <= band[1] * band_margin:
+        return set()
+    return {f"{label}({len(names)}q:{cur_sum:.2f}s/floor{base_sum:.2f}s)"}
+
+
 def gate(timings: dict, floor_path: str | None = None, tier2: dict | None = None) -> int:
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
     from bench_compare import compare
@@ -275,6 +305,17 @@ def gate(timings: dict, floor_path: str | None = None, tier2: dict | None = None
             bands=floor_doc.get("bands"),
         )
     )
+    # The 1.0s cutoff leaves ~60 sub-second queries individually
+    # unguarded; their SUM is gated as one quantity so a broad
+    # small-query regression (a session-config slip, a new per-query
+    # fixed cost) cannot hide under the cutoff. The set is defined by
+    # the FLOOR (floor < cutoff), so membership is stable across runs.
+    regressed |= _subsecond_aggregate_regressions(
+        floor_doc["queries"],
+        timings,
+        band=floor_doc.get("sub_cutoff_band"),
+        label="subsecond_sum",
+    )
     # tier2 (all-registry sf0.01) compares when BOTH sides carry it —
     # the non-headline queries' only perf guard
     if tier2 and floor_doc.get("tier2_queries"):
@@ -288,6 +329,12 @@ def gate(timings: dict, floor_path: str | None = None, tier2: dict | None = None
                 bands=floor_doc.get("tier2_bands"),
             )
         }
+        regressed |= _subsecond_aggregate_regressions(
+            floor_doc["tier2_queries"],
+            tier2,
+            band=floor_doc.get("tier2_sub_cutoff_band"),
+            label="tier2:subsecond_sum",
+        )
     if regressed:
         print(f"regression gate FAILED: {sorted(regressed)}", file=sys.stderr)
         return 1

@@ -220,3 +220,113 @@ def test_bench_compare_tool_flags_regressions(tmp_path):
     assert compare(base, {"x": 8.0}, bands=bands, band_margin=1.0) == ["x"]
     # a query with no band falls back to the plain ratio rule
     assert compare(base, {"y": 2.0}, bands=bands) == ["y"]
+
+
+def test_regression_gate_subsecond_aggregate():
+    # ~60 headline queries sit under the 1.0s per-query cutoff; their
+    # SUM is gated as one quantity so a broad small-query regression
+    # (session-config slip, new per-query fixed cost) cannot hide
+    import bench
+
+    floor = {c: 0.5 for c in "abcde"} | {"big": 5.0}
+    # every sub-second query doubled: each is individually sub-cutoff
+    # (0.5 -> 1.0s is still under the gate once jittered below it) but
+    # the sum 5.0s > 1.5 * 2.5s floor-sum and the delta exceeds 1s
+    doubled = {c: 1.0 for c in "abcde"} | {"big": 5.0}
+    got = bench._subsecond_aggregate_regressions(
+        floor, doubled, band=None, label="subsecond_sum"
+    )
+    assert len(got) == 1 and next(iter(got)).startswith("subsecond_sum")
+    # inside ratio: fine
+    ok = {c: 0.6 for c in "abcde"} | {"big": 5.0}
+    assert (
+        bench._subsecond_aggregate_regressions(floor, ok, None, "s") == set()
+    )
+    # past the ratio but with a sub-cutoff absolute delta: the same
+    # scheduler jitter the per-query cutoff ignores (a lone 0.1s query
+    # doubling must not trip the aggregate)
+    assert (
+        bench._subsecond_aggregate_regressions(
+            {"a": 0.1}, {"a": 0.25}, None, "s"
+        )
+        == set()
+    )
+    # a recorded sum band (plus margin) excuses a measured-legitimate
+    # spread even past the ratio
+    assert (
+        bench._subsecond_aggregate_regressions(
+            floor, doubled, band=[2.5, 4.5], label="s"
+        )
+        == set()
+    )
+    assert (
+        bench._subsecond_aggregate_regressions(
+            floor, doubled, band=[2.5, 3.0], label="s"
+        )
+        != set()
+    )
+    # the set is floor-defined: queries missing from the current run
+    # drop out of BOTH sums (a trimmed run stays comparable)
+    assert (
+        bench._subsecond_aggregate_regressions(
+            {"a": 0.2}, {"zz": 9.9}, None, "s"
+        )
+        == set()
+    )
+
+
+def test_bench_bands_merge_guards_inflated_highs():
+    # r6 ADVICE: bands widened monotonically and unconditionally, so a
+    # bands refresh taken while a regression was live baked the
+    # regressed time into the high-water mark forever. A candidate
+    # high that would itself excuse a gate-able regression (past
+    # ratio*floor AND the 1s cutoff) must NOT merge by default, and
+    # every merge must leave an auditable provenance record.
+    import sys
+
+    sys.path.insert(0, "tools")
+    from bench_bands import merge_bands
+
+    base = {
+        "queries": {"hot": 2.0, "cold": 0.2},
+        "bands": {"hot": [2.0, 2.4], "cold": [0.2, 0.3]},
+    }
+    # hot measured at 4.0 (2x floor, >1s): inflated -> capped
+    # cold measured at 0.5 (2.5x floor but sub-cutoff): legit widen
+    merged = merge_bands(
+        dict(base), [{"hot": 4.0, "cold": 0.5}], source="test"
+    )
+    assert merged["bands"]["hot"] == [2.0, 2.4]
+    assert merged["bands"]["cold"] == [0.2, 0.5]
+    prov = merged["band_provenance"][-1]
+    assert prov["source"] == "test"
+    assert "hot" in prov["capped_inflated_highs"]
+    # floors still move down on a better measurement
+    merged2 = merge_bands(dict(base), [{"hot": 1.5, "cold": 0.2}], "test")
+    assert merged2["queries"]["hot"] == 1.5
+    # --allow-inflated merges the high (the sanctioned reset path)
+    merged3 = merge_bands(
+        dict(base), [{"hot": 4.0, "cold": 0.5}], "test", allow_inflated=True
+    )
+    assert merged3["bands"]["hot"] == [2.0, 4.0]
+
+
+def test_bench_bands_maintains_sub_cutoff_sum_band():
+    import sys
+
+    sys.path.insert(0, "tools")
+    from bench_bands import merge_bands
+
+    base = {"queries": {"a": 0.2, "b": 0.3, "big": 5.0}}
+    runs = [
+        {"a": 0.25, "b": 0.35, "big": 5.2},
+        {"a": 0.3, "b": 0.4, "big": 5.1},
+    ]
+    merged = merge_bands(dict(base), runs, "test")
+    assert merged["sub_cutoff_band"] == [0.6, 0.7]
+    # an inflated sum high (past 1.5x the 0.5 floor-sum) is capped
+    merged2 = merge_bands(merged, [{"a": 0.5, "b": 0.6, "big": 5.0}], "t2")
+    assert merged2["sub_cutoff_band"][1] == 0.7
+    assert "sub_cutoff_sum" in merged2["band_provenance"][-1][
+        "capped_inflated_highs"
+    ]
