@@ -52,6 +52,7 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # no query's official green can age more than a few rounds.
 _ENUMERATE_FIRST: tuple[str, ...] = (
     # --- new in r7: no official green row yet ---
+    "quarantine_audit",
     # --- latest official green row is round 3 ---
     "events_sliding_window",
     "events_zscore",
