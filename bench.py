@@ -170,6 +170,9 @@ BENCH_QUERIES = [
     "compaction_plan",
     "data_quality_checks",
     "groupwise_quantiles",
+    # round-7 additions (retrieval pack)
+    "bm25_topk",
+    "hybrid_rank_fusion",
 ]
 
 

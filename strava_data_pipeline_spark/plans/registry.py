@@ -53,6 +53,8 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 _ENUMERATE_FIRST: tuple[str, ...] = (
     # --- new in r7: no official green row yet ---
     "quarantine_audit",
+    "bm25_topk",
+    "hybrid_rank_fusion",
     # --- latest official green row is round 3 ---
     "events_sliding_window",
     "events_zscore",
@@ -281,6 +283,7 @@ def _load() -> None:
         pipeline_queries,
         planner_queries,
         product_queries,
+        retrieval_queries,
         rewrite_queries,
         stats_queries,
         timeseries_queries,

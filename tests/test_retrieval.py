@@ -1,0 +1,152 @@
+"""Semantic tests for the r7 retrieval pack (plans/retrieval_queries.py):
+BM25 scoring against a pure-python reference on a planted corpus, and
+reciprocal-rank-fusion arithmetic/truncation semantics.
+
+Planted corpora are written as real documents.parquet /
+embeddings.parquet and the registry queries read them through their
+normal (spark, sf_dir) entry — same harness discipline as
+tests/test_graph_pack.py."""
+
+from __future__ import annotations
+
+import math
+
+from strava_data_pipeline_spark.plans import retrieval_queries as R
+
+K1, B = 1.2, 0.75
+TERMS = ("hash", "scan", "window")
+
+
+def _mkcorpus(spark, tmpdir, texts, embeddings=None):
+    docs = [
+        (i, t, "en", f"src{i % 3}", len(t)) for i, t in enumerate(texts)
+    ]
+    spark.createDataFrame(
+        docs, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmpdir}/documents.parquet"
+    )
+    if embeddings is not None:
+        spark.createDataFrame(
+            [(i, [float(x) for x in v], 0) for i, v in enumerate(embeddings)],
+            "vec_id bigint, embedding array<float>, label int",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{tmpdir}/embeddings.parquet"
+        )
+    return str(tmpdir)
+
+
+def _ref_bm25(texts):
+    """Python reference: {doc_id: (n_terms, dl, score)} for docs
+    matching >= 1 query term, with the query's rounding discipline."""
+    toks = [t.lower().strip().split() if t.strip() else [""] for t in texts]
+    dls = [len(tk) for tk in toks]
+    n = len(texts)
+    avgdl = sum(dls) / n
+    df = {
+        q: sum(1 for tk in toks if q in tk) for q in TERMS
+    }
+    out = {}
+    for i, tk in enumerate(toks):
+        contribs = []
+        for q in TERMS:
+            tf = tk.count(q)
+            if tf == 0:
+                continue
+            idf = math.log(1 + (n - df[q] + 0.5) / (df[q] + 0.5))
+            c = idf * (tf * (K1 + 1) / (tf + K1 * (1 - B + B * dls[i] / avgdl)))
+            contribs.append(round(c, 6))
+        if contribs:
+            out[i] = (len(contribs), dls[i], round(sum(contribs), 6))
+    return out
+
+
+class TestBm25:
+    def test_scores_match_python_reference(self, spark, tmp_path):
+        texts = [
+            "hash join beats sort merge",             # 1 term
+            "scan scan scan the window",              # 2 terms, tf=3
+            "no matching words at all here",          # 0 terms -> absent
+            "window hash scan",                       # all 3, short doc
+            "a very long document padded " * 10 + "hash",  # long dl
+        ]
+        sf = _mkcorpus(spark, tmp_path, texts)
+        got = {
+            r["doc_id"]: (r["n_terms"], r["dl"], r["score"])
+            for r in R.bm25_topk(spark, sf).collect()
+        }
+        assert got == _ref_bm25(texts)
+
+    def test_ranking_rewards_tf_and_penalizes_length(self, spark, tmp_path):
+        # same tf=1 for 'hash': the SHORTER doc must score higher
+        # (length normalization), and tf=3 beats tf=1 at equal length
+        texts = [
+            "hash a b c d e f g h i j k l m n o p",
+            "hash a",
+            "hash hash hash a",
+            "filler text with no query words",
+        ]
+        sf = _mkcorpus(spark, tmp_path, texts)
+        rows = R.bm25_topk(spark, sf).collect()
+        order = [r["doc_id"] for r in rows]
+        assert set(order) == {0, 1, 2}
+        score = {r["doc_id"]: r["score"] for r in rows}
+        assert score[1] > score[0]          # shorter doc wins at tf=1
+        assert score[2] > score[1]          # tf=3 wins at short length
+
+    def test_topk_truncates_to_20_with_id_tiebreak(self, spark, tmp_path):
+        # 30 identical docs: identical scores, so the top-20 must be
+        # doc_ids 0..19 by the deterministic tiebreak
+        texts = ["hash table scan" for _ in range(30)]
+        sf = _mkcorpus(spark, tmp_path, texts)
+        rows = R.bm25_topk(spark, sf).collect()
+        assert sorted(r["doc_id"] for r in rows) == list(range(20))
+        assert len({r["score"] for r in rows}) == 1
+
+
+class TestHybridRankFusion:
+    def test_rrf_fuses_both_arms_exactly(self, spark, tmp_path):
+        # 4 docs: doc1 strong lexically + nearest to the query vector;
+        # doc2 lexical only; doc3 vector only; doc0 is the query vector
+        # (excluded from the dense arm by self-match, no query terms).
+        texts = [
+            "nothing relevant zero",
+            "hash scan window hash",
+            "hash scan window",
+            "irrelevant filler words",
+        ]
+        vecs = [
+            [1.0, 0.0, 0.0, 0.0],
+            [0.9, 0.1, 0.0, 0.0],
+            [-1.0, 0.0, 0.0, 0.0],
+            [0.8, 0.2, 0.0, 0.0],
+        ]
+        sf = _mkcorpus(spark, tmp_path, texts, embeddings=vecs)
+        # the oracle string hard-codes DIM=64; the Spark side is
+        # dimension-agnostic, so the planted 4-dim corpus exercises it
+        rows = {
+            r["doc_id"]: (r["bm25_rank"], r["vec_rank"], r["rrf_micro"])
+            for r in R.hybrid_rank_fusion(spark, sf).collect()
+        }
+        # dense arm ranks by cosine to vec 0: doc1 (0.994) > doc3
+        # (0.970) > doc2 (-1); lexical arm: doc1 (tf 2+1+1) > doc2
+        assert rows[1][0] == 1 and rows[1][1] == 1
+        assert rows[2][0] == 2 and rows[2][1] == 3
+        assert rows[3][0] is None and rows[3][1] == 2
+        for doc_id, (ra, rv, micro) in rows.items():
+            want = 0
+            if ra is not None:
+                want += round(1e9 / (60 + ra))
+            if rv is not None:
+                want += round(1e9 / (60 + rv))
+            assert micro == want, doc_id
+        # fusion order: doc1 (both arms, both rank 1) first
+        assert max(rows.values(), key=lambda v: v[2]) == rows[1]
+
+    def test_no_half_boundary_in_rank_range(self):
+        # round(1e9/(60+r)) is engine-independent only if no r in 1..50
+        # lands on an exact .5: assert it by arithmetic
+        for r in range(1, 51):
+            num = 2 * 10**9
+            d = 60 + r
+            assert not (num % d == 0 and (num // d) % 2 == 1), r
