@@ -165,6 +165,19 @@ def kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the edge list resolves to the one cached relation — the
     3^rounds analyzer blow-up of an uncut prune chain never forms.
 
+    Measured trade (SCALING_M100_R7_kcore.json vs _R6_graph.json): at
+    sf0.1 the incremental shape HALVES the query (14.8s -> 6.6s; the
+    per-round persist+materialize fixed costs go away), at mult=100
+    (240M edges) it pays +15% (59.5s -> 68.4s) because four cached
+    full-list scans replace scans of a shrinking pruned list — both
+    are within 2x of the 34s edge-build floor (degree_histogram = the
+    same build + ONE count). The exponent printout moved 0.30 -> 0.51
+    purely because the BASE got faster; the 100 TB knob, if rounds
+    multiply or the first peel removes most edges, is to prune ONCE
+    after round 1 and run the same incremental maintenance against
+    the pruned list (the identity holds against any frozen
+    generation, not just u0).
+
     Broadcast contract: the per-round peel join auto-broadcasts while
     the peel set fits spark.sql.autoBroadcastJoinThreshold (AQE decides
     from the MEASURED size), which preserves the edge partitioning and

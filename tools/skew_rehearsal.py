@@ -1,0 +1,265 @@
+"""Zipf-skew scaling rehearsal (VERDICT r6 task 3).
+
+Every mult=10/100 exponent so far was measured on near-uniform
+synthetic data; the skew machinery (AQE skew splits,
+operators/skew.py::salted_join, cap_hot_buckets) has oracle coverage
+but no at-scale measurement under real skew. This tool builds a
+SKEWED variant of a corpus — hot user, hot source, hot shingle — with
+one deterministic column transform applied identically at every
+scale, then measures the five skew-sensitive queries at skewed-base
+vs skewed-mult and records the exponent, plus the skew tax against
+the uniform corpus at the same scale.
+
+Skew shapes (all keyed on xxhash64 of the row id, so base and scaled
+corpora skew identically and the exponent is honest):
+- events.user_id: ~25% of all rows collapse onto ONE hot user and a
+  further ~15% onto 9 warm users (a Zipf-ish head over the ~1.5k
+  uniform tail) — the hot-athlete case salted_join and AQE skew-split
+  exist for (user_activity_join_salted, sessions_overlap_windows,
+  heavy_hitters).
+- documents.source: ~30% of docs collapse onto one hot domain — the
+  hot-host case source_caps' per-source window must absorb.
+- documents.text: ~20% of docs become boilerplate (one fixed ~40-word
+  template + an 8-char unique suffix) — near-identical shingle sets,
+  so their minhash bands collide into degenerate LSH buckets and
+  cap_hot_buckets MUST engage or the dedup_minhash pair join goes
+  quadratic in the hot-doc count (100k boilerplate docs at mult=100 →
+  5e9 candidate pairs uncapped). n_chars is recomputed so
+  length-ranked windows stay consistent.
+
+The cap engagement is proven DIRECTLY at base scale: candidate-pair
+counts from minhash_lsh_pairs with the production cap vs uncapped
+(recorded in the report), alongside the hot-bucket size.
+
+Usage:
+    python tools/skew_rehearsal.py [--mult 100]
+        [--base /root/testdata/sf0.1] [--uniform-scaled .scratch/sfx100]
+        [--report SCALING_SKEW_R7.json] [--skip-build]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SKEW_QUERIES = [
+    "user_activity_join_salted",
+    "sessions_overlap_windows",
+    "heavy_hitters",
+    "source_caps",
+    "dedup_minhash",
+]
+
+_BOILERPLATE = (
+    "this website uses cookies to improve your experience by continuing "
+    "to browse the site you agree to our use of cookies all rights "
+    "reserved terms of service and privacy policy apply contact the "
+    "webmaster for takedown requests copyright holders retain all rights"
+)
+
+
+def build_skewed(spark, src: str, out: str) -> dict[str, int]:
+    """Apply the deterministic skew transforms to ``src`` (events,
+    documents; customer copied verbatim for the salted join's dim
+    side) and write to ``out``."""
+    from pyspark.sql import functions as F
+
+    from strava_data_pipeline_spark.sources.catalog import load_table
+
+    counts: dict[str, int] = {}
+
+    ev = load_table(spark, src, "events")
+    r = F.pmod(F.xxhash64(F.col("event_id")), F.lit(100))
+    warm = F.pmod(F.xxhash64(F.col("event_id") + F.lit(1)), F.lit(9)) + F.lit(1)
+    skew_ev = ev.withColumn(
+        "user_id",
+        F.when(r < 25, F.lit(7))
+        .when(r < 40, warm.cast("long"))
+        .otherwise(F.col("user_id")),
+    )
+    skew_ev.repartition(32).write.mode("overwrite").parquet(
+        f"{out}/events.parquet"
+    )
+    counts["events"] = skew_ev.count()
+
+    docs = spark.read.parquet(f"{src}/documents.parquet")
+    rd = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(100))
+    skew_docs = (
+        docs.withColumn(
+            "source",
+            F.when(rd < 30, F.lit("hot_src")).otherwise(F.col("source")),
+        )
+        .withColumn(
+            "text",
+            F.when(
+                rd < 20,
+                F.concat(
+                    F.lit(_BOILERPLATE + " "),
+                    F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                ),
+            ).otherwise(F.col("text")),
+        )
+        .withColumn("n_chars", F.length("text").cast("bigint"))
+    )
+    skew_docs.repartition(32).write.mode("overwrite").parquet(
+        f"{out}/documents.parquet"
+    )
+    counts["documents"] = skew_docs.count()
+
+    # small dims copied verbatim (the salted join's dim side, and the
+    # nation/region lookups some event queries join)
+    for dim in ("customer", "nation", "region", "supplier", "part"):
+        spark.read.parquet(f"{src}/{dim}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{out}/{dim}.parquet")
+    return counts
+
+
+def cap_engagement_probe(spark, sf_dir: str) -> dict:
+    """Direct evidence the hot-bucket cap engages on the skewed corpus:
+    candidate-pair count and wall time with the production cap vs
+    uncapped, plus the largest band bucket. Run at BASE scale only —
+    uncapped at mult=100 is the quadratic this exists to prevent."""
+    from pyspark.sql import functions as F
+
+    from strava_data_pipeline_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sig = D.minhash_signatures(docs)
+
+    t0 = time.time()
+    capped_pairs = D.minhash_lsh_pairs(sig).count()
+    t_capped = round(time.time() - t0, 3)
+    spark.catalog.clearCache()
+
+    t0 = time.time()
+    uncapped_pairs = D.minhash_lsh_pairs(sig, max_bucket=1 << 40).count()
+    t_uncapped = round(time.time() - t0, 3)
+    spark.catalog.clearCache()
+
+    # largest band bucket (the quantity the cap bounds)
+    params_sig = D.minhash_signatures(docs)
+    bands = params_sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"mh_{b * D.ROWS_PER_BAND + x}")
+                                    for x in range(D.ROWS_PER_BAND)
+                                ],
+                            )
+                        ).alias("bkey"),
+                    )
+                    for b in range(D.N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.bkey")
+    max_bucket = (
+        bands.groupBy("band", "bkey")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    spark.catalog.clearCache()
+    return {
+        "max_band_bucket": int(max_bucket),
+        "cap": D.MAX_BUCKET,
+        "pairs_capped": int(capped_pairs),
+        "pairs_uncapped": int(uncapped_pairs),
+        "sec_capped": t_capped,
+        "sec_uncapped": t_uncapped,
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mult", type=int, default=100)
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--uniform-scaled", default=None)
+    ap.add_argument("--report", default="SCALING_SKEW_R7.json")
+    ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--skip-build", action="store_true")
+    args = ap.parse_args()
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    uniform_scaled = args.uniform_scaled or os.path.join(
+        repo, ".scratch", f"sfx{args.mult}"
+    )
+    skew_base = os.path.join(repo, ".scratch", "skew_base")
+    skew_scaled = os.path.join(repo, ".scratch", f"skew{args.mult}")
+
+    from scale_rehearsal import time_queries
+
+    from strava_data_pipeline_spark.plans import registry
+    from strava_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("skew-rehearsal")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = registry.all_queries()
+
+    report: dict = {"mult": args.mult, "queries": {}}
+    if not args.skip_build:
+        report["skew_base_rows"] = build_skewed(spark, args.base, skew_base)
+        report["skew_scaled_rows"] = build_skewed(
+            spark, uniform_scaled, skew_scaled
+        )
+
+    # cap-engagement evidence at base scale (uncapped at mult=100 IS
+    # the quadratic; never run it there)
+    report["minhash_cap_probe_base"] = cap_engagement_probe(spark, skew_base)
+
+    # warm codegen off the measurements
+    queries[SKEW_QUERIES[0]](spark, skew_base).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    spark.catalog.clearCache()
+
+    t_base = time_queries(spark, queries, SKEW_QUERIES, skew_base, args.repeats)
+    t_skew = time_queries(
+        spark, queries, SKEW_QUERIES, skew_scaled, args.repeats
+    )
+    t_unif = time_queries(
+        spark, queries, SKEW_QUERIES, uniform_scaled, args.repeats
+    )
+
+    worst = 0.0
+    for n in SKEW_QUERIES:
+        ratio = t_skew[n] / t_base[n] if t_base[n] > 0 else float("inf")
+        exponent = round(math.log(ratio) / math.log(args.mult), 3)
+        worst = max(worst, exponent)
+        report["queries"][n] = {
+            "skew_base_sec": t_base[n],
+            "skew_scaled_sec": t_skew[n],
+            "exponent": exponent,
+            "uniform_scaled_sec": t_unif[n],
+            "skew_tax": round(t_skew[n] / t_unif[n], 2)
+            if t_unif[n] > 0
+            else None,
+        }
+    report["worst_exponent"] = round(worst, 3)
+
+    path = args.report
+    if not os.path.isabs(path):
+        path = os.path.join(repo, path)
+    with open(path, "w") as f:
+        json.dump(report, f, indent=1)
+        f.write("\n")
+    print(json.dumps(report))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
