@@ -481,6 +481,30 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("events_sessionize_bucketed", oracle=_SESSION_ORACLE, tags=("analytics",))
+def events_sessionize_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events_sessionize through the skew-robust two-phase operator
+    (operators/sessionize.py::sessionize_bucketed): identical session
+    ids — SAME oracle — but no per-user window ever sorts a whole
+    user; the intra pass windows over (user, day-bucket) and the
+    sequential dependency rides a one-row-per-bucket summary frame.
+    Registered like user_activity_join_salted: the skew fallback is
+    held to the exact hash contract of the plain path, not just unit
+    tests. Motivated by the r7 Zipf rehearsal's measured 3.8x
+    hot-user window tax (SCALING_SKEW_R7.json)."""
+    from strava_data_pipeline_spark.operators.sessionize import (
+        sessionize_bucketed,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    s = sessionize_bucketed(events, gap_minutes=30)
+    return s.groupBy("user_id", "session_seq").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
 # --------------------------------------------------------------------------
 # 20. events_running_total — cumulative window per user (SURVEY §2b)
 # --------------------------------------------------------------------------

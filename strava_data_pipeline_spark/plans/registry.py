@@ -55,6 +55,7 @@ _ENUMERATE_FIRST: tuple[str, ...] = (
     "quarantine_audit",
     "bm25_topk",
     "hybrid_rank_fusion",
+    "events_sessionize_bucketed",
     # --- latest official green row is round 3 ---
     "events_sliding_window",
     "events_zscore",

@@ -292,3 +292,94 @@ class TestEdgeInputHardening:
         assert profile(df, []).count() == 0
         rows = {r["column_name"]: r for r in profile(df, ["id", "it's"]).collect()}
         assert rows["it's"]["n_nulls"] == 0 and rows["it's"]["n_distinct"] == 1
+
+
+class TestSessionizeBucketed:
+    """sessionize_bucketed must be ROW-IDENTICAL to sessionize — the
+    boundary-repair pass has to reproduce exactly the global per-user
+    running break count, whatever the bucket layout."""
+
+    def _both(self, spark, rows, bucket_hours=24):
+        from strava_data_pipeline_spark.operators.sessionize import (
+            sessionize_bucketed,
+        )
+
+        df = _events(spark, rows)
+        plain = {
+            r["event_id"]: r["session_seq"] for r in sessionize(df).collect()
+        }
+        bucketed = {
+            r["event_id"]: r["session_seq"]
+            for r in sessionize_bucketed(
+                df, bucket_hours=bucket_hours
+            ).collect()
+        }
+        return plain, bucketed
+
+    def test_session_spanning_bucket_boundary(self, spark):
+        # events at 23:50 and 00:05 next day: 15-min gap, ONE session
+        # crossing the day-bucket edge — the boundary term must not fire
+        rows = [
+            (1, datetime(2024, 1, 1, 23, 50), 7, 1.0),
+            (2, datetime(2024, 1, 2, 0, 5), 7, 1.0),
+            (3, datetime(2024, 1, 2, 0, 10), 7, 1.0),
+        ]
+        plain, bucketed = self._both(spark, rows)
+        assert bucketed == plain
+        assert set(bucketed.values()) == {0}
+
+    def test_break_exactly_at_bucket_boundary(self, spark):
+        # 2h gap across midnight: the bucket's first event IS a break,
+        # carried by the boundary term (intra lag sees null there)
+        rows = [
+            (1, datetime(2024, 1, 1, 22, 0), 7, 1.0),
+            (2, datetime(2024, 1, 2, 0, 0), 7, 1.0),
+        ]
+        plain, bucketed = self._both(spark, rows)
+        assert bucketed == plain == {1: 0, 2: 1}
+
+    def test_gap_longer_than_bucket_skips_empty_buckets(self, spark):
+        # 3-day silence: intermediate calendar buckets have no rows;
+        # lag over existing summaries must still pair the right edges
+        rows = [
+            (1, datetime(2024, 1, 1, 10, 0), 7, 1.0),
+            (2, datetime(2024, 1, 1, 10, 10), 7, 1.0),
+            (3, datetime(2024, 1, 4, 10, 0), 7, 1.0),
+            (4, datetime(2024, 1, 4, 10, 5), 7, 1.0),
+        ]
+        plain, bucketed = self._both(spark, rows)
+        assert bucketed == plain == {1: 0, 2: 0, 3: 1, 4: 1}
+
+    def test_multi_break_cascade_matches(self, spark):
+        # breaks inside buckets AND at boundaries, two users, odd
+        # 5-hour buckets so bucket edges don't align with days
+        rows = []
+        eid = 0
+        for u in (7, 8):
+            t = datetime(2024, 1, 1, 0, 0)
+            for step_min in (0, 10, 200, 15, 45, 1000, 5, 31, 29, 2000):
+                from datetime import timedelta
+
+                t = t + timedelta(minutes=step_min)
+                eid += 1
+                rows.append((eid, t, u, 1.0))
+        plain, bucketed = self._both(spark, rows, bucket_hours=5)
+        assert bucketed == plain
+        assert max(plain.values()) >= 3  # the cascade actually happened
+
+    def test_random_timelines_match(self, spark):
+        import random
+        from datetime import timedelta
+
+        rng = random.Random(0x5E55)
+        rows = []
+        eid = 0
+        for u in range(5):
+            t = datetime(2024, 1, 1)
+            for _ in range(40):
+                t = t + timedelta(minutes=rng.choice((1, 5, 29, 31, 61, 600, 1500)))
+                eid += 1
+                rows.append((eid, t, u, 1.0))
+        for bh in (1, 7, 24):
+            plain, bucketed = self._both(spark, rows, bucket_hours=bh)
+            assert bucketed == plain, bh

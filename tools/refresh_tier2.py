@@ -42,20 +42,34 @@ def main() -> int:
     ap.add_argument(
         "--baseline", default=os.path.join(REPO, "BASELINE_BENCH.json")
     )
+    ap.add_argument(
+        "--from-json",
+        nargs="+",
+        default=None,
+        help="merge tier2_queries from recorded bench outputs instead of re-running",
+    )
+    ap.add_argument("--allow-inflated", action="store_true")
     ap.add_argument("--write", action="store_true")
     args = ap.parse_args()
 
-    env = dict(os.environ)
-    env["SPARK_GRAFT_BENCH_ALL"] = "1"
-    runs: list[dict[str, float]] = []
-    for i in range(args.runs):
-        t2 = run_once(env)
-        runs.append(t2)
-        print(
-            f"run {i + 1}/{args.runs}: tier2 total {sum(t2.values()):.1f}s"
-            f" over {len(t2)} queries",
-            file=sys.stderr,
-        )
+    if args.from_json:
+        runs = []
+        for path in args.from_json:
+            with open(path) as f:
+                doc = json.load(f)
+            runs.append(doc["tier2_queries"])
+    else:
+        env = dict(os.environ)
+        env["SPARK_GRAFT_BENCH_ALL"] = "1"
+        runs = []
+        for i in range(args.runs):
+            t2 = run_once(env)
+            runs.append(t2)
+            print(
+                f"run {i + 1}/{args.runs}: tier2 total {sum(t2.values()):.1f}s"
+                f" over {len(t2)} queries",
+                file=sys.stderr,
+            )
 
     with open(args.baseline) as f:
         base = json.load(f)
@@ -74,28 +88,32 @@ def main() -> int:
     base["tier2_queries"] = dict(sorted(floors.items()))
     # record the observed [lo, hi] spread too — bench.py's gate uses
     # tier2_bands to excuse run-to-run variance, exactly like the
-    # headline bands from bench_bands.py. Bands WIDEN monotonically
-    # (min/max-merged with the recorded ones): their contract is
-    # "slower than ever legitimately measured", and a fresh 2-run high
-    # underestimates the true spread.
+    # headline bands from bench_bands.py. Band lows merge down freely;
+    # HIGHS carry the same r7 inflation guard as bench_bands.merge_bands
+    # (a high past ratio*floor and the 1s cutoff would excuse a
+    # gate-able regression — skipped unless --allow-inflated).
     old_bands = base.get("tier2_bands", {})
-    new_bands = {
-        n: [
-            round(min(r[n] for r in runs if n in r), 3),
-            round(max(r[n] for r in runs if n in r), 3),
-        ]
-        for n in names
-    }
-    for n, ob in old_bands.items():
-        if n in new_bands:
-            new_bands[n] = [
-                min(new_bands[n][0], ob[0]),
-                max(new_bands[n][1], ob[1]),
-            ]
-        else:
-            new_bands[n] = ob
+    capped = []
+    new_bands = dict(old_bands)
+    for n in names:
+        lo = round(min(r[n] for r in runs if n in r), 3)
+        hi = round(max(r[n] for r in runs if n in r), 3)
+        band = list(old_bands.get(n, [lo, lo]))
+        band[0] = min(band[0], lo)
+        gateable = hi > 1.5 * floors[n] and hi >= 1.0
+        if hi > band[1]:
+            if gateable and not args.allow_inflated:
+                capped.append(n)
+            else:
+                band[1] = hi
+        new_bands[n] = [round(band[0], 3), round(band[1], 3)]
+    if capped:
+        print(
+            f"WARNING: inflated tier2 band highs NOT merged: {capped}",
+            file=sys.stderr,
+        )
     base["tier2_bands"] = new_bands
-    base["tier2_band_runs"] = base.get("tier2_band_runs", 0) + args.runs
+    base["tier2_band_runs"] = base.get("tier2_band_runs", 0) + len(runs)
 
     if args.write:
         with open(args.baseline, "w") as f:
