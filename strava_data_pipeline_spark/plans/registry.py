@@ -56,6 +56,7 @@ _ENUMERATE_FIRST: tuple[str, ...] = (
     "bm25_topk",
     "hybrid_rank_fusion",
     "events_sessionize_bucketed",
+    "source_caps_sampled",
     # --- latest official green row is round 3 ---
     "events_sliding_window",
     "events_zscore",

@@ -150,3 +150,75 @@ class TestHybridRankFusion:
             num = 2 * 10**9
             d = 60 + r
             assert not (num % d == 0 and (num // d) % 2 == 1), r
+
+
+class TestSourceCapsSampled:
+    """source_caps_sampled must be ROW-IDENTICAL to source_caps (the
+    sampled threshold is an exact witness filter, not an estimate) and
+    must actually PRUNE when the sample covers K rows of a source."""
+
+    def _mk(self, spark, tmpdir, rows):
+        # rows: (doc_id, source, n_chars); text filler keeps the schema
+        docs = [(i, "x", "en", s, n) for i, s, n in rows]
+        spark.createDataFrame(
+            docs,
+            "doc_id bigint, text string, lang string, source string,"
+            " n_chars bigint",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{tmpdir}/documents.parquet"
+        )
+        return str(tmpdir)
+
+    def _collect(self, spark, fn, sf):
+        return sorted(
+            (r["doc_id"], r["source"], r["n_chars"], r["rk"])
+            for r in fn(spark, sf).collect()
+        )
+
+    def test_identical_on_hot_source_with_ties(self, spark, tmp_path):
+        import strava_data_pipeline_spark.plans.llm_queries as L
+
+        # hot source: 600 rows, heavy ties straddling the K=15 cut
+        # (n_chars cycles 0..49, so the threshold value repeats — the
+        # >= keep + doc_id tiebreak discipline is what's under test);
+        # small source: 5 rows < K, must survive whole with no pruning
+        rows = [(i, "hot", i % 50) for i in range(600)]
+        rows += [(1000 + i, "tiny", 10 + i) for i in range(5)]
+        sf = self._mk(spark, tmp_path, rows)
+        exact = self._collect(spark, L.source_caps, sf)
+        sampled = self._collect(spark, L.source_caps_sampled, sf)
+        assert sampled == exact
+        tiny = [t for t in sampled if t[1] == "tiny"]
+        assert len(tiny) == 5
+
+    def test_prune_engages_when_sample_covers_k(self, spark, tmp_path):
+        import strava_data_pipeline_spark.plans.llm_queries as L
+        from pyspark.sql import functions as F
+
+        rows = [(i, "hot", i % 50) for i in range(600)]
+        sf = self._mk(spark, tmp_path, rows)
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        n_sample = docs.where(
+            F.pmod(F.xxhash64("doc_id"), F.lit(L._SRC_SAMPLE_MOD)) == 0
+        ).count()
+        assert n_sample >= L._SRC_CAP  # the witness precondition holds
+        # rebuild the internal pruned frame: threshold exists -> the
+        # window's input must be strictly smaller than the corpus
+        w = __import__("pyspark.sql", fromlist=["Window"]).Window.partitionBy(
+            "source"
+        ).orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+        thr = (
+            docs.select("doc_id", "source", "n_chars")
+            .where(
+                F.pmod(F.xxhash64("doc_id"), F.lit(L._SRC_SAMPLE_MOD)) == 0
+            )
+            .withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") == L._SRC_CAP)
+        )
+        assert thr.count() == 1
+        t = thr.first()["n_chars"]
+        kept = docs.where(F.col("n_chars") >= t).count()
+        assert kept < 600  # the pre-drop removes real rows
+        # and everything source_caps keeps survives the pre-drop
+        top = L.source_caps(spark, sf).agg(F.min("n_chars")).first()[0]
+        assert top >= t
