@@ -58,6 +58,8 @@ _BNLJ_OK = {
     "tokenizer_fertility",  # same vocab-map broadcast via _encoded_words
     "bpe_merge_rounds",  # 1-row per-round argmax merge-pair broadcast
     "range_partition_plan",  # 1-row total-count broadcast onto the domain frame
+    "bm25_topk",  # 1-row (n_docs, avgdl) corpus-stats broadcast
+    "hybrid_rank_fusion",  # same 1-row stats broadcast via the bm25 arm
     "ann_mrr_ndcg",  # composes ann_topk/ann_ivf (bounded query-set sides)
     "join_cardinality_audit",  # 1-row stats-frame broadcasts per join spec
     "selectivity_audit",  # 1-row (N, ndv) broadcast onto the probe set
