@@ -320,30 +320,46 @@ def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     strict total order, so the learned rule is deterministic) and its
     count, with the merge applied before the next round counts.
 
-    Scale design: the loop is three unrolled (groupBy -> 1-row argmax
-    -> crossJoin broadcast -> codegen fold) stages; per round the only
-    corpus-sized shuffle is the map-side-combinable pair count, the
-    argmax is TakeOrdered over the pair-type table, and applying the
-    merge is a per-row array fold inside codegen (words are short; the
-    append-fold is O(len^2) on a <=40-symbol array — constant). No
-    driver collect anywhere: the learned pair rides a 1-row broadcast,
-    so 3 rounds or 30k run the same plan shape on a cluster. A real
-    30k-merge training run would hoist the argmax into a driver loop
-    over this exact per-round plan — same physics, shorter lineage."""
+    Scale design (r7 — train on the word TYPE table, the same trick
+    wordpiece_vocab uses and every real BPE trainer ships): ONE
+    corpus-sized shuffle total — the word-frequency groupBy — then
+    every round is (vocab-sized weighted pair count -> 1-row argmax ->
+    crossJoin broadcast -> codegen fold over vocab rows). Pair counts
+    are SUM(word_count) over the type table, identical by arithmetic
+    to COUNT(*) over the token stream (each word type contributes
+    pair-occurrences x frequency), so the DuckDB oracle — deliberately
+    written over the token stream as the semantic definition — hashes
+    the same rules and counts. The type table persists in memory
+    (vocab-sized; at 1e6 web-corpus types it is a few MB per executor)
+    so the three rounds' fold chains re-derive symbols from the cached
+    types, not from three corpus re-scans. Measured at mult=100
+    (SCALING_M100_R7_bpe.json): 105.1s -> 4.3s (25x), exponent
+    0.763 -> 0.134.
+    No driver collect anywhere: the learned pair rides a 1-row
+    broadcast, so 3 rounds or 30k run the same plan shape on a
+    cluster. A real 30k-merge training run would hoist the argmax
+    into a driver loop over this exact per-round plan — same physics,
+    shorter lineage. Cache lifecycle is caller-owned (bench clears per
+    query; loops must clearCache after materializing)."""
     docs = _docs(spark, sf_dir)
     # the empty-token filter is load-bearing, not hygiene: tokens('')
     # is [''] by the tokenizer contract, and sequence(1, length(''))
     # is Spark's DESCENDING [1, 0] — an unfiltered empty word would
     # fabricate a ('', '') symbol pair the DuckDB twin (range -> [])
     # never sees
-    words = docs.select(F.explode(T.tokens(F.col("text"))).alias("w")).where(
-        F.col("w") != ""
+    wtypes = (
+        docs.select(F.explode(T.tokens(F.col("text"))).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("wc"))
+        .persist()
     )
-    sym = words.select(
+    sym = wtypes.select(
         F.transform(
             F.sequence(F.lit(1), F.length("w")),
             lambda i: F.col("w").substr(i, F.lit(1)),
-        ).alias("s")
+        ).alias("s"),
+        "wc",
     )
     outs = []
     for r in range(1, _BPE_ROUNDS + 1):
@@ -355,11 +371,12 @@ def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.slice(F.col("s"), 2, F.greatest(n - 1, F.lit(0))),
                     lambda a, b: F.struct(a.alias("pa"), b.alias("pb")),
                 )
-            ).alias("p")
-        ).select("p.pa", "p.pb")
+            ).alias("p"),
+            "wc",
+        ).select("p.pa", "p.pb", "wc")
         top = (
             pairs.groupBy("pa", "pb")
-            .agg(F.count("*").cast("bigint").alias("cnt"))
+            .agg(F.sum("wc").cast("bigint").alias("cnt"))
             .orderBy(F.col("cnt").desc(), "pa", "pb")
             .limit(1)
         )
@@ -378,7 +395,8 @@ def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         ).select(
-            _spark_apply(F.col("s"), F.col("_ma"), F.col("_mb")).alias("s")
+            _spark_apply(F.col("s"), F.col("_ma"), F.col("_mb")).alias("s"),
+            "wc",
         )
     out = outs[0]
     for o in outs[1:]:
