@@ -2724,3 +2724,67 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     the asymmetric complement to dedup_ngram_jaccard for contained
     documents whose sizes differ too much for any symmetric threshold."""
     return D.containment_pairs(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# 186. dedup_rate_by_source — which domains are duplicate-heavy?
+# --------------------------------------------------------------------------
+# The curation diagnostic that decides where dedup budget goes: per
+# source, how many docs exist, how many are exact-duplicate REMOVALS
+# (not the canonical min-id keeper of their hash group), and the rate
+# in exact BIGINT millionths. Cross-source duplicate groups attribute
+# each removal to the source of the REMOVED doc — the doc that would
+# leave that domain's corpus.
+_DEDUP_RATE_ORACLE = """
+WITH canon AS (
+    SELECT doc_id, source,
+           min(doc_id) OVER (PARTITION BY md5(text)) AS canonical
+    FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(coalesce(sum(CASE WHEN doc_id <> canonical THEN 1 END), 0)
+         AS BIGINT) AS n_removed,
+       CAST(coalesce(sum(CASE WHEN doc_id <> canonical THEN 1 END), 0)
+            * 1000000 // count(*) AS BIGINT) AS removal_millionths
+FROM canon GROUP BY 1
+"""
+
+
+@register("dedup_rate_by_source", oracle=_DEDUP_RATE_ORACLE, tags=("llm", "dedup"))
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplicate removal rates under the min-id-keeps
+    policy (the same canonical rule as dedup_exact / corpus_dedup_keep)
+    in exact BIGINT millionths — the report that tells a curation run
+    which domains are boilerplate farms before any fuzzy pass spends
+    budget there.
+
+    Scale design: one shuffle on the 128-bit content hash (16-byte
+    keys, never document bodies) to attach each doc's group canonical,
+    then one map-side-combinable groupBy on source. Reuses
+    operators/dedup.py::dedup_exact's keep-policy (min id) so the rate
+    is definitionally consistent with what the dedup pass would
+    actually remove."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5("text").alias("h")
+    )
+    w = Window.partitionBy("h")
+    canon = docs.withColumn("canonical", F.min("doc_id").over(w))
+    removed = F.sum(
+        F.when(F.col("doc_id") != F.col("canonical"), 1)
+    )
+    agg = canon.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.coalesce(removed, F.lit(0)).cast("bigint").alias("n_removed"),
+    )
+    # BIGINT `div`, not `/` + cast: Spark truncates a DOUBLE->BIGINT
+    # cast while DuckDB rounds it — integer division sidesteps the
+    # boundary entirely (same discipline as pagerank's rank steps)
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_removed",
+        F.expr("n_removed * 1000000 div n_docs")
+        .cast("bigint")
+        .alias("removal_millionths"),
+    )

@@ -18,7 +18,7 @@ makes first-class.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from strava_data_pipeline_spark.functions import text as T
@@ -402,3 +402,85 @@ def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionAll(o)
     return out
+
+
+# --------------------------------------------------------------------------
+# 185. token_coverage_curve — cumulative corpus coverage by vocab rank
+# --------------------------------------------------------------------------
+# The diagnostic every vocabulary/tokenizer decision starts from: what
+# fraction of the token stream do the top-k word types cover? Coverage
+# is emitted in exact millionths (cum * 1e6 div total — BIGINT, no
+# float ratios in the hash), ranks break ties lexicographically, and
+# the curve is truncated to the top 100 ranks (bounded output; the
+# decision zone — real curves are read at 1e4-1e5 anyway via the same
+# query with a higher cap).
+_COVERAGE_TOP = 100
+
+_COVERAGE_ORACLE = f"""
+WITH tok AS (
+    SELECT w FROM (SELECT unnest({_DUCK_TOKENS}) AS w FROM documents)
+    WHERE w <> ''
+), types AS (
+    SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1
+), tot AS (
+    SELECT CAST(sum(cnt) AS BIGINT) AS total FROM types
+), ranked AS (
+    SELECT w, cnt,
+           CAST(row_number() OVER (ORDER BY cnt DESC, w ASC) AS BIGINT)
+               AS rank,
+           CAST(sum(cnt) OVER (ORDER BY cnt DESC, w ASC
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cnt
+    FROM types
+)
+SELECT rank, w AS term, cnt, cum_cnt,
+       CAST(cum_cnt * 1000000 // tot.total AS BIGINT)
+           AS coverage_millionths
+FROM ranked CROSS JOIN tot
+WHERE rank <= {_COVERAGE_TOP}
+"""
+
+
+@register("token_coverage_curve", oracle=_COVERAGE_ORACLE, tags=("llm", "text"))
+def token_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative token-stream coverage by word-type rank, top 100
+    ranks, coverage in exact BIGINT millionths. The curve that sizes
+    vocabularies (where does coverage flatten?) and sanity-checks a
+    corpus (a curve hitting 99% at rank 50 means boilerplate).
+
+    Scale design: ONE corpus-sized shuffle (the type-count groupBy,
+    map-side combinable); the ranking window then runs over the TYPE
+    table (zipf-bounded vocab, not the token stream) and the 1-row
+    total broadcasts. The single-partition window is over vocab rows
+    truncated at rank 100 by the same monotone cum — production
+    pre-filters types below a sampled rank-100 count bound the same
+    way source_caps_sampled pre-drops, if the vocabulary itself is
+    huge."""
+    words = (
+        _docs(spark, sf_dir)
+        .select(F.explode(T.tokens(F.col("text"))).alias("w"))
+        .where(F.col("w") != "")
+    )
+    types = words.groupBy("w").agg(F.count("*").cast("bigint").alias("cnt"))
+    tot = types.agg(F.sum("cnt").cast("bigint").alias("total"))
+    w_r = Window.orderBy(F.col("cnt").desc(), F.col("w").asc())
+    ranked = (
+        types.withColumn("rank", F.row_number().over(w_r).cast("bigint"))
+        .where(F.col("rank") <= _COVERAGE_TOP)
+        .withColumn(
+            "cum_cnt",
+            F.sum("cnt")
+            .over(w_r.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("bigint"),
+        )
+    )
+    # BIGINT `div` (not `/` + cast): Spark truncates DOUBLE->BIGINT,
+    # DuckDB rounds — integer division never meets the boundary
+    return ranked.join(F.broadcast(tot)).select(
+        "rank",
+        F.col("w").alias("term"),
+        "cnt",
+        "cum_cnt",
+        F.expr("cum_cnt * 1000000 div total")
+        .cast("bigint")
+        .alias("coverage_millionths"),
+    )

@@ -57,6 +57,9 @@ _ENUMERATE_FIRST: tuple[str, ...] = (
     "hybrid_rank_fusion",
     "events_sessionize_bucketed",
     "source_caps_sampled",
+    "token_coverage_curve",
+    "dedup_rate_by_source",
+    "retrieval_rank_agreement",
     # --- latest official green row is round 3 ---
     "events_sliding_window",
     "events_zscore",

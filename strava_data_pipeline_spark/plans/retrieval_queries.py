@@ -280,3 +280,122 @@ def hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.orderBy(
         F.col("rrf_micro").desc(), F.col("doc_id").asc()
     ).limit(20)
+
+
+# --------------------------------------------------------------------------
+# 187. retrieval_rank_agreement — do the two arms agree, and where?
+# --------------------------------------------------------------------------
+# The audit a hybrid-retrieval pipeline runs before trusting fusion:
+# set overlap of the two arms' top-k lists and the exact Kendall
+# concordant/discordant pair counts over the COMMON ids (both ranks
+# known). Everything is exact BIGINT: overlaps are set counts, and
+# Kendall pairs are counted over the bounded intersection (<= 50 ids
+# -> <= 1225 pairs), so no float correlation ever crosses engines.
+_AGREE_ORACLE = f"""
+WITH {_BM25_CTES}, bm25_top AS (
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                AS INT) AS r_bm
+    FROM bm25
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 50
+), e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+), q AS (
+    SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id = 0
+), vec_scored AS (
+    SELECT c.vec_id AS doc_id, {_VEC_COS} AS score
+    FROM e c CROSS JOIN q WHERE q.query_id != c.vec_id
+), vec_top AS (
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                AS INT) AS r_vec
+    FROM vec_scored
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 50
+), common AS (
+    SELECT b.doc_id, b.r_bm, v.r_vec
+    FROM bm25_top b JOIN vec_top v USING (doc_id)
+), pairs AS (
+    SELECT CASE WHEN (a.r_bm - b.r_bm) * (a.r_vec - b.r_vec) > 0
+                THEN 1 ELSE 0 END AS conc
+    FROM common a JOIN common b ON a.doc_id < b.doc_id
+), ov AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_common,
+           CAST(coalesce(sum(CASE WHEN r_bm <= 10 AND r_vec <= 10
+                                  THEN 1 END), 0) AS BIGINT) AS overlap_at_10
+    FROM common
+)
+SELECT ov.n_common, ov.overlap_at_10,
+       CAST(coalesce(sum(conc), 0) AS BIGINT) AS concordant,
+       CAST(coalesce(sum(1 - conc), 0) AS BIGINT) AS discordant
+FROM ov LEFT JOIN pairs ON true
+GROUP BY 1, 2
+"""
+
+
+@register("retrieval_rank_agreement", oracle=_AGREE_ORACLE, tags=("llm", "retrieval"))
+def retrieval_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row agreement audit between the lexical and dense arms:
+    |top-50 intersection|, |top-10 intersection|, and exact Kendall
+    concordant/discordant pair counts over the common ids (no ties
+    possible — row_number ranks are strict). Consumers derive tau as
+    (C-D)/(n(n-1)/2); the query itself stays in exact BIGINT so the
+    hash contract never meets a float correlation.
+
+    Scale design: both arms truncate to top-50 BEFORE anything else
+    (same bounded-arm discipline as hybrid_rank_fusion), so the
+    intersection join and the <=1225-row Kendall pair join run on
+    constant-size frames whatever the corpus size."""
+    bm25_top = (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(50)
+        .withColumn(
+            "r_bm",
+            F.row_number()
+            .over(Window.orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+            .cast("int"),
+        )
+        .select("doc_id", "r_bm")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec_top = S.ann_topk_bruteforce(
+        emb, emb.where(F.col("vec_id") == 0), k=50
+    ).select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("r_vec"))
+    common = bm25_top.join(vec_top, "doc_id")
+    a, b = common.alias("a"), common.alias("b")
+    # inequality-only self-join on a <=50-row frame: broadcast one
+    # side so it plans as a (bounded) BroadcastNestedLoopJoin, not a
+    # CartesianProduct the plan gate rightly bans
+    pairs = a.join(
+        F.broadcast(b), F.col("a.doc_id") < F.col("b.doc_id")
+    ).select(
+        F.when(
+            (F.col("a.r_bm") - F.col("b.r_bm"))
+            * (F.col("a.r_vec") - F.col("b.r_vec"))
+            > 0,
+            1,
+        )
+        .otherwise(0)
+        .alias("conc")
+    )
+    ov = common.agg(
+        F.count("*").cast("bigint").alias("n_common"),
+        F.coalesce(
+            F.sum(
+                F.when((F.col("r_bm") <= 10) & (F.col("r_vec") <= 10), 1)
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("overlap_at_10"),
+    )
+    kd = pairs.agg(
+        F.coalesce(F.sum("conc"), F.lit(0)).cast("bigint").alias("concordant"),
+        F.coalesce(F.sum(F.lit(1) - F.col("conc")), F.lit(0))
+        .cast("bigint")
+        .alias("discordant"),
+    )
+    return ov.crossJoin(F.broadcast(kd))

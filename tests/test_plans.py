@@ -60,6 +60,8 @@ _BNLJ_OK = {
     "range_partition_plan",  # 1-row total-count broadcast onto the domain frame
     "bm25_topk",  # 1-row (n_docs, avgdl) corpus-stats broadcast
     "hybrid_rank_fusion",  # same 1-row stats broadcast via the bm25 arm
+    "retrieval_rank_agreement",  # 1-row Kendall-counts + stats broadcasts
+    "token_coverage_curve",  # 1-row token-total broadcast
     "ann_mrr_ndcg",  # composes ann_topk/ann_ivf (bounded query-set sides)
     "join_cardinality_audit",  # 1-row stats-frame broadcasts per join spec
     "selectivity_audit",  # 1-row (N, ndv) broadcast onto the probe set

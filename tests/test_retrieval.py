@@ -222,3 +222,107 @@ class TestSourceCapsSampled:
         # and everything source_caps keeps survives the pre-drop
         top = L.source_caps(spark, sf).agg(F.min("n_chars")).first()[0]
         assert top >= t
+
+
+class TestCorpusDiagnostics:
+    """r7 diagnostics trio: coverage curve, per-source dup rates, and
+    arm rank-agreement — python references on planted corpora."""
+
+    def test_token_coverage_curve_exact(self, spark, tmp_path):
+        from collections import Counter
+
+        from strava_data_pipeline_spark.plans import lm_queries as LM
+
+        texts = [
+            "a a a a b b b c c d",
+            "a b c d e",
+            "a a e e e",
+        ]
+        sf = _mkcorpus(spark, tmp_path, texts)
+        counts = Counter(w for t in texts for w in t.split())
+        ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        total = sum(counts.values())
+        cum = 0
+        want = {}
+        for i, (w, c) in enumerate(ranked, 1):
+            cum += c
+            want[i] = (w, c, cum, cum * 1000000 // total)
+        got = {
+            r["rank"]: (
+                r["term"],
+                r["cnt"],
+                r["cum_cnt"],
+                r["coverage_millionths"],
+            )
+            for r in LM.token_coverage_curve(spark, sf).collect()
+        }
+        assert got == want
+        assert got[len(ranked)][3] == 1000000  # full curve reaches 100%
+
+    def test_dedup_rate_by_source(self, spark, tmp_path):
+        import strava_data_pipeline_spark.plans.llm_queries as L
+
+        # src0: 3 identical docs (2 removals) + 1 unique; src1: all
+        # unique; a CROSS-source duplicate of a src0 text lands in
+        # src1 — its removal attributes to src1 (higher doc_id loses)
+        rows = [
+            (0, "dup text", "en", "src0", 8),
+            (1, "dup text", "en", "src0", 8),
+            (2, "dup text", "en", "src0", 8),
+            (3, "unique zero", "en", "src0", 11),
+            (4, "solo one", "en", "src1", 8),
+            (5, "dup text", "en", "src1", 8),
+        ]
+        spark.createDataFrame(
+            rows,
+            "doc_id bigint, text string, lang string, source string,"
+            " n_chars bigint",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{tmp_path}/documents.parquet"
+        )
+        got = {
+            r["source"]: (r["n_docs"], r["n_removed"], r["removal_millionths"])
+            for r in L.dedup_rate_by_source(spark, str(tmp_path)).collect()
+        }
+        assert got["src0"] == (4, 2, 500000)
+        assert got["src1"] == (2, 1, 500000)
+
+    def test_rank_agreement_counts(self, spark, tmp_path):
+        from strava_data_pipeline_spark.plans import retrieval_queries as R
+
+        # lexical order (by tf): 1 > 2 > 3 ; dense order (cosine to
+        # vec 0): 3 > 2 > 1 — a perfect inversion: all pairs discordant
+        texts = [
+            "no query terms here",
+            "hash hash hash",
+            "hash hash",
+            "hash",
+        ]
+        vecs = [
+            [1.0, 0.0, 0.0, 0.0],
+            [-1.0, 0.0, 0.0, 0.0],
+            [0.5, 0.5, 0.0, 0.0],
+            [0.9, 0.1, 0.0, 0.0],
+        ]
+        sf = _mkcorpus(spark, tmp_path, texts, embeddings=vecs)
+        row = R.retrieval_rank_agreement(spark, sf).collect()[0]
+        assert row["n_common"] == 3
+        assert row["overlap_at_10"] == 3
+        assert row["concordant"] == 0
+        assert row["discordant"] == 3
+
+    def test_rank_agreement_empty_intersection(self, spark, tmp_path):
+        from strava_data_pipeline_spark.plans import retrieval_queries as R
+
+        # no doc matches any query term -> bm25 arm is empty -> zero
+        # common ids, zero pairs; the one-row contract must hold
+        texts = ["nothing here", "still nothing", "nope"]
+        vecs = [
+            [1.0, 0.0, 0.0, 0.0],
+            [0.5, 0.5, 0.0, 0.0],
+            [0.9, 0.1, 0.0, 0.0],
+        ]
+        sf = _mkcorpus(spark, tmp_path, texts, embeddings=vecs)
+        row = R.retrieval_rank_agreement(spark, sf).collect()[0]
+        assert row["n_common"] == 0
+        assert row["concordant"] == 0 and row["discordant"] == 0
