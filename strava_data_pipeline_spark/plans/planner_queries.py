@@ -618,3 +618,82 @@ def quarantine_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
     )
     return published.unionAll(quarantined)
+
+
+# --------------------------------------------------------------------------
+# 188. rollup_audit — the incremental rollup's committed table, audited
+# --------------------------------------------------------------------------
+# Second driver-hashable streaming face (pattern: quarantine_audit):
+# run the REAL incremental rollup maintenance (streaming/rollup.py —
+# per-batch deltas MERGED into a day-partitioned aggregate, replay
+# markers, dynamic partition overwrite) over four micro-batches whose
+# DAYS ALL OVERLAP (batch split by event_id % 4, so every day's
+# partition is rewritten four times through the read-merge path), then
+# hash the COMMITTED table against a single-pass SQL recompute. A
+# dropped batch, a double-applied merge, or a partition overwrite that
+# clobbers untouched days is a hash mismatch.
+_ROLLUP_AUDIT_ORACLE = """
+SELECT CAST(ts AS DATE) AS p_day, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+@register("rollup_audit", oracle=_ROLLUP_AUDIT_ORACLE, tags=("streaming", "ops"))
+def rollup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end audit of streaming incremental rollup maintenance:
+    land the event table as four single-file micro-batches interleaved
+    by event_id (every day appears in EVERY batch — the merge path,
+    not the blind-append path, carries all the weight), run the real
+    availableNow foreachBatch maintenance, and report the committed
+    (p_day, event_type) rollup. The oracle recomputes the aggregate
+    from `events` in one pass, so the hash only matches if four
+    delta-merges compose to exactly the full-table aggregate —
+    incremental maintenance proven equal to recompute on the COMMITTED
+    artifact, not just in pytest.
+
+    Scale shape: the maintenance itself is O(batch) per trigger plus a
+    partition-pruned read of the touched days (streaming/rollup.py);
+    this audit adds one scan of the committed rollup. Store root is
+    deterministic per sf_dir, rebuilt per call — idempotent re-runs,
+    exactly like snapshot_diff/quarantine_audit. total_value rounds to
+    cents in the OUTPUT only (the same float-sum display contract as
+    user_activity_join); counts are exact BIGINT."""
+    import hashlib
+    import os
+    import shutil
+
+    from strava_data_pipeline_spark.streaming.rollup import (
+        start_rollup_maintenance,
+    )
+    from strava_data_pipeline_spark.streaming.sync import EVENT_SCHEMA
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
+    root = f"spark-warehouse/_rollupaudit_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    landing = os.path.join(root, "landing")
+    rollup = os.path.join(root, "rollup")
+    ckpt = os.path.join(root, "ckpt")
+    os.makedirs(landing)
+
+    ev = load_table(spark, sf_dir, "events")
+    cols = [f.name for f in EVENT_SCHEMA.fields]
+    for k in range(4):
+        ev.where(F.col("event_id") % 4 == k).select(*cols).coalesce(
+            1
+        ).write.mode("append").parquet(landing)
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    start_rollup_maintenance(stream, rollup, ckpt).awaitTermination()
+
+    return spark.read.parquet(rollup).select(
+        "p_day",
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round("total_value", 2).alias("total_value"),
+    )

@@ -60,6 +60,7 @@ _ENUMERATE_FIRST: tuple[str, ...] = (
     "token_coverage_curve",
     "dedup_rate_by_source",
     "retrieval_rank_agreement",
+    "rollup_audit",
     # --- latest official green row is round 3 ---
     "events_sliding_window",
     "events_zscore",
