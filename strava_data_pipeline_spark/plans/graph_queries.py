@@ -172,11 +172,13 @@ def kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-list scans replace scans of a shrinking pruned list — both
     are within 2x of the 34s edge-build floor (degree_histogram = the
     same build + ONE count). The exponent printout moved 0.30 -> 0.51
-    purely because the BASE got faster; the 100 TB knob, if rounds
-    multiply or the first peel removes most edges, is to prune ONCE
-    after round 1 and run the same incremental maintenance against
-    the pruned list (the identity holds against any frozen
-    generation, not just u0).
+    purely because the BASE got faster. The prune-once hybrid (prune
+    after round 1, incremental maintenance against the pruned list —
+    the identity holds against any frozen generation, not just u0)
+    was MEASURED at mult=100 in r7: 52.6s vs 55.8s same-session for
+    this shape — a ~6% wash inside box variance, because the prune's
+    two semi-join passes cost what the avoided rescans save. Not
+    landed; it becomes the knob only if rounds multiply far past 4.
 
     Broadcast contract: the per-round peel join auto-broadcasts while
     the peel set fits spark.sql.autoBroadcastJoinThreshold (AQE decides
