@@ -255,13 +255,25 @@ def _subsecond_aggregate_regressions(
     ratio: float = 1.5,
     cutoff: float = 1.0,
     band_margin: float = 1.25,
+    members: list | None = None,
 ) -> set:
     """One gated quantity for the queries the per-query cutoff skips:
     SUM of current times over queries whose FLOOR is sub-cutoff,
     compared against the sum of those floors (ratio) and the recorded
     sum band (same margin discipline as per-query bands). Only queries
-    present in BOTH maps count, so a trimmed run stays comparable."""
-    names = [n for n, f in floor.items() if f < cutoff and n in cur]
+    present in BOTH maps count, so a trimmed run stays comparable.
+
+    ``members`` is the membership list FROZEN at band-merge time
+    (bench_bands.py writes it next to the band): the recorded sum band
+    was measured over that set, so gating a sum recomputed from
+    CURRENT floors against it compares incomparable quantities
+    whenever a later merge moved a floor across the cutoff (ADVICE
+    r7). Without a frozen list (pre-r8 baseline), fall back to
+    deriving membership from the floors, as before."""
+    if members is not None:
+        names = [n for n in members if n in floor and n in cur]
+    else:
+        names = [n for n, f in floor.items() if f < cutoff and n in cur]
     if not names:
         return set()
     base_sum = sum(floor[n] for n in names)
@@ -318,6 +330,7 @@ def gate(timings: dict, floor_path: str | None = None, tier2: dict | None = None
         timings,
         band=floor_doc.get("sub_cutoff_band"),
         label="subsecond_sum",
+        members=floor_doc.get("sub_cutoff_members"),
     )
     # tier2 (all-registry sf0.01) compares when BOTH sides carry it —
     # the non-headline queries' only perf guard
@@ -337,6 +350,7 @@ def gate(timings: dict, floor_path: str | None = None, tier2: dict | None = None
             tier2,
             band=floor_doc.get("tier2_sub_cutoff_band"),
             label="tier2:subsecond_sum",
+            members=floor_doc.get("tier2_sub_cutoff_members"),
         )
     if regressed:
         print(f"regression gate FAILED: {sorted(regressed)}", file=sys.stderr)

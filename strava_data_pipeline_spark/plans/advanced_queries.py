@@ -1216,6 +1216,68 @@ def sessions_overlap_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 189. sessions_overlap_bucketed — the skew-robust twin (r8)
+# --------------------------------------------------------------------------
+@register("sessions_overlap_bucketed", oracle=_OVERLAP_ORACLE, tags=("temporal",))
+def sessions_overlap_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sessions_overlap_windows through the skew-robust session build —
+    SAME oracle, identical hash. The plain query's scale hazard was
+    never the overlap join (operators/temporal.py bucketizes that into
+    a hash equi-join on day bins): it was ``sessionize``'s per-user
+    window, where ONE task sorts a hot user's entire history — the r7
+    Zipf rehearsal measured a 3.81x tax when one user holds 25% of a
+    10M-row corpus, and AQE cannot split a window partition
+    (SCALING_SKEW_R7.json). This twin swaps in
+    operators/sessionize.py::sessionize_bucketed (intra-bucket window
+    over (user, day) + one-row-per-bucket boundary repair — the
+    sequential dependency rides the bucket summary, never the facts),
+    so the largest sort any task performs is one user-DAY regardless
+    of key concentration. Downstream is unchanged and already
+    skew-safe: the (user, session) groupBy partial-aggregates
+    map-side, and the interval join keys on day bins. Registered like
+    user_activity_join_salted / events_sessionize_bucketed: the
+    hot-key fallback held to the exact hash contract of the plain
+    path, flipped on when heavy_hitters/degree_histogram stats show a
+    user a single task should not sort."""
+    from strava_data_pipeline_spark.operators.sessionize import (
+        sessionize_bucketed,
+    )
+    from strava_data_pipeline_spark.operators.temporal import overlap_join
+
+    s = (
+        sessionize_bucketed(_events(spark, sf_dir), gap_minutes=30)
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+    windows = (
+        load_table(spark, sf_dir, "nation")
+        .select(
+            F.col("n_nationkey").alias("win_id"),
+            F.expr(
+                "timestamp'2024-01-01 00:00:00'"
+                " + make_interval(0, 0, 0, CAST(n_nationkey AS INT), 0, 0, 0)"
+            ).alias("win_start"),
+        )
+        .withColumn("win_end", F.col("win_start") + F.expr("INTERVAL 36 HOURS"))
+    )
+    pairs = overlap_join(
+        s,
+        windows,
+        l_start="session_start",
+        l_end="session_end",
+        r_start="win_start",
+        r_end="win_end",
+    )
+    return pairs.groupBy("win_id").agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
+
+
+# --------------------------------------------------------------------------
 # 111. pagerank_parts — fixed-iteration PageRank over the co-purchase graph
 # --------------------------------------------------------------------------
 # Integer micro-unit ranks (the kmeans_lloyd quantization discipline)

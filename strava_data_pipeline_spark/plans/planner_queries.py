@@ -589,34 +589,60 @@ def quarantine_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "batch_key", "route", "c.check_name", "c.n_violations", "n_rows"
         )
 
+    # Either side can legitimately be EMPTY — a corpus where no
+    # event_id satisfies the planted predicates quarantines nothing,
+    # and a tiny corpus can quarantine everything. spark.read.parquet
+    # on a glob that matches no committed dir throws instead of
+    # returning zero rows (ADVICE r7), so each side falls back to an
+    # empty frame of the audit shape when its store is absent.
+    audit_schema = (
+        "batch_key int, route string, check_name string,"
+        " n_violations bigint, n_rows bigint"
+    )
+
     # published side: re-audit the landed rows (proves the target is
-    # actually clean, not merely labeled clean)
-    published = grouped_audit(spark.read.parquet(target), "publish")
+    # actually clean, not merely labeled clean). The isdir check
+    # covers the nothing-published case; the AnalysisException catch
+    # covers a dir that exists but holds no readable parquet (e.g.
+    # marker files only), which fails schema inference the same way.
+    from pyspark.errors import AnalysisException
+
+    try:
+        if not os.path.isdir(target):
+            raise AnalysisException("no published batches")
+        published = grouped_audit(spark.read.parquet(target), "publish")
+    except AnalysisException:
+        published = spark.createDataFrame([], audit_schema)
 
     # quarantined side: report the COMMITTED audit counts, associated
     # to their batch_key through the quarantined rows in the same
     # batch dir (each batch holds exactly one batch_key by
     # construction — engine batch numbering is never trusted)
-    bid = F.regexp_extract(F.input_file_name(), r"batch_id=(\d+)", 1).cast(
-        "int"
-    )
-    q_rows = spark.read.parquet(
-        os.path.join(quarantine, "batch_id=*", "rows")
-    ).withColumn("bid", bid)
-    q_map = q_rows.groupBy("bid").agg(
-        F.min(F.col("event_id") % 4).cast("int").alias("batch_key"),
-        F.count("*").cast("bigint").alias("n_rows"),
-    )
-    q_audit = spark.read.parquet(
-        os.path.join(quarantine, "batch_id=*", "audit")
-    ).withColumn("bid", bid)
-    quarantined = q_audit.join(F.broadcast(q_map), "bid").select(
-        "batch_key",
-        F.lit("quarantine").alias("route"),
-        "check_name",
-        "n_violations",
-        "n_rows",
-    )
+    import glob as _glob
+
+    if _glob.glob(os.path.join(quarantine, "batch_id=*", "rows")):
+        bid = F.regexp_extract(
+            F.input_file_name(), r"batch_id=(\d+)", 1
+        ).cast("int")
+        q_rows = spark.read.parquet(
+            os.path.join(quarantine, "batch_id=*", "rows")
+        ).withColumn("bid", bid)
+        q_map = q_rows.groupBy("bid").agg(
+            F.min(F.col("event_id") % 4).cast("int").alias("batch_key"),
+            F.count("*").cast("bigint").alias("n_rows"),
+        )
+        q_audit = spark.read.parquet(
+            os.path.join(quarantine, "batch_id=*", "audit")
+        ).withColumn("bid", bid)
+        quarantined = q_audit.join(F.broadcast(q_map), "bid").select(
+            "batch_key",
+            F.lit("quarantine").alias("route"),
+            "check_name",
+            "n_violations",
+            "n_rows",
+        )
+    else:
+        quarantined = spark.createDataFrame([], audit_schema)
     return published.unionAll(quarantined)
 
 
@@ -635,7 +661,8 @@ def quarantine_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ROLLUP_AUDIT_ORACLE = """
 SELECT CAST(ts AS DATE) AS p_day, event_type,
        CAST(count(*) AS BIGINT) AS n_events,
-       round(sum(value), 2) AS total_value
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 100.0 AS total_value
 FROM events GROUP BY 1, 2
 """
 
@@ -657,9 +684,12 @@ def rollup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-pruned read of the touched days (streaming/rollup.py);
     this audit adds one scan of the committed rollup. Store root is
     deterministic per sf_dir, rebuilt per call — idempotent re-runs,
-    exactly like snapshot_diff/quarantine_audit. total_value rounds to
-    cents in the OUTPUT only (the same float-sum display contract as
-    user_activity_join); counts are exact BIGINT."""
+    exactly like snapshot_diff/quarantine_audit. total_value is EXACT
+    integer cents end to end (r8, ADVICE r7): the rollup quantizes
+    per-row to BIGINT cents and folds integers, so four merges equal
+    one pass bit-for-bit — the oracle divides the same integer sum by
+    100.0 and both engines emit the identical double. A float fold
+    would be order-dependent and could flip a half-cent boundary."""
     import hashlib
     import os
     import shutil
@@ -695,5 +725,7 @@ def rollup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_day",
         "event_type",
         F.col("n_events").cast("bigint").alias("n_events"),
-        F.round("total_value", 2).alias("total_value"),
+        # committed value IS exact cents / 100.0 — no display rounding
+        # needed, and none wanted: the hash compares the raw double
+        F.col("total_value").cast("double").alias("total_value"),
     )

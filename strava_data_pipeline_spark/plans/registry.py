@@ -44,66 +44,19 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # Enumeration-order priority: the driver's correctness harness samples a
 # rotating subset of ``queries()`` per round, and dict order is the only
 # lever the engine has over which queries get officially recorded.  The
-# r7 ordering cycles OLDEST-GREEN-FIRST (VERDICT r6 task 7): queries new
-# in r7 (no official green row yet) lead, then the 33 queries whose
-# latest official hash-match is still round 3, then the r4 block, r5,
-# and finally the 50 queries the r6 window just re-proved — so the
+# r8 ordering cycles OLDEST-GREEN-FIRST (VERDICT r6 task 7): queries new
+# in r8 (no official green row yet) lead, then the 38 queries whose
+# latest official hash-match is still round 4, then the r5 block, r6,
+# and finally the 50 queries the r7 window just re-proved — so the
 # driver's ~50-query window always re-proves the stalest rows first and
 # no query's official green can age more than a few rounds.
 _ENUMERATE_FIRST: tuple[str, ...] = (
-    # --- new in r7: no official green row yet ---
-    "quarantine_audit",
-    "bm25_topk",
-    "hybrid_rank_fusion",
-    "events_sessionize_bucketed",
-    "source_caps_sampled",
-    "token_coverage_curve",
-    "dedup_rate_by_source",
-    "retrieval_rank_agreement",
-    "rollup_audit",
-    # --- latest official green row is round 3 ---
-    "events_sliding_window",
-    "events_zscore",
-    "heavy_hitters",
-    "heavy_hitters_sampled",
-    "order_priority_count",
-    "pagerank_parts",
-    "parts_bought_together",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_returnflag_priority",
-    "q13_order_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_count",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q1_pricing_summary",
-    "q20_dominant_suppliers",
-    "q21_waiting_suppliers",
-    "q22_dormant_customers",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "q7_nation_trade",
-    "q8_market_share",
-    "q9_product_profit",
-    "scd2_intervals",
-    "sessions_overlap_windows",
-    "top_customers_by_revenue",
-    "user_churn_setops",
-    "weekly_type_trend",
+    # --- new in r8: no official green row yet ---
+    "attribution_audit",
+    "curation_pipeline_e2e",
+    "multimodal_decode_bmp",
+    "sessions_overlap_bucketed",
     # --- latest official green row is round 4 ---
-    "activities_keyset",
-    "ann_filtered",
-    "boilerplate_prune",
-    "bucketed_join",
-    "corpus_chunk",
-    "corpus_dedup_keep_clusters",
-    "corpus_pack_bins",
-    "decontaminate",
     "dedup_clusters",
     "dedup_containment",
     "dedup_incremental",
@@ -244,6 +197,57 @@ _ENUMERATE_FIRST: tuple[str, ...] = (
     "weighted_sample",
     "wordpiece_encode",
     "wordpiece_vocab",
+    # --- latest official green row is round 7 ---
+    "quarantine_audit",
+    "bm25_topk",
+    "hybrid_rank_fusion",
+    "events_sessionize_bucketed",
+    "source_caps_sampled",
+    "token_coverage_curve",
+    "dedup_rate_by_source",
+    "retrieval_rank_agreement",
+    "rollup_audit",
+    "events_sliding_window",
+    "events_zscore",
+    "heavy_hitters",
+    "heavy_hitters_sampled",
+    "order_priority_count",
+    "pagerank_parts",
+    "parts_bought_together",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_returnflag_priority",
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q1_pricing_summary",
+    "q20_dominant_suppliers",
+    "q21_waiting_suppliers",
+    "q22_dormant_customers",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q7_nation_trade",
+    "q8_market_share",
+    "q9_product_profit",
+    "scd2_intervals",
+    "sessions_overlap_windows",
+    "top_customers_by_revenue",
+    "user_churn_setops",
+    "weekly_type_trend",
+    "activities_keyset",
+    "ann_filtered",
+    "boilerplate_prune",
+    "bucketed_join",
+    "corpus_chunk",
+    "corpus_dedup_keep_clusters",
+    "corpus_pack_bins",
+    "decontaminate",
 )
 
 

@@ -68,12 +68,21 @@ def start_rollup_maintenance(
         marker = f"{rollup_dir}/{prefix}{batch_id}.applied"
         if _hadoop_path_exists(sess, marker):
             return
+        # value accumulates in EXACT integer cents (per-row quantize,
+        # BIGINT sum): a float fold is associative only by luck, so a
+        # 4-way merge path could diverge from a one-pass recompute at
+        # half-cent boundaries (ADVICE r7). The committed face stays a
+        # DOUBLE (cents / 100.0) — the stored double is the nearest
+        # representation of an integer number of cents, so the merge
+        # path recovers the exact BIGINT via round(total_value * 100).
         delta = (
             batch.groupBy(
                 F.to_date("ts").alias("p_day"), F.col("event_type")
             ).agg(
                 F.count("*").cast("bigint").alias("n_events"),
-                F.sum("value").alias("total_value"),
+                F.sum(
+                    F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+                ).alias("_cents"),
             )
         )
         days = [r["p_day"] for r in delta.select("p_day").distinct().collect()]
@@ -83,19 +92,30 @@ def start_rollup_maintenance(
             base = (
                 sess.read.parquet(rollup_dir)
                 .where(day_filter("p_day", days))
-                .select("p_day", "event_type", "n_events", "total_value")
+                .select(
+                    "p_day",
+                    "event_type",
+                    "n_events",
+                    # recover the exact integer cents the double holds
+                    F.round(F.col("total_value") * 100)
+                    .cast("bigint")
+                    .alias("_cents"),
+                )
             )
             merged = (
                 base.unionByName(delta)
                 .groupBy("p_day", "event_type")
                 .agg(
                     F.sum("n_events").cast("bigint").alias("n_events"),
-                    F.sum("total_value").alias("total_value"),
+                    F.sum("_cents").cast("bigint").alias("_cents"),
                 )
                 .localCheckpoint(eager=True)  # cut lineage to rollup_dir
             )
         else:
             merged = delta
+        merged = merged.withColumn(
+            "total_value", (F.col("_cents") / F.lit(100.0)).cast("double")
+        )
         (
             merged.select("event_type", "n_events", "total_value", "p_day")
             .write.mode("overwrite")

@@ -94,7 +94,15 @@ def merge_bands(
         hi = max(r[n] for r in runs if n in r)
         if n not in floors or lo < floors[n]:
             floors[n] = round(lo, 3)
-        band = list(old_bands.get(n, [lo, lo]))
+        if n not in old_bands:
+            # first sighting: the fresh [lo, hi] IS the only healthy
+            # baseline this query has — seeding [lo, lo] and then
+            # refusing the same-run high as "inflated" (the r7 shape)
+            # bakes an over-tight band that false-fails the next gate
+            # run (ADVICE r7)
+            new_bands[n] = [round(lo, 3), round(hi, 3)]
+            continue
+        band = list(old_bands[n])
         band[0] = min(band[0], lo)
         gateable = hi > RATIO * floors[n] and hi >= CUTOFF
         if hi > band[1]:
@@ -111,7 +119,7 @@ def merge_bands(
     # per run, sum over queries whose FLOOR is sub-cutoff; the sum
     # band merges monotonically on the low side and with the same
     # inflation guard on the high side (vs RATIO x the floor sum).
-    sub_names = [n for n, f in floors.items() if f < CUTOFF]
+    sub_names = sorted(n for n, f in floors.items() if f < CUTOFF)
     sub_sums = [
         sum(r[n] for n in sub_names if n in r)
         for r in runs
@@ -120,14 +128,32 @@ def merge_bands(
     if sub_sums:
         floor_sum = sum(floors[n] for n in sub_names)
         old = base.get("sub_cutoff_band") or [min(sub_sums), min(sub_sums)]
+        # membership moved since the band was recorded (a floor crossed
+        # the cutoff, or new queries landed) → the recorded spread was
+        # measured over a DIFFERENT query set; restart the band from
+        # this run set instead of merging incomparable sums (ADVICE r7)
+        if base.get("sub_cutoff_members") != sub_names:
+            old = [min(sub_sums), min(sub_sums)]
         hi = max(sub_sums)
-        if hi > old[1] and hi > RATIO * floor_sum and not allow_inflated:
+        # high guard mirrors BOTH gate criteria (ratio AND the
+        # absolute-delta jitter excusal): a high the gate would never
+        # flag must not be refused, or legitimate spread is lost
+        if (
+            hi > old[1]
+            and hi > RATIO * floor_sum
+            and hi - floor_sum >= CUTOFF
+            and not allow_inflated
+        ):
             capped.append("sub_cutoff_sum")
             hi = old[1]
         base["sub_cutoff_band"] = [
             round(min(old[0], *sub_sums), 3),
             round(max(old[1], hi), 3),
         ]
+        # freeze the membership the band was measured over — the gate
+        # recomputing membership from CURRENT floors would compare a
+        # differently-composed sum against this band
+        base["sub_cutoff_members"] = sub_names
 
     base.setdefault("band_provenance", []).append(
         {

@@ -98,7 +98,12 @@ def main() -> int:
     for n in names:
         lo = round(min(r[n] for r in runs if n in r), 3)
         hi = round(max(r[n] for r in runs if n in r), 3)
-        band = list(old_bands.get(n, [lo, lo]))
+        if n not in old_bands:
+            # first sighting: fresh [lo, hi] is the only healthy
+            # baseline — same new-band seeding as bench_bands.py
+            new_bands[n] = [lo, hi]
+            continue
+        band = list(old_bands[n])
         band[0] = min(band[0], lo)
         gateable = hi > 1.5 * floors[n] and hi >= 1.0
         if hi > band[1]:
@@ -114,6 +119,45 @@ def main() -> int:
         )
     base["tier2_bands"] = new_bands
     base["tier2_band_runs"] = base.get("tier2_band_runs", 0) + len(runs)
+
+    # tier2 sub-cutoff SUM band — bench.py gates the sum of tier2
+    # queries whose floor is sub-1.0s against tier2_sub_cutoff_band,
+    # but nothing wrote that key before r8 (ADVICE r7): the gate ran
+    # bandless and a contended ~130-query sub-second sum past 1.5x
+    # failed with no recorded-spread excusal. Maintain it here with
+    # the same frozen-membership + inflation-guard discipline as
+    # bench_bands.merge_bands.
+    sub_names = sorted(n for n, f in floors.items() if f < 1.0)
+    sub_sums = [
+        sum(r[n] for n in sub_names if n in r)
+        for r in runs
+        if any(n in r for n in sub_names)
+    ]
+    if sub_sums:
+        floor_sum = sum(floors[n] for n in sub_names)
+        old = base.get("tier2_sub_cutoff_band") or [
+            min(sub_sums),
+            min(sub_sums),
+        ]
+        if base.get("tier2_sub_cutoff_members") != sub_names:
+            old = [min(sub_sums), min(sub_sums)]
+        hi = max(sub_sums)
+        if (
+            hi > old[1]
+            and hi > 1.5 * floor_sum
+            and hi - floor_sum >= 1.0
+            and not args.allow_inflated
+        ):
+            print(
+                "WARNING: inflated tier2 sub-cutoff sum high NOT merged",
+                file=sys.stderr,
+            )
+            hi = old[1]
+        base["tier2_sub_cutoff_band"] = [
+            round(min(old[0], *sub_sums), 3),
+            round(max(old[1], hi), 3),
+        ]
+        base["tier2_sub_cutoff_members"] = sub_names
 
     if args.write:
         with open(args.baseline, "w") as f:
