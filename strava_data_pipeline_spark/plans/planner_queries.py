@@ -729,3 +729,166 @@ def rollup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         # needed, and none wanted: the hash compares the raw double
         F.col("total_value").cast("double").alias("total_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# 190. attribution_audit — the stream-stream outer join's committed rows
+# --------------------------------------------------------------------------
+# Third driver-hashable streaming face (pattern: quarantine_audit /
+# rollup_audit), covering the subtlest watermark semantics in the
+# repo: streaming/joins.py::attribute_with_unmatched — a left-outer
+# stream-stream event-time join whose unmatched rows may only emit
+# AFTER the min-watermark across both sides passes the point where a
+# match is provably impossible (deferred emission). The oracle is the
+# equivalent batch LEFT JOIN, so a dropped late row, a double-emitted
+# pair, or an unmatched row released early/never is a hash mismatch
+# on the COMMITTED parquet — not just a pytest assertion.
+_ATTR_AUDIT_ORACLE = """
+WITH v AS (
+    SELECT user_id, ts AS lead_ts, event_id AS lead_id,
+           event_type AS lead_type
+    FROM events WHERE event_id % 3 <> 0
+), p AS (
+    SELECT user_id, event_id AS follow_id, event_type AS follow_type,
+           ts AS follow_ts, value AS follow_value
+    FROM events WHERE event_id % 3 = 0
+)
+SELECT p.user_id, p.follow_id, p.follow_type, p.follow_ts,
+       p.follow_value, v.lead_id, v.lead_type, v.lead_ts
+FROM p LEFT JOIN v
+  ON v.user_id = p.user_id
+ AND v.lead_ts <= p.follow_ts
+ AND v.lead_ts >= p.follow_ts - INTERVAL 30 MINUTE
+"""
+
+
+@register("attribution_audit", oracle=_ATTR_AUDIT_ORACLE, tags=("streaming", "ops"))
+def attribution_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end audit of the stream-stream attribution join: split
+    the event table into a lead feed (views: event_id % 3 != 0) and a
+    follow feed (purchases: % 3 == 0), land it as four TIME-SLICED
+    micro-batches (contiguous epoch quartiles — the order a real file
+    feed lands in), run the REAL left-outer join
+    (streaming/joins.py::attribute_with_unmatched, 30-min window, 1-h
+    watermark) through a parquet sink, and hash the committed rows
+    against the equivalent batch LEFT JOIN.
+
+    Mechanics the audit pins down:
+    - Batch ORDER is load-bearing (unlike quarantine/rollup_audit,
+      whose folds are order-insensitive): a slice processed out of
+      order would put rows behind the advanced watermark and DROP
+      them. Slices are landed one file each and their mtimes set a
+      second apart (os.utime) because the file source orders pending
+      files by modification time — equal mtimes would leave the order
+      to listing luck.
+    - Deferred emission needs a watermark PAST the last real follow's
+      window before unmatched rows release, and availableNow stops at
+      the last data file — the advanced watermark would never get a
+      batch to run in. Two sentinel flush batches (user_id -1, ts far
+      beyond the corpus, one row per SIDE — the global watermark is
+      the min across both withWatermark nodes) provide that: flush 1
+      advances the watermark, and a second availableNow run from the
+      SAME checkpoint gives flush 2 a batch in which every real
+      unmatched follow finalizes. Sentinels filter out of the audit
+      by id; the second flush's own rows are the only state left
+      pending, exactly as a forever-running production stream would
+      hold its tail.
+    - No real row is ever late: slice k+1's min event time exceeds
+      slice k's max, so the watermark (max - 1h) always trails the
+      next batch's data — the audit proves clean-feed semantics; late
+      DROPS are pinned separately by pytest where they are the
+      intended behavior.
+
+    Scale shape: state per side is bounded by watermark + delay of
+    event time (the range conjunct is what lets Spark expire buffered
+    rows — joins.py's contract); the audit adds one scan of the
+    committed output. Store root is deterministic per sf_dir and
+    rebuilt per call, exactly like the other two streaming faces."""
+    import hashlib
+    import os
+    import shutil
+
+    from strava_data_pipeline_spark.streaming.joins import (
+        attribute_with_unmatched,
+    )
+    from strava_data_pipeline_spark.streaming.sync import EVENT_SCHEMA
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
+    root = f"spark-warehouse/_attraudit_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    landing = os.path.join(root, "landing")
+    target = os.path.join(root, "target")
+    ckpt = os.path.join(root, "ckpt")
+    os.makedirs(landing)
+
+    ev = load_table(spark, sf_dir, "events")
+    cols = [f.name for f in EVENT_SCHEMA.fields]
+    lo, hi = ev.agg(
+        F.min(F.col("ts").cast("long")), F.max(F.col("ts").cast("long"))
+    ).first()
+    step = (hi - lo) // 4 + 1
+
+    def land(df: DataFrame, mtime: int) -> None:
+        before = set(os.listdir(landing))
+        df.select(*cols).coalesce(1).write.mode("append").parquet(landing)
+        for f in set(os.listdir(landing)) - before:
+            if f.endswith(".parquet"):
+                os.utime(os.path.join(landing, f), (mtime, mtime))
+
+    for k in range(4):
+        sl = ev.where(
+            (F.col("ts").cast("long") >= lo + k * step)
+            & (F.col("ts").cast("long") < lo + (k + 1) * step)
+        )
+        land(sl, 1_000_000 + k)
+
+    def flush_batch(n: int) -> DataFrame:
+        # one row per SIDE (ids -1 -> lead branch, -3 -> follow
+        # branch) so BOTH withWatermark nodes advance — the global
+        # watermark is their min
+        from datetime import datetime, timezone
+
+        t = datetime.fromtimestamp(hi + n * 864_000, tz=timezone.utc).replace(
+            tzinfo=None
+        )
+        return spark.createDataFrame(
+            [(-1, t, -1, "view", 0.0), (-3, t, -1, "purchase", 0.0)],
+            EVENT_SCHEMA,
+        )
+
+    def run_once() -> None:
+        stream = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        views = stream.where(F.col("event_id") % 3 != 0)
+        purchases = stream.where(F.col("event_id") % 3 == 0)
+        joined = attribute_with_unmatched(
+            views, purchases, max_delay="30 minutes", watermark="1 hour"
+        )
+        (
+            joined.writeStream.format("parquet")
+            .option("path", target)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    land(flush_batch(1), 1_000_010)
+    run_once()
+    land(flush_batch(2), 1_000_020)
+    run_once()
+
+    out = spark.read.parquet(target).where(F.col("follow_id") >= 0)
+    return out.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("follow_id").cast("bigint").alias("follow_id"),
+        "follow_type",
+        "follow_ts",
+        F.col("follow_value").cast("double").alias("follow_value"),
+        F.col("lead_id").cast("bigint").alias("lead_id"),
+        "lead_type",
+        "lead_ts",
+    )
