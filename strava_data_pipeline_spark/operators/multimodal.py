@@ -2,11 +2,14 @@
 
 Images/audio/video ride through the pipeline as ``binary`` columns with
 a typed metadata struct. The Spark-side machinery — schema, Arrow-batch
-UDF signatures, ``mapInPandas`` partitioning — is real and tested; the
-actual codec step is STUBBED (``NotImplementedError``) because media
-libraries are not available in this environment. ``fake_decode`` is the
-deterministic stand-in used by tests: it exercises the exact same
-batch shapes a real decoder would.
+UDF signatures, ``mapInPandas`` partitioning — is real and tested. Two
+codecs decode for REAL, pure-python: binary PPM (P6) and RLE8-
+compressed 8-bit BMP (run-length decompression + palette lookup) —
+each exercised end-to-end by a registry query whose oracle recomputes
+the decoded pixel stats arithmetically. Formats whose codecs need
+native libs not in this container (JPEG/PNG/...) remain STUBBED
+(``NotImplementedError``); ``fake_decode`` is the deterministic
+stand-in tests use for those batch shapes.
 
 At 100 TB the payload column dominates I/O: keep it in its own parquet
 column (column pruning skips it unless requested), partition by a
@@ -139,10 +142,132 @@ def decode_image(payload: bytes) -> dict:
             "maxval": maxval,
             "pixels": raster,
         }
+    if payload[:2] == b"BM":
+        return _decode_bmp_rle8(payload)
     raise NotImplementedError(
         "media codecs unavailable in this environment; "
         "swap in PIL.Image.open(io.BytesIO(payload)) on a real cluster"
     )
+
+
+def _bmp_palette_entry(i: int) -> bytes:
+    """Palette entry for planted BMPs, stored file-order BGRX. The RGB
+    channels are affine in the index so a SQL oracle can recompute the
+    decoded channel sums arithmetically (plant_bmp's contract)."""
+    return bytes(
+        ((i * 7 + 31) % 256, (i * 5 + 17) % 256, (i * 3) % 256, 0)
+    )
+
+
+def encode_bmp_rle8(width: int, height: int, indexes: bytes) -> bytes:
+    """Real RLE8-COMPRESSED 8-bit BMP writer: BITMAPFILEHEADER +
+    BITMAPINFOHEADER (biCompression=1/BI_RLE8) + 256-entry BGRX
+    palette + run-length-encoded pixel data (encoded-mode runs, end-of-
+    line and end-of-bitmap escapes, rows stored bottom-up per the BMP
+    spec). ``indexes`` is ``width*height`` top-down row-major palette
+    indexes."""
+    import struct
+
+    if len(indexes) != width * height:
+        raise ValueError(
+            f"RLE8 {width}x{height} needs {width * height} index bytes, "
+            f"got {len(indexes)}"
+        )
+    palette = b"".join(_bmp_palette_entry(i) for i in range(256))
+    data = bytearray()
+    for r in range(height - 1, -1, -1):  # bottom-up row order
+        row = indexes[r * width : (r + 1) * width]
+        c = 0
+        while c < width:
+            run = 1
+            while c + run < width and row[c + run] == row[c] and run < 255:
+                run += 1
+            data += bytes((run, row[c]))
+            c += run
+        data += b"\x00\x00"  # end of line
+    data += b"\x00\x01"  # end of bitmap
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 8, 1, len(data),
+        2835, 2835, 256, 0,
+    )
+    off = 14 + 40 + 1024
+    head = b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+    return head + info + palette + data
+
+
+def _decode_bmp_rle8(payload: bytes) -> dict:
+    """Real BMP decode for the 8-bit RLE8-compressed variant — the one
+    compressed raster format feasible pure-python in this container
+    (JPEG/PNG need codec libs and stay stubbed). Handles encoded-mode
+    runs, ABSOLUTE mode (with its word-boundary padding), end-of-line
+    and end-of-bitmap escapes, bottom-up row order, and the palette
+    lookup; rejects delta escapes and non-RLE8 BMPs loudly rather than
+    guessing. Returns the same result shape as the P6 path so
+    downstream feature extraction is format-agnostic."""
+    import struct
+
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    hsz, w, h, planes, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
+    if hsz < 40 or planes != 1:
+        raise ValueError(f"bad BMP info header (size {hsz}, planes {planes})")
+    if bpp != 8 or comp != 1:
+        raise NotImplementedError(
+            f"only RLE8 BMPs decode pure-python here (got bpp={bpp}, "
+            f"compression={comp}); swap in PIL on a real cluster"
+        )
+    if w <= 0 or h <= 0:
+        # top-down RLE8 (negative height) is invalid per the spec
+        raise ValueError(f"bad RLE8 dimensions {w}x{h}")
+    n_colors = struct.unpack_from("<I", payload, 46)[0] or 256
+    pal_off = 14 + hsz
+    rgb = [
+        payload[pal_off + 4 * i + 2 : pal_off + 4 * i + 3]
+        + payload[pal_off + 4 * i + 1 : pal_off + 4 * i + 2]
+        + payload[pal_off + 4 * i : pal_off + 4 * i + 1]
+        for i in range(n_colors)
+    ]
+    rows: list[bytes] = []
+    cur = bytearray()
+    i = off
+    while True:
+        if i + 2 > len(payload):
+            raise ValueError("RLE8 stream ended without end-of-bitmap")
+        b0, b1 = payload[i], payload[i + 1]
+        i += 2
+        if b0 > 0:  # encoded mode: b0 copies of index b1
+            cur += bytes((b1,)) * b0
+        elif b1 == 0:  # end of line
+            rows.append(bytes(cur))
+            cur = bytearray()
+        elif b1 == 1:  # end of bitmap
+            if cur:
+                rows.append(bytes(cur))
+            break
+        elif b1 == 2:
+            raise ValueError("RLE8 delta escapes unsupported")
+        else:  # absolute mode: b1 literal indexes, word-aligned
+            if i + b1 > len(payload):
+                raise ValueError("truncated RLE8 absolute run")
+            cur += payload[i : i + b1]
+            i += b1 + (b1 & 1)
+    if len(rows) != h or any(len(r) != w for r in rows):
+        raise ValueError(
+            f"RLE8 raster decoded to {[len(r) for r in rows]} "
+            f"(expected {h} rows x {w})"
+        )
+    # rows arrive bottom-up; emit top-down row-major RGB
+    pixels = b"".join(
+        b"".join(rgb[ix] for ix in rows[y]) for y in range(h - 1, -1, -1)
+    )
+    return {
+        "format": "bmp",
+        "width": w,
+        "height": h,
+        "maxval": 255,
+        "pixels": pixels,
+    }
 
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
@@ -231,11 +356,33 @@ def plant_ppm(x: int) -> bytes:
     return encode_ppm(w, h, raster)
 
 
-def attach_ppm_payload(docs_with_seed: DataFrame) -> DataFrame:
+def plant_bmp(x: int) -> bytes:
+    """Deterministic planted RLE8 BMP for hash seed ``x``: same dims
+    contract as plant_ppm (width 4+x%13, height 4+(x//7)%9), palette
+    index at (row r, col c) = (base + 7r + c//4) % 256 — the c//4 term
+    plants RUNS of four so the RLE encoder emits real multi-count runs
+    and the decoder's run expansion carries weight. Index and palette
+    are both affine in their inputs, so a DuckDB oracle recomputes the
+    decoded channel sums arithmetically (r = idx*3 % 256, g = idx*5+17
+    % 256, b = idx*7+31 % 256 — _bmp_palette_entry's file-order BGRX
+    reversed by the decoder)."""
+    w = 4 + x % 13
+    h = 4 + (x // 7) % 9
+    base = x % 251
+    idx = bytes(
+        (base + 7 * r + c // 4) % 256 for r in range(h) for c in range(w)
+    )
+    return encode_bmp_rle8(w, h, idx)
+
+
+def attach_ppm_payload(docs_with_seed: DataFrame, planter=None) -> DataFrame:
     """mapInPandas plant stage: (doc_id, x) → (doc_id, payload binary).
     A separate Python stage from the decoder on purpose: the payload
     crosses the Arrow boundary as a real binary column, so the decode
-    stage downstream parses bytes it did not just build in-process."""
+    stage downstream parses bytes it did not just build in-process.
+    ``planter`` picks the format (default plant_ppm; plant_bmp for the
+    RLE8 path)."""
+    planter = planter or plant_ppm
     schema = StructType(
         [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
     )
@@ -245,7 +392,7 @@ def attach_ppm_payload(docs_with_seed: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].values,
-                    "payload": [plant_ppm(int(x)) for x in pdf["x"]],
+                    "payload": [planter(int(x)) for x in pdf["x"]],
                 }
             )
 

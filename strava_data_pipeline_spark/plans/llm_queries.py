@@ -870,6 +870,74 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 191. multimodal_decode_bmp — real COMPRESSED-raster decode (RLE8 BMP)
+# --------------------------------------------------------------------------
+# Same planted-oracle contract as multimodal_decode, but the payload
+# is a run-length-COMPRESSED format: the Spark path round-trips real
+# BMP bytes (headers + palette + RLE8 stream) through encode → Arrow →
+# decode, and the oracle recomputes the channel sums from the planted
+# index/palette arithmetic — a wrong run expansion, a missed row pad,
+# a bottom-up flip bug, or a palette-order slip breaks the hash.
+# idx(p) = (base + 7*row + col//4) % 256 (runs of 4 per row);
+# r = idx*3 % 256, g = (idx*5+17) % 256, b = (idx*7+31) % 256.
+_MM_BMP_ORACLE = """
+WITH h AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(text), 1, 8))::UBIGINT AS BIGINT) AS x
+    FROM documents
+), dims AS (
+    SELECT doc_id,
+           CAST(4 + x % 13 AS INT) AS width,
+           CAST(4 + (x // 7) % 9 AS INT) AS height,
+           x % 251 AS base
+    FROM h
+), px AS (
+    SELECT doc_id, width, height,
+           CAST(width * height AS BIGINT) AS n_pixels,
+           CAST(list_sum([
+               ((base + 7*(p // width) + (p % width) // 4) % 256 * 3) % 256
+               FOR p IN range(0, width*height)]) AS BIGINT) AS sum_r,
+           CAST(list_sum([
+               ((base + 7*(p // width) + (p % width) // 4) % 256 * 5 + 17) % 256
+               FOR p IN range(0, width*height)]) AS BIGINT) AS sum_g,
+           CAST(list_sum([
+               ((base + 7*(p // width) + (p % width) // 4) % 256 * 7 + 31) % 256
+               FOR p IN range(0, width*height)]) AS BIGINT) AS sum_b
+    FROM dims
+)
+SELECT doc_id, width, height, n_pixels,
+       sum_r, sum_g, sum_b,
+       CAST(sum_r * 10000 // n_pixels AS BIGINT) AS mean_r_q4,
+       CAST(sum_g * 10000 // n_pixels AS BIGINT) AS mean_g_q4,
+       CAST(sum_b * 10000 // n_pixels AS BIGINT) AS mean_b_q4
+FROM px
+"""
+
+
+@register(
+    "multimodal_decode_bmp", oracle=_MM_BMP_ORACLE, tags=("llm", "multimodal")
+)
+def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real COMPRESSED image decode through the Arrow path: plant RLE8
+    BMP payloads (operators/multimodal.plant_bmp — headers, 256-entry
+    palette, run-length-encoded raster with EOL/EOB escapes), decode
+    them with the pure-python RLE8 decompressor + palette lookup
+    (_decode_bmp_rle8), reduce to the same channel stats as the P6
+    path. The decoder is format-dispatched through the SAME
+    decode_image entry the netpbm path uses — one decode surface, two
+    real codecs, the remaining formats honestly stubbed. Same
+    two-stage mapInPandas shape and 100 TB layout notes as
+    multimodal_decode."""
+    from strava_data_pipeline_spark.operators import multimodal as M
+
+    docs = _docs(spark, sf_dir)
+    seeded = docs.select("doc_id", md5_u32(F.col("text")).alias("x"))
+    return M.extract_image_stats(
+        M.attach_ppm_payload(seeded, planter=M.plant_bmp)
+    )
+
+
+# --------------------------------------------------------------------------
 # 40. corpus_dedup_keep — end-to-end dedup application (keep-list)
 # --------------------------------------------------------------------------
 def _dedup_keep_oracle() -> str:

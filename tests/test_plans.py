@@ -139,7 +139,11 @@ def test_no_python_row_eval_in_query_path(spark, name):
     plan = plan_of(spark, name)
     assert "BatchEvalPython" not in plan, f"row-at-a-time Python in {name}"
     assert "ArrowEvalPython" not in plan, f"Python UDF in the hot path of {name}"
-    if name in ("multimodal_features", "multimodal_decode"):
+    if name in (
+        "multimodal_features",
+        "multimodal_decode",
+        "multimodal_decode_bmp",
+    ):
         assert "MapInPandas" in plan
     else:
         assert "MapInPandas" not in plan, f"Python in the hot path of {name}"

@@ -449,3 +449,121 @@ class TestNormalizeText:
             (F.col("n1") != F.col("text")) | (F.col("n2") != F.col("n1"))
         ).count()
         assert bad == 0
+
+
+class TestBmpRle8Codec:
+    """Pure-python RLE8 BMP codec (operators/multimodal.py, r8): the
+    compressed-raster de-stub. Round-trip, spec branches the planted
+    encoder never emits (absolute mode), and loud rejection of the
+    unsupported variants."""
+
+    def test_round_trip_matches_palette_arithmetic(self):
+        from strava_data_pipeline_spark.operators.multimodal import (
+            decode_image,
+            plant_bmp,
+        )
+
+        for x in (0, 7, 99, 123456, 2**31 - 1):
+            w, h, base = 4 + x % 13, 4 + (x // 7) % 9, x % 251
+            d = decode_image(plant_bmp(x))
+            assert (d["format"], d["width"], d["height"]) == ("bmp", w, h)
+            idx = [
+                (base + 7 * r + c // 4) % 256
+                for r in range(h)
+                for c in range(w)
+            ]
+            exp = b"".join(
+                bytes(((i * 3) % 256, (i * 5 + 17) % 256, (i * 7 + 31) % 256))
+                for i in idx
+            )
+            assert d["pixels"] == exp
+
+    def _payload(self, data, w, h):
+        import struct
+
+        from strava_data_pipeline_spark.operators.multimodal import (
+            _bmp_palette_entry,
+        )
+
+        pal = b"".join(_bmp_palette_entry(i) for i in range(256))
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 8, 1, len(data), 0, 0, 256, 0
+        )
+        off = 14 + 40 + 1024
+        return (
+            b"BM"
+            + struct.pack("<IHHI", off + len(data), 0, 0, off)
+            + info
+            + pal
+            + data
+        )
+
+    def test_absolute_mode_and_word_padding(self):
+        # 1 row x 5 px: absolute run of 3 (odd → 1 pad byte), then an
+        # encoded run of 2 — the branch plant_bmp's encoder never emits
+        from strava_data_pipeline_spark.operators.multimodal import (
+            _decode_bmp_rle8,
+        )
+
+        data = (
+            b"\x00\x03\x01\x02\x03\x00"  # absolute: idx 1,2,3 + pad
+            + b"\x02\x04"                # encoded: 2 x idx 4
+            + b"\x00\x00" + b"\x00\x01"  # EOL, EOB
+        )
+        d = _decode_bmp_rle8(self._payload(data, 5, 1))
+        exp = b"".join(
+            bytes(((i * 3) % 256, (i * 5 + 17) % 256, (i * 7 + 31) % 256))
+            for i in (1, 2, 3, 4, 4)
+        )
+        assert d["pixels"] == exp
+
+    def test_bottom_up_row_order(self):
+        # 2 rows: file order is BOTTOM-up, so the first encoded row is
+        # the image's LAST — a decoder that forgets the flip emits the
+        # rows swapped
+        from strava_data_pipeline_spark.operators.multimodal import (
+            _decode_bmp_rle8,
+        )
+
+        data = (
+            b"\x02\x09" + b"\x00\x00"  # file row 0 = image row 1: 9,9
+            + b"\x02\x05" + b"\x00\x00"  # file row 1 = image row 0: 5,5
+            + b"\x00\x01"
+        )
+        d = _decode_bmp_rle8(self._payload(data, 2, 2))
+        rgb = lambda i: bytes(  # noqa: E731
+            ((i * 3) % 256, (i * 5 + 17) % 256, (i * 7 + 31) % 256)
+        )
+        assert d["pixels"] == rgb(5) * 2 + rgb(9) * 2
+
+    def test_rejections(self):
+        import struct
+
+        import pytest as _pytest
+
+        from strava_data_pipeline_spark.operators.multimodal import (
+            _bmp_palette_entry,
+            _decode_bmp_rle8,
+            decode_image,
+        )
+
+        # delta escape → loud ValueError, never a silent guess
+        bad = b"\x00\x02\x01\x01" + b"\x00\x00" + b"\x00\x01"
+        with _pytest.raises(ValueError, match="delta"):
+            _decode_bmp_rle8(self._payload(bad, 2, 1))
+        # wrong row shape (run longer than width) → ValueError
+        bad = b"\x03\x01" + b"\x00\x00" + b"\x00\x01"
+        with _pytest.raises(ValueError, match="raster"):
+            _decode_bmp_rle8(self._payload(bad, 2, 1))
+        # uncompressed 24-bit BMP → NotImplementedError (honest stub)
+        pal = b"".join(_bmp_palette_entry(i) for i in range(256))
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, 1, 1, 1, 24, 0, 4, 0, 0, 0, 0
+        )
+        off = 14 + 40
+        p24 = (
+            b"BM" + struct.pack("<IHHI", off + 4, 0, 0, off) + info
+            + b"\x01\x02\x03\x00"
+        )
+        with _pytest.raises(NotImplementedError, match="RLE8"):
+            decode_image(p24)
