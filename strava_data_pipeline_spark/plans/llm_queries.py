@@ -2856,3 +2856,206 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("removal_millionths"),
     )
+
+
+# --------------------------------------------------------------------------
+# 192. curation_pipeline_e2e — the composed curation capstone (r8)
+# --------------------------------------------------------------------------
+def _curation_e2e_oracle() -> str:
+    """Chained-CTE oracle: quality gate -> exact dedup -> minhash-LSH
+    near dedup -> benchmark decontamination -> split counts, each CTE
+    consuming the previous one — the independent DuckDB evaluation of
+    the SAME composed pipeline. Stage fragments reuse the individual
+    queries' oracle arithmetic verbatim (same permutation literals,
+    band keys, bucket caps, bucket salt) so a divergence is a
+    COMPOSITION bug, not a re-derivation drift."""
+    params = perm_params(D.N_PERMS)
+    mh_cols = ",\n        ".join(
+        f"min((x * {a} + {b}) % {MINHASH_PRIME}) AS mh_{j}"
+        for j, (a, b) in enumerate(params)
+    )
+    bands = "\n    UNION ALL\n".join(
+        "    SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS bkey FROM sig".format(
+            b=b,
+            cols=", ".join(
+                f"mh_{b * D.ROWS_PER_BAND + r}" for r in range(D.ROWS_PER_BAND)
+            ),
+        )
+        for b in range(D.N_BANDS)
+    )
+    eq = " + ".join(
+        f"(CASE WHEN sa.mh_{j} = sb.mh_{j} THEN 1 ELSE 0 END)"
+        for j in range(D.N_PERMS)
+    )
+    return f"""
+WITH base AS MATERIALIZED (
+    SELECT doc_id, lang, md5(text) AS text_hash,
+           {_DUCK_TOKENS} AS t,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+), quality AS MATERIALIZED (
+    SELECT doc_id, lang, text_hash, t FROM base
+    WHERE doc_id % 97 <> 0
+      AND len(t) BETWEEN 20 AND 80
+      AND len(list_distinct(t)) * 1.0 / len(t) >= 0.35
+      AND n_chars * 1.0 / len(t) BETWEEN 3.0 AND 6.0
+), exact_surv AS MATERIALIZED (
+    SELECT q.doc_id, q.lang, q.t FROM quality q
+    JOIN (SELECT min(doc_id) AS doc_id FROM quality GROUP BY text_hash) c
+      ON q.doc_id = c.doc_id
+), sh AS (
+    SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle FROM exact_surv
+), hx AS (
+    SELECT doc_id, {md5_u32_duckdb('shingle')} AS x FROM sh
+), sig AS MATERIALIZED (
+    SELECT doc_id,
+        {mh_cols}
+    FROM hx GROUP BY doc_id
+), bands AS (
+{bands}
+), capped AS (
+    SELECT * FROM bands
+    QUALIFY count(*) OVER (PARTITION BY band, bkey) <= {D.MAX_BUCKET}
+), pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM capped a JOIN capped b
+      ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+), dropd AS (
+    SELECT DISTINCT p.doc_b FROM pairs p
+    JOIN sig sa ON sa.doc_id = p.doc_a
+    JOIN sig sb ON sb.doc_id = p.doc_b
+    WHERE round(({eq}) / {float(D.N_PERMS)}, 4) >= 0.75
+), near_surv AS MATERIALIZED (
+    SELECT doc_id, lang, t FROM exact_surv
+    WHERE doc_id NOT IN (SELECT doc_b FROM dropd)
+), bench AS (
+    SELECT DISTINCT {md5_u32_duckdb('shingle')} AS bsh
+    FROM (SELECT unnest({_DUCK_SHINGLES}) AS shingle
+          FROM (SELECT t FROM base WHERE doc_id % 97 = 0))
+), tr_sh AS (
+    SELECT doc_id, {md5_u32_duckdb('shingle')} AS shingle
+    FROM (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle FROM near_surv)
+), contaminated AS (
+    SELECT s.doc_id FROM tr_sh s JOIN bench b ON b.bsh = s.shingle
+    GROUP BY 1 HAVING count(DISTINCT s.shingle) >= 2
+), clean AS (
+    SELECT doc_id, lang FROM near_surv
+    WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+), labeled AS (
+    SELECT lang,
+           CASE WHEN {_bucket_duck('doc_id', 'split')} < 800 THEN 'train'
+                WHEN {_bucket_duck('doc_id', 'split')} < 900 THEN 'val'
+                ELSE 'test' END AS split
+    FROM clean
+)
+SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM labeled GROUP BY 1, 2
+"""
+
+
+@register(
+    "curation_pipeline_e2e",
+    oracle=_curation_e2e_oracle(),
+    tags=("llm", "dedup", "text", "sampling"),
+)
+def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation capstone: quality_filter -> exact dedup
+    -> minhash near-dedup -> benchmark decontamination -> train/val/
+    test split counts, composed as ONE registered query — the proof
+    the registry's curation operators chain without a driver
+    round-trip between stages.
+
+    Scale design — ONE scan of the corpus bodies, period: the first
+    projection derives everything any stage needs (md5 content hash,
+    token array, length stats) and persists that NARROW frame; raw
+    text never appears downstream, so the 100 TB body column is read
+    exactly once and every later stage consumes derived columns
+    (docs-sized, bodies dropped). Stage mechanics are the proven
+    shapes of the standalone queries: the quality gate is codegen
+    booleans on the persisted stats; exact dedup semi-joins ids
+    against the min-id-per-hash frame (16-byte hashes shuffle, never
+    bodies); near dedup runs the banded-LSH pair finder with its
+    hot-bucket cap on signatures built from the CACHED token arrays;
+    decontamination broadcasts the benchmark shingle-hash set (eval
+    suites are tiny by nature) and probes the survivors' shingles;
+    the split label is the stable content-hash bucket. Benchmark docs
+    (doc_id % 97 == 0) are excluded from training output up front —
+    an eval suite must never train — but still source the
+    decontamination probe set from the SAME cached base frame.
+    Persist lifecycle is caller-owned, as with kcore_peel (bench
+    clears per query; loops must clearCache after materializing)."""
+    from strava_data_pipeline_spark.operators.sampling import assign_split
+
+    docs = _docs(spark, sf_dir)
+    toks = T.tokens(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.md5(F.col("text")).alias("text_hash"),
+        toks.alias("toks"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    ).persist()
+
+    # stage 1 — quality gate + benchmark exclusion (codegen booleans
+    # over the persisted stats; thresholds = quality_filter's)
+    q = base.where(
+        (F.col("doc_id") % 97 != 0)
+        & F.col("n_tokens").between(20, 80)
+        & (F.col("n_distinct") / F.col("n_tokens") >= 0.35)
+        & (F.col("n_chars") / F.col("n_tokens")).between(3.0, 6.0)
+    ).select("doc_id", "lang", "text_hash", "toks")
+
+    # stage 2 — exact dedup: the min-id doc per content hash survives
+    canon = q.groupBy("text_hash").agg(F.min("doc_id").alias("doc_id"))
+    ex = q.join(canon.select("doc_id"), "doc_id", "left_semi")
+
+    # stage 3 — near dedup: minhash signatures from the CACHED token
+    # arrays (same permutations/banding/caps as dedup_minhash), drop
+    # the higher-id doc of every confident pair
+    sh = ex.select(
+        "doc_id", F.explode(T.word_shingles(F.col("toks"))).alias("_sh")
+    ).select("doc_id", md5_u32(F.col("_sh")).alias("x"))
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.col("x") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)
+            ).alias(f"mh_{j}")
+            for j, (a, b) in enumerate(perm_params(D.N_PERMS))
+        ]
+    )
+    drop = (
+        D.minhash_lsh_pairs(sig)
+        .where(F.col("est_jaccard") >= 0.75)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    nd = ex.join(drop, "doc_id", "left_anti")
+
+    # stage 4 — decontamination: benchmark shingle hashes broadcast,
+    # survivors with >= 2 shared shingles drop (decontaminate's rule)
+    bench = (
+        base.where(F.col("doc_id") % 97 == 0)
+        .select(F.explode(T.word_shingles(F.col("toks"))).alias("_sh"))
+        .select(md5_u32(F.col("_sh")).alias("shingle"))
+        .distinct()
+    )
+    tr_sh = nd.select(
+        "doc_id", F.explode(T.word_shingles(F.col("toks"))).alias("_sh")
+    ).select("doc_id", md5_u32(F.col("_sh")).alias("shingle"))
+    contaminated = (
+        tr_sh.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shingle").alias("n_shared"))
+        .where(F.col("n_shared") >= 2)
+        .select("doc_id")
+    )
+    clean = nd.join(contaminated, "doc_id", "left_anti")
+
+    # stage 5 — stable split assignment over the curated corpus
+    return (
+        assign_split(clean.select("doc_id", "lang"))
+        .groupBy("split", "lang")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )

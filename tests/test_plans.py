@@ -308,3 +308,32 @@ def test_centroid_assignment_never_expands_rows(spark):
     assert "windowspecdefinition(neighbor_id" not in ivf, (
         "ann_ivf corpus-list assignment regressed to window argmax"
     )
+
+
+def test_curation_e2e_single_corpus_scan(spark):
+    """The capstone's 100 TB contract: the corpus BODIES are read
+    exactly once. After execution, every leaf of the final plan tree
+    must be an InMemoryTableScan (all five stages consume the two
+    cached relations — the narrow base frame and the LSH signature
+    frame minhash_lsh_pairs persists); a direct parquet leaf would
+    mean some stage re-scanned the documents table."""
+    spark.catalog.clearCache()
+    try:
+        df = registry.all_queries()["curation_pipeline_e2e"](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+
+        def leaf_names(p, out):
+            it = p.collectLeaves().iterator()
+            while it.hasNext():
+                leaf = it.next()
+                if leaf.nodeName() == "AdaptiveSparkPlan":
+                    # unwrap to the finalized physical plan
+                    leaf_names(leaf.executedPlan(), out)
+                else:
+                    out.append(leaf.nodeName())
+            return out
+
+        names = leaf_names(df._jdf.queryExecution().executedPlan(), [])
+        assert names and set(names) == {"InMemoryTableScan"}, names
+    finally:
+        spark.catalog.clearCache()
