@@ -173,6 +173,11 @@ BENCH_QUERIES = [
     # round-7 additions (retrieval pack)
     "bm25_topk",
     "hybrid_rank_fusion",
+    # round-8 additions (skew twin + curation capstone + RLE8 decode;
+    # the streaming faces stay tier2-only like quarantine/rollup_audit)
+    "sessions_overlap_bucketed",
+    "curation_pipeline_e2e",
+    "multimodal_decode_bmp",
 ]
 
 

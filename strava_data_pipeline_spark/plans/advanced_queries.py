@@ -1393,10 +1393,7 @@ def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # event-time distance, not row count, so sparse and dense users get the
 # same 7-day semantics. Both engines order by exact BIGINT epoch-µs
 # (floor-truncated from ns identically) and sum exact cent units, so
-# frame membership and sums are bit-identical. Scale: one user_id hash
-# exchange, per-partition sort, sliding-frame aggregation is O(n) per
-# user via the remove-from-tail trick both engines implement; no
-# self-join against a window dim.
+# frame membership and sums are bit-identical.
 _ROLLING_ORACLE = """
 SELECT event_id, user_id, ts,
        CAST(count(*) OVER w AS BIGINT) AS n_7d,
@@ -1409,27 +1406,98 @@ WINDOW w AS (
 )
 """
 
+_ROLLING_7D_US = 604_800_000_000
+
 
 @register("events_rolling_7d", oracle=_ROLLING_ORACLE, tags=("advanced", "temporal"))
 def events_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user 7-day rolling count and value sum via a RANGE window
-    frame over epoch-microseconds (``Window.rangeBetween`` — event-time
-    distance, not row offsets). Values are quantized to exact cent
-    BIGINTs before the frame sum so the double emitted at the end is
-    the same on both engines regardless of in-frame addition order."""
-    e = _events(spark, sf_dir)
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))
-        .rangeBetween(-604_800_000_000, 0)
-    )
-    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
-    return e.select(
+    """Per-user 7-day rolling count and value sum — the time-RANGE
+    moving aggregate, computed as a DELTA-STREAM PREFIX SUM instead of
+    a Spark RANGE window frame (r8 rewrite).
+
+    Why not ``Window.rangeBetween``: Spark's SlidingWindowFunctionFrame
+    has no inverse-aggregate path — when the frame slides it
+    re-initializes the aggregate and REPLAYS the whole buffered frame,
+    so a RANGE window costs O(rows x frame_size) per partition. With a
+    time-width frame that size is data-dependent: the r8 Zipf
+    rehearsal's hot user (25% of a 10M-row corpus, ~48k rows per 7-day
+    frame) turns the window into ~10^11 single-threaded aggregate
+    updates — hours on one core, the quadratic this repo forbids.
+    (ROWS frames with small constant k, e.g. events_sliding_window's
+    5-row frame, are fine: the replay is O(k) per row.)
+
+    The rewrite: every event contributes an ADD delta at its own
+    instant and a REMOVE delta at the first instant it leaves any
+    frame (us + 7d + 1µs); each row READS the per-user running delta
+    sum at its own instant. All three stream roles pack into ONE
+    BIGINT sort key ``s = t*4 + pri`` (remove=0 < add=1 < read=2, so
+    same-instant removes/adds resolve before any read — RANGE peers
+    stay inclusive exactly like the SQL frame), and the running sum is
+    a plain unbounded-preceding ROWS cumsum, which Spark maintains
+    incrementally in O(1) per row. Cost: one user_id exchange, one
+    sort of 3n rows — O(n log n) for ANY frame density, hot users
+    included. Ties: only read rows are emitted and deltas of equal s
+    commute, so peer order never changes output. Exact integer cents
+    end to end; the emitted double is cents/100.0 on both engines."""
+    e = _events(spark, sf_dir).select(
         "event_id",
         "user_id",
         "ts",
-        F.count("*").over(w).cast("bigint").alias("n_7d"),
-        (F.sum(cents).over(w).cast("bigint").cast("double") / 100.0).alias(
-            "sum_value_7d"
-        ),
+        F.unix_micros("ts").alias("_us"),
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("_cents"),
+    )
+    nulls = [
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    ]
+    adds = e.select(
+        "user_id",
+        (F.col("_us") * 4 + 1).alias("_s"),
+        F.col("_cents").alias("_dv"),
+        F.lit(1).cast("bigint").alias("_dc"),
+        *nulls,
+    )
+    rems = e.select(
+        "user_id",
+        ((F.col("_us") + F.lit(_ROLLING_7D_US + 1)) * 4).alias("_s"),
+        (-F.col("_cents")).alias("_dv"),
+        F.lit(-1).cast("bigint").alias("_dc"),
+        *nulls,
+    )
+    reads = e.select(
+        "user_id",
+        (F.col("_us") * 4 + 2).alias("_s"),
+        F.lit(0).cast("bigint").alias("_dv"),
+        F.lit(0).cast("bigint").alias("_dc"),
+        "event_id",
+        "ts",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        adds.unionByName(rems)
+        .unionByName(reads)
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.sum("_dc").over(w).alias("_cum_c"),
+            F.sum("_dv").over(w).alias("_cum_v"),
+            "_s",
+        )
+        .where(F.pmod(F.col("_s"), F.lit(4)) == 2)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("_cum_c").cast("bigint").alias("n_7d"),
+            (
+                F.col("_cum_v").cast("bigint").cast("double") / 100.0
+            ).alias("sum_value_7d"),
+        )
     )

@@ -192,7 +192,22 @@ def main() -> int:
     ap.add_argument("--report", default="SCALING_SKEW_R7.json")
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--skip-build", action="store_true")
+    ap.add_argument(
+        "--queries",
+        default=None,
+        help="comma-separated query names (default: the r7 SKEW_QUERIES)",
+    )
+    ap.add_argument(
+        "--skip-probe",
+        action="store_true",
+        help="skip the minhash cap-engagement probe (already recorded)",
+    )
     args = ap.parse_args()
+    skew_queries = (
+        [n for n in args.queries.split(",") if n]
+        if args.queries
+        else SKEW_QUERIES
+    )
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     uniform_scaled = args.uniform_scaled or os.path.join(
@@ -219,24 +234,27 @@ def main() -> int:
 
     # cap-engagement evidence at base scale (uncapped at mult=100 IS
     # the quadratic; never run it there)
-    report["minhash_cap_probe_base"] = cap_engagement_probe(spark, skew_base)
+    if not args.skip_probe:
+        report["minhash_cap_probe_base"] = cap_engagement_probe(
+            spark, skew_base
+        )
 
     # warm codegen off the measurements
-    queries[SKEW_QUERIES[0]](spark, skew_base).write.format("noop").mode(
+    queries[skew_queries[0]](spark, skew_base).write.format("noop").mode(
         "overwrite"
     ).save()
     spark.catalog.clearCache()
 
-    t_base = time_queries(spark, queries, SKEW_QUERIES, skew_base, args.repeats)
+    t_base = time_queries(spark, queries, skew_queries, skew_base, args.repeats)
     t_skew = time_queries(
-        spark, queries, SKEW_QUERIES, skew_scaled, args.repeats
+        spark, queries, skew_queries, skew_scaled, args.repeats
     )
     t_unif = time_queries(
-        spark, queries, SKEW_QUERIES, uniform_scaled, args.repeats
+        spark, queries, skew_queries, uniform_scaled, args.repeats
     )
 
     worst = 0.0
-    for n in SKEW_QUERIES:
+    for n in skew_queries:
         ratio = t_skew[n] / t_base[n] if t_base[n] > 0 else float("inf")
         exponent = round(math.log(ratio) / math.log(args.mult), 3)
         worst = max(worst, exponent)
