@@ -1008,6 +1008,75 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 194. scd2_intervals_bucketed — the skew-robust twin (r8)
+# --------------------------------------------------------------------------
+@register("scd2_intervals_bucketed", oracle=_SCD2_ORACLE, tags=("advanced",))
+def scd2_intervals_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scd2_intervals through the two-phase primitives — SAME oracle,
+    identical hash. The plain build's lag + running-segment windows
+    hand ONE task the hot user's whole stream (measured 5.41x tax,
+    SCALING_SKEW_R8.json); here the change flag comes from
+    operators/bucketed_prefix.bucketed_carry (lag = carry of a
+    never-null column) over (user, day) buckets, and the segment id
+    from bucketed_cumsum of the flag on the same buckets — the
+    sequential dependency rides one summary row per bucket. The
+    interval-close lead stays a plain per-user window: it runs on the
+    SEGMENT frame (bounded by type alternations, an offset frame Spark
+    evaluates O(1)/row), and its sort is of segment rows, not events.
+    Same hot-key-knob contract as the other bucketed twins."""
+    from strava_data_pipeline_spark.operators.bucketed_prefix import (
+        bucketed_carry,
+        bucketed_cumsum,
+    )
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.floor(F.unix_timestamp("ts").cast("bigint") / F.lit(86_400)).alias(
+            "_bkt"
+        ),
+    )
+    lagged = bucketed_carry(
+        e,
+        key_col="user_id",
+        bucket_col="_bkt",
+        order_cols=["ts", "event_id"],
+        carries={"prev_type": "event_type"},
+    )
+    flagged = lagged.withColumn(
+        "_brk",
+        F.when(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .cast("bigint"),
+    )
+    seg = bucketed_cumsum(
+        flagged,
+        key_col="user_id",
+        bucket_col="_bkt",
+        order_cols=["ts", "event_id"],
+        sums={"seg": "_brk"},
+    )
+    segs = seg.groupBy("user_id", "event_type", "seg").agg(
+        F.min("ts").alias("valid_from"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("seg")
+    return segs.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "n_events",
+    )
+
+
+# --------------------------------------------------------------------------
 # 107. heavy_hitters — exact frequent-group detection (relative support)
 # --------------------------------------------------------------------------
 # The relative rule (count > 1.5x the mean group count) is evaluated as
@@ -1409,6 +1478,68 @@ WINDOW w AS (
 _ROLLING_7D_US = 604_800_000_000
 
 
+def _rolling_delta_stream(e: DataFrame) -> DataFrame:
+    """The add/remove/read delta stream both rolling-7d variants share:
+    input (event_id, user_id, ts, _us, _cents) → 3n rows of
+    (user_id, _s, _dv, _dc, event_id, ts), where ``_s = t*4 + pri``
+    packs instant and role into one BIGINT sort key (remove=0 < add=1
+    < read=2 resolves same-instant deltas before any read, keeping
+    RANGE peers inclusive)."""
+    nulls = [
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    ]
+    adds = e.select(
+        "user_id",
+        (F.col("_us") * 4 + 1).alias("_s"),
+        F.col("_cents").alias("_dv"),
+        F.lit(1).cast("bigint").alias("_dc"),
+        *nulls,
+    )
+    rems = e.select(
+        "user_id",
+        ((F.col("_us") + F.lit(_ROLLING_7D_US + 1)) * 4).alias("_s"),
+        (-F.col("_cents")).alias("_dv"),
+        F.lit(-1).cast("bigint").alias("_dc"),
+        *nulls,
+    )
+    reads = e.select(
+        "user_id",
+        (F.col("_us") * 4 + 2).alias("_s"),
+        F.lit(0).cast("bigint").alias("_dv"),
+        F.lit(0).cast("bigint").alias("_dc"),
+        "event_id",
+        "ts",
+    )
+    return adds.unionByName(rems).unionByName(reads)
+
+
+def _rolling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.unix_micros("ts").alias("_us"),
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("_cents"),
+    )
+
+
+def _rolling_emit(cum: DataFrame) -> DataFrame:
+    """Filter the read rows and shape the output (shared by both
+    variants — _cum_c/_cum_v are the running delta sums at each row)."""
+    return cum.where(F.pmod(F.col("_s"), F.lit(4)) == 2).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("_cum_c").cast("bigint").alias("n_7d"),
+        (F.col("_cum_v").cast("bigint").cast("double") / 100.0).alias(
+            "sum_value_7d"
+        ),
+    )
+
+
 @register("events_rolling_7d", oracle=_ROLLING_ORACLE, tags=("advanced", "temporal"))
 def events_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user 7-day rolling count and value sum — the time-RANGE
@@ -1439,50 +1570,14 @@ def events_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     included. Ties: only read rows are emitted and deltas of equal s
     commute, so peer order never changes output. Exact integer cents
     end to end; the emitted double is cents/100.0 on both engines."""
-    e = _events(spark, sf_dir).select(
-        "event_id",
-        "user_id",
-        "ts",
-        F.unix_micros("ts").alias("_us"),
-        F.floor(F.col("value") * 100 + F.lit(0.5))
-        .cast("bigint")
-        .alias("_cents"),
-    )
-    nulls = [
-        F.lit(None).cast("bigint").alias("event_id"),
-        F.lit(None).cast("timestamp").alias("ts"),
-    ]
-    adds = e.select(
-        "user_id",
-        (F.col("_us") * 4 + 1).alias("_s"),
-        F.col("_cents").alias("_dv"),
-        F.lit(1).cast("bigint").alias("_dc"),
-        *nulls,
-    )
-    rems = e.select(
-        "user_id",
-        ((F.col("_us") + F.lit(_ROLLING_7D_US + 1)) * 4).alias("_s"),
-        (-F.col("_cents")).alias("_dv"),
-        F.lit(-1).cast("bigint").alias("_dc"),
-        *nulls,
-    )
-    reads = e.select(
-        "user_id",
-        (F.col("_us") * 4 + 2).alias("_s"),
-        F.lit(0).cast("bigint").alias("_dv"),
-        F.lit(0).cast("bigint").alias("_dc"),
-        "event_id",
-        "ts",
-    )
+    u = _rolling_delta_stream(_rolling_events(spark, sf_dir))
     w = (
         Window.partitionBy("user_id")
         .orderBy("_s")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
-        adds.unionByName(rems)
-        .unionByName(reads)
-        .select(
+    return _rolling_emit(
+        u.select(
             "user_id",
             "event_id",
             "ts",
@@ -1490,14 +1585,41 @@ def events_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("_dv").over(w).alias("_cum_v"),
             "_s",
         )
-        .where(F.pmod(F.col("_s"), F.lit(4)) == 2)
-        .select(
-            "event_id",
-            "user_id",
-            "ts",
-            F.col("_cum_c").cast("bigint").alias("n_7d"),
-            (
-                F.col("_cum_v").cast("bigint").cast("double") / 100.0
-            ).alias("sum_value_7d"),
-        )
     )
+
+
+# --------------------------------------------------------------------------
+# 193. events_rolling_7d_bucketed — the skew-robust twin (r8)
+# --------------------------------------------------------------------------
+@register(
+    "events_rolling_7d_bucketed",
+    oracle=_ROLLING_ORACLE,
+    tags=("advanced", "temporal"),
+)
+def events_rolling_7d_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events_rolling_7d through the two-phase bucketed cumsum — SAME
+    oracle, identical hash. The delta-stream rewrite made the rolling
+    aggregate a pure per-user prefix sum; its residual skew hazard is
+    that the cumsum window still hands ONE task the hot user's whole
+    delta stream (measured 4.96x tax at a 25%-hot user,
+    SCALING_SKEW_R8.json). operators/bucketed_prefix.bucketed_cumsum
+    splits that into day buckets of the packed sort key: the intra
+    window sorts one user-DAY of deltas, bucket totals ride a
+    one-row-per-bucket per-user window, and the offset joins back on
+    the intra exchange's own key. Same hot-key-knob contract as
+    sessionize_bucketed / sessions_overlap_bucketed."""
+    from strava_data_pipeline_spark.operators.bucketed_prefix import (
+        bucketed_cumsum,
+    )
+
+    u = _rolling_delta_stream(_rolling_events(spark, sf_dir)).withColumn(
+        "_bkt", F.floor(F.col("_s") / F.lit(4 * 86_400_000_000))
+    )
+    cum = bucketed_cumsum(
+        u,
+        key_col="user_id",
+        bucket_col="_bkt",
+        order_cols=["_s"],
+        sums={"_cum_c": "_dc", "_cum_v": "_dv"},
+    )
+    return _rolling_emit(cum)

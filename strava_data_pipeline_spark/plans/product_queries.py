@@ -111,6 +111,63 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 195. attribution_last_touch_bucketed — the skew-robust twin (r8)
+# --------------------------------------------------------------------------
+@register(
+    "attribution_last_touch_bucketed",
+    oracle=_ATTR_ORACLE,
+    tags=("temporal", "ops"),
+)
+def attribution_last_touch_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """attribution_last_touch through the two-phase carry — SAME
+    oracle, identical hash. The plain query's last-non-purchase
+    ignorenulls window hands ONE task the hot user's whole stream
+    (measured 4.37x tax, SCALING_SKEW_R8.json);
+    operators/bucketed_prefix.bucketed_carry computes the identical
+    strictly-before last-non-null over (user, day) buckets — the
+    conditional columns pass straight through as the carry inputs
+    (nulls = purchases skip, exactly the window's ignorenulls), and
+    the cross-bucket carry rides one summary row per (user, day). The
+    7-day bound stays the same integer filter afterwards. Same
+    hot-key-knob contract as the other bucketed twins."""
+    from strava_data_pipeline_spark.operators.bucketed_prefix import (
+        bucketed_carry,
+    )
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").cast("bigint").alias("s"),
+    ).withColumn("_bkt", F.floor(F.col("s") / F.lit(86_400)))
+    touched = bucketed_carry(
+        e,
+        key_col="user_id",
+        bucket_col="_bkt",
+        order_cols=["s", "event_id"],
+        carries={
+            "touch_event_id": F.when(
+                F.col("event_type") != "purchase", F.col("event_id")
+            ),
+            "touch_s": F.when(
+                F.col("event_type") != "purchase", F.col("s")
+            ),
+        },
+    )
+    in_window = (F.col("s") - F.col("touch_s")) <= _ATTR_WINDOW_SEC
+    return touched.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"),
+        "user_id",
+        F.when(in_window, F.col("touch_event_id")).alias("touch_event_id"),
+        F.when(in_window, (F.col("s") - F.col("touch_s")).cast("bigint")).alias(
+            "gap_sec"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
 # 173. ab_test_eval — deterministic assignment + exact-moment evaluation
 # --------------------------------------------------------------------------
 # Arms come from the portable md5-u32 hash of the user id (50/50 by

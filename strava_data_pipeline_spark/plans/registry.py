@@ -53,8 +53,12 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 _ENUMERATE_FIRST: tuple[str, ...] = (
     # --- new in r8: no official green row yet ---
     "attribution_audit",
+    "attribution_last_touch_bucketed",
     "curation_pipeline_e2e",
+    "cusum_changepoint_bucketed",
+    "events_rolling_7d_bucketed",
     "multimodal_decode_bmp",
+    "scd2_intervals_bucketed",
     "sessions_overlap_bucketed",
     # --- latest official green row is round 4 ---
     "dedup_clusters",

@@ -384,6 +384,83 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 196. cusum_changepoint_bucketed — the skew-robust twin (r8)
+# --------------------------------------------------------------------------
+@register(
+    "cusum_changepoint_bucketed",
+    oracle=_CUSUM_ORACLE,
+    tags=("temporal", "ops"),
+)
+def cusum_changepoint_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cusum_changepoint through the two-phase primitives — SAME
+    oracle, identical hash. The plain query's three per-user windows
+    (prefix sum, row_number, whole-partition totals) plus the peak
+    rank window all funnel a hot user through one task (measured
+    4.09x tax, SCALING_SKEW_R8.json). Here: prefix and k come from
+    operators/bucketed_prefix.bucketed_cumsum over (user, day) buckets
+    (row_number == cumsum of ones under the total (ts, event_id)
+    order); the per-user totals are a map-side-combinable groupBy
+    joined back on the user key instead of whole-partition windows;
+    and the peak row is a lexicographic struct-max AGGREGATE
+    (max score, then min event_id via negation) instead of a rank
+    window — partial-aggregated map-side, so no task ever sees more
+    than its share of any user's scored rows. Same hot-key-knob
+    contract as the other bucketed twins."""
+    from strava_data_pipeline_spark.operators.bucketed_prefix import (
+        bucketed_cumsum,
+    )
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("vc"),
+        F.lit(1).cast("bigint").alias("_one"),
+        F.floor(F.unix_timestamp("ts").cast("bigint") / F.lit(86_400)).alias(
+            "_bkt"
+        ),
+    )
+    pre = bucketed_cumsum(
+        e,
+        key_col="user_id",
+        bucket_col="_bkt",
+        order_cols=["ts", "event_id"],
+        sums={"prefix": "vc", "k": "_one"},
+    )
+    totals = e.groupBy("user_id").agg(
+        F.sum("vc").alias("s_tot"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    scored = pre.join(totals, "user_id").select(
+        "user_id",
+        "event_id",
+        "n",
+        "k",
+        F.abs(
+            F.col("n") * F.col("prefix") - F.col("k") * F.col("s_tot")
+        ).alias("score"),
+    )
+    peak = scored.groupBy("user_id").agg(
+        F.max(
+            F.struct(
+                F.col("score"),
+                (-F.col("event_id")).alias("neg_id"),
+                F.col("event_id"),
+                F.col("k"),
+                F.col("n"),
+            )
+        ).alias("p")
+    )
+    return peak.select(
+        "user_id",
+        F.col("p.n").alias("n"),
+        F.col("p.event_id").alias("peak_event_id"),
+        F.col("p.k").alias("peak_k"),
+        F.col("p.score").cast("bigint").alias("peak_score"),
+    )
+
+
+# --------------------------------------------------------------------------
 # 179. groupwise_quantiles — exact per-type quartiles from the domain frame
 # --------------------------------------------------------------------------
 # Lower-quantile semantics: q_k = first v with 4·cum >= k·n (k=1,2,3) —
