@@ -324,9 +324,21 @@ def test_bench_bands_maintains_sub_cutoff_sum_band():
     ]
     merged = merge_bands(dict(base), runs, "test")
     assert merged["sub_cutoff_band"] == [0.6, 0.7]
-    # an inflated sum high (past 1.5x the 0.5 floor-sum) is capped
-    merged2 = merge_bands(merged, [{"a": 0.5, "b": 0.6, "big": 5.0}], "t2")
-    assert merged2["sub_cutoff_band"][1] == 0.7
-    assert "sub_cutoff_sum" in merged2["band_provenance"][-1][
+    # the membership the band was measured over is frozen next to it
+    # (ADVICE r7: the gate must compare the same query set)
+    assert merged["sub_cutoff_members"] == ["a", "b"]
+    # a high past ratio x floor-sum but within the 1s absolute delta is
+    # the same scheduler jitter the gate excuses — merged, not capped
+    # (ADVICE r7: the old guard refused highs the gate would never flag)
+    merged2 = merge_bands(dict(merged), [{"a": 0.5, "b": 0.6, "big": 5.0}], "t2")
+    assert merged2["sub_cutoff_band"][1] == 1.1
+    assert "sub_cutoff_sum" not in merged2["band_provenance"][-1][
+        "capped_inflated_highs"
+    ]
+    # an inflated sum high past BOTH gate criteria (ratio AND >=1s
+    # absolute growth) is capped
+    merged3 = merge_bands(dict(merged), [{"a": 1.0, "b": 0.8, "big": 5.0}], "t3")
+    assert merged3["sub_cutoff_band"][1] == 0.7
+    assert "sub_cutoff_sum" in merged3["band_provenance"][-1][
         "capped_inflated_highs"
     ]
