@@ -56,10 +56,14 @@ _ENUMERATE_FIRST: tuple[str, ...] = (
     "attribution_last_touch_bucketed",
     "curation_pipeline_e2e",
     "cusum_changepoint_bucketed",
+    "dedup_stream_audit",
     "events_rolling_7d_bucketed",
     "multimodal_decode_bmp",
     "scd2_intervals_bucketed",
+    "session_window_audit",
     "sessions_overlap_bucketed",
+    "sync_audit",
+    "windowed_counts_audit",
     # --- latest official green row is round 4 ---
     "dedup_clusters",
     "dedup_containment",
@@ -300,6 +304,7 @@ def _load() -> None:
         retrieval_queries,
         rewrite_queries,
         stats_queries,
+        streaming_faces,
         timeseries_queries,
         tokenizer_queries,
         traversal_queries,

@@ -1,0 +1,424 @@
+"""Driver-hashable streaming faces, second pack (r8, SURVEY.md §2
+rows 197-200): each query runs a REAL Structured-Streaming component
+from strava_data_pipeline_spark/streaming/ over a deterministic feed
+derived from the events table, then hashes the COMMITTED artifacts
+against a batch SQL oracle — the quarantine_audit pattern. A wrong
+merge, a dropped/duplicated row, a mis-finalized window, or a
+clobbered untouched partition is a hash mismatch on the landed
+parquet, not just a pytest assertion.
+
+Determinism disciplines (one per face, documented per query):
+- latest-wins sync: corrections carry a STRICTLY later timestamp on
+  the same calendar day, so the winner is batch-order independent.
+- windowed counts: time-sliced mtime-ordered batches keep the
+  watermark monotonic; sentinel flush batches finalize every real
+  window (aggregation state only flushes in a batch that runs AFTER
+  the watermark advanced — the attribution_audit two-run shape).
+- stream dedup: planted re-deliveries stay within the lateness bound
+  (same batch, or the next batch's within-watermark head), because a
+  dup arriving past state eviction is ALLOWED to pass (the documented
+  degrade the downstream upsert absorbs) and would be nondeterminism
+  here.
+- session windows: native F.session_window state finalizes like any
+  watermark aggregation (flush batches again); the oracle is the
+  batch gap-sessionize arithmetic with end = last event + gap, and
+  the exact-gap boundary (merge, not break — verified by a planted
+  test) matches the batch sessionize contract.
+
+The stateful applyInPandasWithState sessionizer (streaming/stateful.py)
+stays pytest-only BY DESIGN: its ProcessingTimeTimeout closes sessions
+on wall-clock trigger cadence, which no deterministic oracle can
+reproduce — the native session-window face covers the semantics that
+ARE event-time-deterministic.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from strava_data_pipeline_spark.plans.registry import register
+from strava_data_pipeline_spark.sources.catalog import load_table
+
+_FLUSH_TYPE = "__flush"
+
+
+def _mkroot(sf_dir: str, name: str) -> str:
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
+    root = f"spark-warehouse/_{name}_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(os.path.join(root, "landing"))
+    return root
+
+
+def _land(landing: str, df: DataFrame, mtime: int) -> None:
+    """One parquet file per call, mtime pinned: the file source orders
+    pending files by modification time, and equal mtimes would leave
+    batch order to listing luck (load-bearing for watermarked feeds)."""
+    before = set(os.listdir(landing))
+    df.coalesce(1).write.mode("append").parquet(landing)
+    for f in set(os.listdir(landing)) - before:
+        if f.endswith(".parquet"):
+            os.utime(os.path.join(landing, f), (mtime, mtime))
+
+
+def _stream(spark: SparkSession, landing: str) -> DataFrame:
+    from strava_data_pipeline_spark.streaming.sync import EVENT_SCHEMA
+
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+
+
+def _event_cols(df: DataFrame) -> DataFrame:
+    from strava_data_pipeline_spark.streaming.sync import EVENT_SCHEMA
+
+    return df.select(*[f.name for f in EVENT_SCHEMA.fields])
+
+
+def _time_slices(ev: DataFrame, k: int = 4) -> list[DataFrame]:
+    """k contiguous epoch-range slices — the order a real feed lands."""
+    lo, hi = ev.agg(
+        F.min(F.col("ts").cast("long")), F.max(F.col("ts").cast("long"))
+    ).first()
+    step = (hi - lo) // k + 1
+    return [
+        ev.where(
+            (F.col("ts").cast("long") >= lo + i * step)
+            & (F.col("ts").cast("long") < lo + (i + 1) * step)
+        )
+        for i in range(k)
+    ], hi
+
+
+def _flush_row(spark: SparkSession, epoch_s: int) -> DataFrame:
+    from datetime import datetime, timezone
+
+    from strava_data_pipeline_spark.streaming.sync import EVENT_SCHEMA
+
+    t = datetime.fromtimestamp(epoch_s, tz=timezone.utc).replace(tzinfo=None)
+    return spark.createDataFrame(
+        [(-1, t, -1, _FLUSH_TYPE, 0.0)], EVENT_SCHEMA
+    )
+
+
+# --------------------------------------------------------------------------
+# 197. sync_audit — the reference's core semantic, proven on disk
+# --------------------------------------------------------------------------
+# Latest-wins incremental upsert into a day-partitioned target
+# (streaming/sync.py = the Spark-native ON CONFLICT (id) DO UPDATE of
+# /root/reference/internal/db/activities.go:99 + the 24h-lookback sync
+# ticker of strava.go:261). Corrections re-deliver event_id % 13 == 0
+# rows with value + 1000 at 23:59:59 of the SAME calendar day — a
+# strictly later timestamp (rows already at/after that instant are
+# excluded from the correction set), so the merge winner is
+# batch-ORDER independent and the correction stays in its original day
+# partition (the documented sync contract: a correction record keeps
+# its event's calendar day).
+_SYNC_AUDIT_ORACLE = """
+WITH marked AS (
+    SELECT *,
+           CAST(CAST(ts AS DATE) AS TIMESTAMP) + INTERVAL 86399 SECOND
+             AS day_end,
+           event_id % 13 = 0 AS cand
+    FROM events
+)
+SELECT event_id,
+       CASE WHEN cand AND epoch_us(ts) < epoch_us(day_end)
+            THEN day_end ELSE ts END AS ts,
+       user_id, event_type,
+       CASE WHEN cand AND epoch_us(ts) < epoch_us(day_end)
+            THEN value + 1000.0 ELSE value END AS value,
+       CAST(ts AS DATE) AS p_day
+FROM marked
+"""
+
+
+@register("sync_audit", oracle=_SYNC_AUDIT_ORACLE, tags=("streaming", "ops"))
+def sync_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end audit of the incremental sync sink: land the event
+    table as four id-split micro-batches plus a CORRECTION batch
+    (same event_id, strictly later same-day timestamp, value + 1000),
+    run the REAL foreachBatch latest-wins merge
+    (streaming/sync.py::start_incremental_sync — partition-pruned
+    read, dynamic-partition overwrite, one merge code path shared with
+    batch ingestion), and hash the committed day-partitioned table.
+    A double-applied merge, a lost correction, a tie broken the wrong
+    way, or a dynamic overwrite that clobbers an untouched day is a
+    hash mismatch. Batch order is deliberately NOT controlled beyond
+    distinct mtimes: the planted corrections are strictly-later by
+    construction, so any arrival order must converge to the same
+    table — that order-independence IS part of the audited contract."""
+    from strava_data_pipeline_spark.streaming.sync import (
+        start_incremental_sync,
+    )
+
+    root = _mkroot(sf_dir, "syncaudit")
+    landing = os.path.join(root, "landing")
+    target = os.path.join(root, "target")
+    ckpt = os.path.join(root, "ckpt")
+
+    ev = load_table(spark, sf_dir, "events")
+    for k in range(4):
+        _land(landing, _event_cols(ev.where(F.col("event_id") % 4 == k)),
+              1_000_000 + k)
+    day_end = F.to_timestamp(F.to_date("ts")) + F.expr(
+        "INTERVAL 86399 SECONDS"
+    )
+    corrections = (
+        ev.where(
+            (F.col("event_id") % 13 == 0)
+            & (F.unix_micros("ts") < F.unix_micros(day_end))
+        )
+        .withColumn("ts", day_end)
+        .withColumn("value", F.col("value") + F.lit(1000.0))
+    )
+    _land(landing, _event_cols(corrections), 1_000_004)
+
+    start_incremental_sync(
+        _stream(spark, landing), target, ckpt
+    ).awaitTermination()
+
+    t = spark.read.parquet(target)
+    return t.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        "ts",
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+        F.col("p_day").cast("date").alias("p_day"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 198. windowed_counts_audit — watermarked tumbling aggregation on disk
+# --------------------------------------------------------------------------
+_WINCOUNT_ORACLE = """
+SELECT to_timestamp(CAST(floor(epoch(ts)) AS BIGINT) // 600 * 600)
+         AS window_start,
+       to_timestamp(CAST(floor(epoch(ts)) AS BIGINT) // 600 * 600 + 600)
+         AS window_end,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+@register(
+    "windowed_counts_audit", oracle=_WINCOUNT_ORACLE, tags=("streaming", "ops")
+)
+def windowed_counts_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end audit of the watermarked tumbling-window aggregation
+    (streaming/windowed.py::windowed_type_counts, 10-min windows,
+    60-min lateness, append mode): land four TIME-SLICED micro-batches
+    (epoch-aligned slices, mtimes ordered — a window's rows never
+    arrive behind the watermark), finalize every real window with two
+    sentinel flush batches (append-mode aggregation state flushes only
+    in a batch that RUNS with the advanced watermark — the
+    attribution_audit two-run shape), and hash the committed windows
+    against the batch GROUP BY over the same 10-minute epoch buckets.
+    A window emitted early (non-final counts), twice, or never is a
+    hash mismatch. The sentinel's own (unfinalized) window filters out
+    by its event_type."""
+    from strava_data_pipeline_spark.streaming.windowed import (
+        windowed_type_counts,
+    )
+
+    root = _mkroot(sf_dir, "wincount")
+    landing = os.path.join(root, "landing")
+    target = os.path.join(root, "target")
+    ckpt = os.path.join(root, "ckpt")
+
+    ev = load_table(spark, sf_dir, "events")
+    slices, hi = _time_slices(ev)
+    for k, sl in enumerate(slices):
+        _land(landing, _event_cols(sl), 1_000_000 + k)
+
+    def run_once() -> None:
+        (
+            windowed_type_counts(_stream(spark, landing))
+            .writeStream.format("parquet")
+            .option("path", target)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    _land(landing, _flush_row(spark, hi + 864_000), 1_000_010)
+    run_once()
+    _land(landing, _flush_row(spark, hi + 1_728_000), 1_000_020)
+    run_once()
+
+    return spark.read.parquet(target).where(
+        F.col("event_type") != _FLUSH_TYPE
+    ).select(
+        "window_start",
+        "window_end",
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("total_value").cast("double").alias("total_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 199. dedup_stream_audit — in-flight re-delivery drop on disk
+# --------------------------------------------------------------------------
+_SDEDUP_ORACLE = """
+SELECT event_id, ts, user_id, event_type, value FROM events
+"""
+
+
+@register(
+    "dedup_stream_audit", oracle=_SDEDUP_ORACLE, tags=("streaming", "ops")
+)
+def dedup_stream_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end audit of streaming deduplication
+    (streaming/dedup.py::dedup_stream —
+    ``dropDuplicatesWithinWatermark`` on event_id, 60-min lateness):
+    land four time-sliced batches where (a) event_id % 7 == 0 rows are
+    duplicated WITHIN their own batch file and (b) each slice's last
+    30 minutes of rows are re-delivered at the head of the NEXT batch
+    — both re-delivery shapes land inside the lateness bound, where
+    the drop is guaranteed (a dup past state eviction is ALLOWED to
+    pass by contract; the downstream latest-wins upsert absorbs it —
+    planting one would audit nondeterminism). The committed sink must
+    hash to exactly the original event table: a missed drop lands a
+    duplicate row, an over-aggressive drop loses one. No flush batches:
+    dropDuplicates emits first deliveries immediately (state only
+    blocks future copies), so append mode commits every kept row in
+    its own batch."""
+    from strava_data_pipeline_spark.streaming.dedup import dedup_stream
+
+    root = _mkroot(sf_dir, "sdedup")
+    landing = os.path.join(root, "landing")
+    target = os.path.join(root, "target")
+    ckpt = os.path.join(root, "ckpt")
+
+    ev = load_table(spark, sf_dir, "events")
+    slices, _hi = _time_slices(ev)
+    bounds = [
+        sl.agg(F.max(F.col("ts").cast("long"))).first()[0] for sl in slices
+    ]
+    for k, sl in enumerate(slices):
+        batch = _event_cols(sl)
+        dups = _event_cols(sl.where(F.col("event_id") % 7 == 0))
+        if k > 0 and bounds[k - 1] is not None:
+            tail = slices[k - 1].where(
+                F.col("ts").cast("long") > bounds[k - 1] - 1800
+            )
+            dups = dups.unionByName(_event_cols(tail))
+        _land(landing, batch.unionByName(dups), 1_000_000 + k)
+
+    (
+        dedup_stream(_stream(spark, landing))
+        .writeStream.format("parquet")
+        .option("path", target)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+    return spark.read.parquet(target).select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        "ts",
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 200. session_window_audit — native session windows on disk
+# --------------------------------------------------------------------------
+# Oracle = the batch gap-sessionize arithmetic: session_window merges
+# events closer than the gap; a session's window runs [min(ts),
+# max(ts) + gap). Same flagged/summed CTE as the events_sessionize
+# oracle, with the window-end and value-sum columns added.
+_SESSWIN_ORACLE = """
+WITH flagged AS (
+    SELECT user_id, ts, value, event_id,
+           CASE WHEN floor(epoch(ts)) - lag(floor(epoch(ts))) OVER w > 1800
+                THEN 1 ELSE 0 END AS new_s
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+    SELECT user_id, ts, value,
+           CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+    FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM sess GROUP BY user_id, session_seq
+"""
+
+
+@register(
+    "session_window_audit", oracle=_SESSWIN_ORACLE, tags=("streaming", "ops")
+)
+def session_window_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end audit of NATIVE streaming session windows
+    (streaming/windowed.py::session_window_stats — F.session_window
+    merges events closer than the 30-min gap inside the state store,
+    closed sessions append once the watermark passes their end): four
+    time-sliced batches + two sentinel flushes, committed sessions
+    hashed against the batch gap-sessionize SQL with session_end =
+    last event + gap. A session split on a batch boundary, merged
+    across a real gap, emitted before its close, or emitted twice is
+    a hash mismatch.
+
+    Boundary semantics pinned by the oracle AND by a planted test
+    (tests/test_streaming.py::test_session_window_exact_gap_boundary):
+    F.session_window MERGES an event arriving EXACTLY gap after the
+    previous one — the same > 1800 break contract as the batch
+    sessionize — so the two engines' session sets are identical at
+    every boundary, not just on gap-free corpora."""
+    from strava_data_pipeline_spark.streaming.windowed import (
+        session_window_stats,
+    )
+
+    root = _mkroot(sf_dir, "sesswin")
+    landing = os.path.join(root, "landing")
+    target = os.path.join(root, "target")
+    ckpt = os.path.join(root, "ckpt")
+
+    ev = load_table(spark, sf_dir, "events")
+    slices, hi = _time_slices(ev)
+    for k, sl in enumerate(slices):
+        _land(landing, _event_cols(sl), 1_000_000 + k)
+
+    def run_once() -> None:
+        (
+            session_window_stats(_stream(spark, landing))
+            .writeStream.format("parquet")
+            .option("path", target)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    _land(landing, _flush_row(spark, hi + 864_000), 1_000_010)
+    run_once()
+    _land(landing, _flush_row(spark, hi + 1_728_000), 1_000_020)
+    run_once()
+
+    return spark.read.parquet(target).where(F.col("user_id") >= 0).select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "session_start",
+        "session_end",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("total_value").cast("double").alias("total_value"),
+    )

@@ -1134,3 +1134,72 @@ class TestReviewHardening:
             for r in events_rollup_of(V.read_snapshot(spark, store)).collect()
         }
         assert got == want, "post-vacuum re-seed diverged from recompute"
+
+
+def test_session_window_exact_gap_boundary(spark, dirs):
+    # F.session_window MERGES an event arriving EXACTLY gap after the
+    # previous one (verified here on a planted pair — the synthetic
+    # corpus has no exact-gap case to exercise it): the same > 1800
+    # break contract as batch sessionize, which is what
+    # session_window_audit's oracle encodes. A half-open reading of
+    # the window ([start, last+gap)) would predict a split; Spark's
+    # merge step treats start <= other.end as overlapping.
+    from strava_data_pipeline_spark.streaming.windowed import (
+        session_window_stats,
+    )
+
+    landing, target, ckpt = dirs
+    _write_batch(
+        spark,
+        landing,
+        [
+            (1, datetime(2024, 1, 1, 10, 0), 7, "run", 1.0),
+            # exactly 30 min later -> new session under session_window
+            (2, datetime(2024, 1, 1, 10, 30), 7, "run", 2.0),
+            # 29:59 later -> same session
+            (3, datetime(2024, 1, 1, 10, 59, 59), 7, "run", 3.0),
+            # watermark pusher so both sessions close
+            (4, datetime(2024, 1, 3), 99, "run", 0.0),
+        ],
+    )
+
+    def run_once():
+        q = (
+            session_window_stats(read_event_stream(spark, landing))
+            .writeStream.format("parquet")
+            .option("path", target)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    _write_batch(spark, landing, [(5, datetime(2024, 1, 5), 99, "run", 0.0)])
+    run_once()
+    got = {
+        (r["user_id"], r["n_events"], r["total_value"])
+        for r in spark.read.parquet(target).collect()
+        if r["user_id"] == 7
+    }
+    assert got == {(7, 3, 6.0)}
+
+    # the batch contract agrees at the boundary: > 1800 keeps the
+    # exact-gap pair together -> ONE session of all three events
+    from strava_data_pipeline_spark.operators.sessionize import sessionize
+
+    ev = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 10, 0), 7, "run", 1.0),
+            (2, datetime(2024, 1, 1, 10, 30), 7, "run", 2.0),
+            (3, datetime(2024, 1, 1, 10, 59, 59), 7, "run", 3.0),
+        ],
+        EVENT_SCHEMA,
+    )
+    n_sessions = (
+        sessionize(ev, gap_minutes=30)
+        .select("session_seq")
+        .distinct()
+        .count()
+    )
+    assert n_sessions == 1
