@@ -57,7 +57,9 @@ _ENUMERATE_FIRST: tuple[str, ...] = (
     "curation_pipeline_e2e",
     "cusum_changepoint_bucketed",
     "dedup_stream_audit",
+    "enrich_audit",
     "events_rolling_7d_bucketed",
+    "ewma_audit",
     "multimodal_decode_bmp",
     "scd2_intervals_bucketed",
     "session_window_audit",

@@ -422,3 +422,111 @@ def session_window_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("bigint").alias("n_events"),
         F.col("total_value").cast("double").alias("total_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# 201. enrich_audit — stream-static enrichment on disk
+# --------------------------------------------------------------------------
+_ENRICH_ORACLE = """
+SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value,
+       c.c_name AS user_name
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+
+@register("enrich_audit", oracle=_ENRICH_ORACLE, tags=("streaming", "ops"))
+def enrich_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end audit of stream-static enrichment
+    (streaming/enrich.py::enrich_with_users — per-micro-batch
+    broadcast left join to the customer dim, the streaming shape of
+    the reference's query-time user join, api.go:107): four id-split
+    micro-batches through the real sink, committed rows hashed against
+    the batch LEFT JOIN. Left semantics are part of the contract — an
+    event from an unknown athlete must flow through with a NULL name,
+    not vanish (an inner-join slip upstream would change the row count
+    AND the hash). Order-insensitive (a pure per-row join), so no
+    mtime or flush choreography is needed."""
+    from strava_data_pipeline_spark.streaming.enrich import (
+        enrich_with_users,
+    )
+
+    root = _mkroot(sf_dir, "enrich")
+    landing = os.path.join(root, "landing")
+    target = os.path.join(root, "target")
+    ckpt = os.path.join(root, "ckpt")
+
+    ev = load_table(spark, sf_dir, "events")
+    for k in range(4):
+        _land(landing, _event_cols(ev.where(F.col("event_id") % 4 == k)),
+              1_000_000 + k)
+
+    users = load_table(spark, sf_dir, "customer")
+    (
+        enrich_with_users(_stream(spark, landing), users)
+        .writeStream.format("parquet")
+        .option("path", target)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+    return spark.read.parquet(target).select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        "ts",
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+        "user_name",
+    )
+
+
+# --------------------------------------------------------------------------
+# 202. ewma_audit — custom-stateful exact-rational EWMA on disk
+# --------------------------------------------------------------------------
+def _ewma_oracle() -> str:
+    from strava_data_pipeline_spark.plans.timeseries_queries import (
+        _EWMA_ORACLE,
+    )
+
+    return _EWMA_ORACLE
+
+
+@register("ewma_audit", oracle=_ewma_oracle(), tags=("streaming", "ops"))
+def ewma_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end audit of the custom stateful EWMA operator
+    (streaming/ewma.py::ewma_stream, applyInPandasWithState — per-user
+    trailing-7 BIGINT cent state, exact-rational (num, den) output):
+    the SAME oracle as the batch events_ewma query, because the
+    streaming contract is row-identity with the batch operator under
+    an append-ordered feed. Four TIME-SLICED mtime-ordered batches
+    supply that order (the incremental-sync landing contract); within
+    a batch the update fn sorts each group by (ts, event_id) itself.
+    No flush batches: the operator emits per arriving event and its
+    state never times out. A chunk-order slip, a state shift bug, or a
+    checkpoint-resume double-emission lands in the hash. The float
+    column is round(num/den, 6) over identical exact BIGINTs — the
+    same cross-engine contract the batch face already proves."""
+    from strava_data_pipeline_spark.streaming.ewma import start_ewma_sink
+
+    root = _mkroot(sf_dir, "ewma")
+    landing = os.path.join(root, "landing")
+    target = os.path.join(root, "target")
+    ckpt = os.path.join(root, "ckpt")
+
+    ev = load_table(spark, sf_dir, "events")
+    slices, _hi = _time_slices(ev)
+    for k, sl in enumerate(slices):
+        _land(landing, _event_cols(sl), 1_000_000 + k)
+
+    start_ewma_sink(
+        _stream(spark, landing), target, ckpt
+    ).awaitTermination()
+
+    return spark.read.parquet(target).select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("ewma_num").cast("bigint").alias("ewma_num"),
+        F.col("ewma_den").cast("bigint").alias("ewma_den"),
+        F.col("ewma_cents").cast("double").alias("ewma_cents"),
+    )
