@@ -56,6 +56,7 @@ _ENUMERATE_FIRST: tuple[str, ...] = (
     "attribution_last_touch_bucketed",
     "curation_pipeline_e2e",
     "cusum_changepoint_bucketed",
+    "dedup_index_audit",
     "dedup_stream_audit",
     "enrich_audit",
     "events_rolling_7d_bucketed",
@@ -65,6 +66,7 @@ _ENUMERATE_FIRST: tuple[str, ...] = (
     "session_window_audit",
     "sessions_overlap_bucketed",
     "sync_audit",
+    "versioned_sink_audit",
     "windowed_counts_audit",
     # --- latest official green row is round 4 ---
     "dedup_clusters",

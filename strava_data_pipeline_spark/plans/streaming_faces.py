@@ -530,3 +530,246 @@ def ewma_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ewma_den").cast("bigint").alias("ewma_den"),
         F.col("ewma_cents").cast("double").alias("ewma_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# 203. versioned_sink_audit — exactly-once snapshot history on disk
+# --------------------------------------------------------------------------
+_VSINK_ORACLE = """
+WITH marked AS (
+    SELECT *,
+           CAST(CAST(ts AS DATE) AS TIMESTAMP) + INTERVAL 86399 SECOND
+             AS day_end,
+           event_id % 13 = 0 AS cand
+    FROM events
+)
+SELECT event_id,
+       CASE WHEN cand AND epoch_us(ts) < epoch_us(day_end)
+            THEN day_end ELSE ts END AS ts,
+       user_id, event_type,
+       CASE WHEN cand AND epoch_us(ts) < epoch_us(day_end)
+            THEN value + 1000.0 ELSE value END AS value,
+       CAST(ts AS DATE) AS p_day,
+       CAST(5 AS BIGINT) AS n_versions
+FROM marked
+"""
+
+
+@register(
+    "versioned_sink_audit", oracle=_VSINK_ORACLE, tags=("streaming", "ops")
+)
+def versioned_sink_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end audit of the exactly-once versioned snapshot sink
+    (streaming/versioned_sink.py — per-batch latest-wins merge
+    published as a committed version via the partition-manifest
+    protocol, replays short-circuited by batch markers): the sync_audit
+    feed (four id-split batches + a strictly-later same-day correction
+    batch) through the REAL partition-scoped sink, then a full REPLAY
+    of the whole stream from a rebuilt checkpoint under the SAME
+    app_id — every batch id re-fires and every one must be swallowed
+    by its marker. The hash covers BOTH contracts at once: the latest
+    committed snapshot's rows (read through the version manifest, the
+    same read path time travel uses) must equal the batch latest-wins
+    CASE expression, and the constant n_versions column must equal
+    exactly 5 — one version per applied batch, ZERO added by the
+    replay. A double-applied batch, a replay that re-merges (6+
+    versions), or a manifest that drops an untouched day partition is
+    a hash mismatch on committed artifacts."""
+    from strava_data_pipeline_spark.sources import versioned as V
+    from strava_data_pipeline_spark.streaming.versioned_sink import (
+        start_versioned_sink,
+    )
+
+    root = _mkroot(sf_dir, "vsink")
+    landing = os.path.join(root, "landing")
+    store = os.path.join(root, "store")
+    ckpt = os.path.join(root, "ckpt")
+
+    ev = load_table(spark, sf_dir, "events")
+    for k in range(4):
+        _land(landing, _event_cols(ev.where(F.col("event_id") % 4 == k)),
+              1_000_000 + k)
+    day_end = F.to_timestamp(F.to_date("ts")) + F.expr(
+        "INTERVAL 86399 SECONDS"
+    )
+    corrections = (
+        ev.where(
+            (F.col("event_id") % 13 == 0)
+            & (F.unix_micros("ts") < F.unix_micros(day_end))
+        )
+        .withColumn("ts", day_end)
+        .withColumn("value", F.col("value") + F.lit(1000.0))
+    )
+    _land(landing, _event_cols(corrections), 1_000_004)
+
+    def run_once(checkpoint: str) -> None:
+        start_versioned_sink(
+            _stream(spark, landing),
+            store,
+            checkpoint,
+            partition_col="p_day",
+            app_id="vsink_audit",
+        ).awaitTermination()
+
+    run_once(ckpt)
+    # the crash-after-commit-before-checkpoint replay, at full-stream
+    # width: a rebuilt checkpoint re-fires batch ids 0..4 under the
+    # same app_id — the markers must swallow every one
+    run_once(ckpt + "_replay")
+
+    ver = V.current_version(spark, store)
+    manifest = V.read_manifest(spark, store, ver)
+    snap = spark.read.parquet(
+        *sorted({f"{store}/{rel}" for rel in manifest.values()})
+    )
+    return snap.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        "ts",
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+        F.col("p_day").cast("date").alias("p_day"),
+        F.lit(int(ver)).cast("bigint").alias("n_versions"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 204. dedup_index_audit — the streaming dedup index, replayed in SQL
+# --------------------------------------------------------------------------
+def _dedup_index_oracle(n_batches: int = 4, threshold: float = 0.75) -> str:
+    """Chained oracle that REPLAYS the sequential index semantics: per
+    batch level k, the band table is built from (signatures of every
+    doc KEPT so far) ∪ (batch k's signatures), hot buckets capped over
+    that full table, and a batch doc drops on est >= threshold against
+    an index doc (any id) or an earlier batch doc (lower id) — the
+    exact verdict rules of operators/dedup.minhash_incremental_pairs,
+    applied four times with the kept set threaded through. Dropped
+    docs' signatures never enter later levels, which is the property
+    a one-shot oracle cannot express."""
+    from strava_data_pipeline_spark.functions.hashing import (
+        MINHASH_PRIME,
+        md5_u32_duckdb,
+        perm_params,
+    )
+    from strava_data_pipeline_spark.operators import dedup as D
+    from strava_data_pipeline_spark.plans.llm_queries import (
+        _DUCK_SHINGLES,
+        _DUCK_TOKENS,
+    )
+
+    params = perm_params(D.N_PERMS)
+    mh_cols = ",\n        ".join(
+        f"min((x * {a} + {b}) % {MINHASH_PRIME}) AS mh_{j}"
+        for j, (a, b) in enumerate(params)
+    )
+    eq = " + ".join(
+        f"(CASE WHEN sa.mh_{j} = sb.mh_{j} THEN 1 ELSE 0 END)"
+        for j in range(D.N_PERMS)
+    )
+    levels = []
+    kept_union = []
+    for k in range(n_batches):
+        prior = (
+            "SELECT doc_id, FALSE AS is_new FROM ("
+            + " UNION ALL ".join(f"SELECT doc_id FROM k{i}" for i in range(k))
+            + ")\n    UNION ALL\n    "
+            if k
+            else ""
+        )
+        bands = "\n    UNION ALL\n".join(
+            "    SELECT m.doc_id, m.is_new, {b} AS band,"
+            " md5(concat_ws(',', {cols})) AS bkey"
+            " FROM sig s JOIN mem{k} m USING (doc_id)".format(
+                b=b,
+                k=k,
+                cols=", ".join(
+                    f"s.mh_{b * D.ROWS_PER_BAND + r}"
+                    for r in range(D.ROWS_PER_BAND)
+                ),
+            )
+            for b in range(D.N_BANDS)
+        )
+        levels.append(f"""mem{k} AS MATERIALIZED (
+    {prior}SELECT doc_id, TRUE AS is_new FROM documents WHERE doc_id % {n_batches} = {k}
+), b{k} AS MATERIALIZED (
+{bands}
+), c{k} AS MATERIALIZED (
+    SELECT * FROM b{k}
+    QUALIFY count(*) OVER (PARTITION BY band, bkey) <= {D.MAX_BUCKET}
+), d{k} AS MATERIALIZED (
+    SELECT DISTINCT p.new_doc FROM (
+        SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS partner
+        FROM c{k} a JOIN c{k} b
+          ON a.band = b.band AND a.bkey = b.bkey
+         AND a.is_new AND a.doc_id <> b.doc_id
+         AND (NOT b.is_new OR b.doc_id < a.doc_id)
+    ) p
+    JOIN sig sa ON sa.doc_id = p.new_doc
+    JOIN sig sb ON sb.doc_id = p.partner
+    WHERE round(({eq}) / {float(D.N_PERMS)}, 4) >= {threshold}
+), k{k} AS MATERIALIZED (
+    SELECT doc_id FROM documents
+    WHERE doc_id % {n_batches} = {k}
+      AND doc_id NOT IN (SELECT new_doc FROM d{k})
+)""")
+    return f"""
+WITH toks AS (
+    SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents
+), sh AS (
+    SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle FROM toks
+), hx AS (
+    SELECT doc_id, {md5_u32_duckdb('shingle')} AS x FROM sh
+), sig AS MATERIALIZED (
+    SELECT doc_id,
+        {mh_cols}
+    FROM hx GROUP BY doc_id
+), {', '.join(levels)}
+SELECT doc_id FROM ({' UNION ALL '.join(f'SELECT doc_id FROM k{i}' for i in range(n_batches))})
+"""
+
+
+@register(
+    "dedup_index_audit",
+    oracle=_dedup_index_oracle(),
+    tags=("streaming", "llm", "dedup"),
+)
+def dedup_index_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end audit of the streaming near-dup index
+    (streaming/dedup_index.py::start_minhash_dedup_sink — each
+    micro-batch judged against every doc EVER KEPT via the versioned
+    signature index, survivors committed to kept-docs dirs and their
+    signatures merged into the next index version): the documents
+    table lands as four id-split mtime-ORDERED batches (order is
+    load-bearing — the kept set depends on what the index held when
+    each batch arrived), and the committed kept-docs union must hash
+    against a four-level chained oracle that replays the sequential
+    semantics with the kept set threaded level to level. A dropped
+    doc's signature leaking into a later level's band table, a batch
+    judged against the wrong index generation, or a survivor lost in
+    the kept-dir overwrite is a hash mismatch on committed artifacts.
+    Per-trigger work in the component stays O(batch x bucket) — the
+    corpus only ever contributes its stored 17-column signature rows,
+    never its text."""
+    from strava_data_pipeline_spark.streaming.dedup_index import (
+        read_doc_stream,
+        read_kept_docs,
+        start_minhash_dedup_sink,
+    )
+
+    root = _mkroot(sf_dir, "dedupidx")
+    landing = os.path.join(root, "landing")
+    index_root = os.path.join(root, "index")
+    kept_dir = os.path.join(root, "kept")
+    ckpt = os.path.join(root, "ckpt")
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    for k in range(4):
+        _land(landing, docs.where(F.col("doc_id") % 4 == k), 1_000_000 + k)
+
+    start_minhash_dedup_sink(
+        read_doc_stream(spark, landing), index_root, kept_dir, ckpt
+    ).awaitTermination()
+
+    return read_kept_docs(spark, kept_dir).select(
+        F.col("doc_id").cast("bigint").alias("doc_id")
+    )
