@@ -178,6 +178,9 @@ BENCH_QUERIES = [
     "sessions_overlap_bucketed",
     "curation_pipeline_e2e",
     "multimodal_decode_bmp",
+    # round-8 continuation (LZW decode + per-source calibration)
+    "multimodal_decode_gif",
+    "quality_calibration",
 ]
 
 

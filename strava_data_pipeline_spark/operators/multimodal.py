@@ -2,12 +2,14 @@
 
 Images/audio/video ride through the pipeline as ``binary`` columns with
 a typed metadata struct. The Spark-side machinery — schema, Arrow-batch
-UDF signatures, ``mapInPandas`` partitioning — is real and tested. Two
-codecs decode for REAL, pure-python: binary PPM (P6) and RLE8-
-compressed 8-bit BMP (run-length decompression + palette lookup) —
-each exercised end-to-end by a registry query whose oracle recomputes
-the decoded pixel stats arithmetically. Formats whose codecs need
-native libs not in this container (JPEG/PNG/...) remain STUBBED
+UDF signatures, ``mapInPandas`` partitioning — is real and tested.
+Three codecs decode for REAL, pure-python: binary PPM (P6), RLE8-
+compressed 8-bit BMP (run-length decompression + palette lookup), and
+LZW-compressed GIF (variable-width codes, clear/EOI, KwKwK, interlace)
+— each exercised end-to-end by a registry query whose oracle
+recomputes the decoded pixel stats arithmetically. Formats whose
+codecs need native libs not in this container (JPEG/PNG/...) remain
+STUBBED
 (``NotImplementedError``); ``fake_decode`` is the deterministic
 stand-in tests use for those batch shapes.
 
@@ -144,6 +146,8 @@ def decode_image(payload: bytes) -> dict:
         }
     if payload[:2] == b"BM":
         return _decode_bmp_rle8(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif_lzw(payload)
     raise NotImplementedError(
         "media codecs unavailable in this environment; "
         "swap in PIL.Image.open(io.BytesIO(payload)) on a real cluster"
@@ -270,6 +274,247 @@ def _decode_bmp_rle8(payload: bytes) -> dict:
     }
 
 
+def _gif_palette_entry(i: int) -> bytes:
+    """Palette entry for planted GIFs, stored file-order RGB (the GIF
+    color table is plain RGB triples, unlike BMP's BGRX). Affine in the
+    index so a SQL oracle recomputes decoded channel sums arithmetically
+    (plant_gif's contract); constants differ from the BMP palette so a
+    format-dispatch slip cannot accidentally hash-match."""
+    return bytes(((i * 11 + 5) % 256, (i * 13 + 7) % 256, (i * 17 + 11) % 256))
+
+
+def _lzw_compress(data: bytes, min_code_size: int) -> bytes:
+    """Real GIF-variant LZW compression: greedy longest-match phrase
+    dictionary, variable code width starting at ``min_code_size + 1``
+    bits (grows when the next free code reaches the width's capacity,
+    capped at 12 bits per the spec), clear/EOI control codes, and a
+    dictionary reset via CLEAR when the table fills — LSB-first bit
+    packing, as GIF readers expect."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    # Width growth keys on a PER-CODE counter ("running"), not on table
+    # adds: the decoder's phrase table inherently lags the encoder's by
+    # one entry (it learns wk only from the NEXT code), so an add-based
+    # rule desyncs the two sides by exactly one code at every width
+    # boundary. Counting codes — giflib's RunningCode — is identical on
+    # both sides by construction.
+    table: dict[bytes, int] = {bytes((i,)): i for i in range(clear)}
+    next_code = eoi + 1
+    running = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+
+    def emit_data(code: int) -> None:
+        nonlocal running, width
+        emit(code, width)
+        running += 1
+        if running > (1 << width) and width < 12:
+            width += 1
+
+    w = b""
+    for k in data:
+        wk = w + bytes((k,))
+        if wk in table:
+            w = wk
+            continue
+        emit_data(table[w])
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+        else:  # table full: clear and rebuild, like large real encoders
+            emit(clear, width)
+            table = {bytes((i,)): i for i in range(clear)}
+            next_code = eoi + 1
+            running = eoi + 1
+            width = min_code_size + 1
+        w = bytes((k,))
+    if w:
+        emit_data(table[w])
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress(data: bytes, min_code_size: int) -> bytes:
+    """Real GIF LZW decompression: variable-width LSB-first codes,
+    CLEAR resets, EOI termination, the KwKwK case (a code equal to the
+    next unassigned entry = previous phrase + its own first byte), and
+    width growth mirroring the encoder (bump when the next free code
+    reaches the current width's capacity, cap 12 bits)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    pos = 0  # bit cursor
+    total_bits = 8 * len(data)
+
+    def read(width: int) -> int:
+        nonlocal pos
+        if pos + width > total_bits:
+            raise ValueError("LZW stream ended without EOI")
+        byte0 = pos >> 3
+        chunk = int.from_bytes(
+            data[byte0 : (pos + width + 7) // 8], "little"
+        )
+        code = (chunk >> (pos & 7)) & ((1 << width) - 1)
+        pos += width
+        return code
+
+    out = bytearray()
+    table: list[bytes] = []
+    width = min_code_size + 1
+    running = eoi + 1
+    prev: bytes | None = None
+    while True:
+        code = read(width)
+        if code == clear:
+            table = [bytes((i,)) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            running = eoi + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:  # first code after a clear: literal by spec
+            if code >= clear:
+                raise ValueError(f"bad first LZW code {code}")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):  # KwKwK
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"LZW code {code} beyond table {len(table)}")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+        # per-code width rule, the mirror of the encoder's (see there)
+        running += 1
+        if running > (1 << width) and width < 12:
+            width += 1
+        prev = entry
+
+
+def encode_gif_lzw(width: int, height: int, indexes: bytes) -> bytes:
+    """Real GIF89a writer: header + logical screen descriptor + 256-
+    entry global color table + image descriptor + LZW-COMPRESSED pixel
+    stream in ≤255-byte sub-blocks + trailer. ``indexes`` is
+    ``width*height`` top-down row-major palette indexes."""
+    import struct
+
+    if len(indexes) != width * height:
+        raise ValueError(
+            f"GIF {width}x{height} needs {width * height} index bytes, "
+            f"got {len(indexes)}"
+        )
+    # packed: global color table, 8-bit color resolution, 256 entries
+    screen = struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
+    palette = b"".join(_gif_palette_entry(i) for i in range(256))
+    img_desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    lzw = _lzw_compress(indexes, 8)
+    blocks = bytearray(b"\x08")  # LZW minimum code size
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks += bytes((len(chunk),)) + chunk
+    blocks += b"\x00"  # block terminator
+    return (
+        b"GIF89a" + screen + palette + img_desc + bytes(blocks) + b"\x3b"
+    )
+
+
+def _decode_gif_lzw(payload: bytes) -> dict:
+    """Real GIF decode: logical screen descriptor, global/local color
+    tables, extension-block skipping, sub-block reassembly, full LZW
+    decompression (variable code widths, clear/EOI, KwKwK), and
+    interlaced row reordering (the four-pass 8/8-8/4-4/2-2/1 scheme).
+    Animated GIFs decode their FIRST frame (the still-image contract
+    downstream feature extraction wants); malformed streams fail
+    loudly rather than guessing. Same result shape as the P6/BMP paths
+    so downstream feature extraction is format-agnostic."""
+    import struct
+
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    i = 13
+    global_pal = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        global_pal = [payload[i + 3 * k : i + 3 * k + 3] for k in range(n)]
+        i += 3 * n
+    while True:
+        if i >= len(payload):
+            raise ValueError("GIF ended without an image descriptor")
+        b0 = payload[i]
+        i += 1
+        if b0 == 0x3B:
+            raise ValueError("GIF trailer before any image descriptor")
+        if b0 == 0x21:  # extension: label + sub-blocks, skip
+            i += 1
+            while i < len(payload) and payload[i] != 0:
+                i += 1 + payload[i]
+            if i >= len(payload):
+                raise ValueError("truncated GIF extension block")
+            i += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+        _left, _top, w, h, ipacked = struct.unpack_from("<HHHHB", payload, i)
+        i += 9
+        pal = global_pal
+        if ipacked & 0x80:  # local color table wins for this image
+            n = 2 << (ipacked & 0x07)
+            pal = [payload[i + 3 * k : i + 3 * k + 3] for k in range(n)]
+            i += 3 * n
+        if pal is None:
+            raise ValueError("GIF image with no color table")
+        if i >= len(payload):
+            raise ValueError("truncated GIF image data")
+        min_code = payload[i]
+        i += 1
+        lzw = bytearray()
+        while i < len(payload) and payload[i] != 0:
+            n = payload[i]
+            if i + 1 + n > len(payload):
+                raise ValueError("truncated GIF data sub-block")
+            lzw += payload[i + 1 : i + 1 + n]
+            i += 1 + n
+        if i >= len(payload):
+            raise ValueError("GIF data sub-blocks ended without terminator")
+        idx = _lzw_decompress(bytes(lzw), min_code)
+        if len(idx) != w * h:
+            raise ValueError(
+                f"GIF raster decoded to {len(idx)} indexes (expected {w * h})"
+            )
+        if ipacked & 0x40:  # interlaced: reorder the four passes
+            order = [r for s, st in ((0, 8), (4, 8), (2, 4), (1, 2))
+                     for r in range(s, h, st)]
+            rows = [b""] * h
+            for stored, actual in enumerate(order):
+                rows[actual] = idx[stored * w : (stored + 1) * w]
+            idx = b"".join(rows)
+        pixels = b"".join(pal[k] for k in idx)
+        return {
+            "format": "gif",
+            "width": w,
+            "height": h,
+            "maxval": 255,
+            "pixels": pixels,
+        }
+
+
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
     """Real resize — STUB (see decode_image)."""
     raise NotImplementedError("media codecs unavailable; see decode_image")
@@ -373,6 +618,26 @@ def plant_bmp(x: int) -> bytes:
         (base + 7 * r + c // 4) % 256 for r in range(h) for c in range(w)
     )
     return encode_bmp_rle8(w, h, idx)
+
+
+def plant_gif(x: int) -> bytes:
+    """Deterministic planted LZW GIF for hash seed ``x``: width
+    8 + x%25 and height 8 + (x//7)%17 — deliberately LARGER than the
+    P6/BMP plants so bigger images cross the 512-code boundary and the
+    variable-width LZW path (9→10 bits) carries real weight. Palette
+    index at (row r, col c) = (base + 11r + c//3) % 256 — runs of
+    three give the LZW dictionary real multi-symbol phrases. Index and
+    palette are both affine, so a DuckDB oracle recomputes the decoded
+    channel sums arithmetically (r = (idx*11+5) % 256, g = (idx*13+7)
+    % 256, b = (idx*17+11) % 256 — _gif_palette_entry, file-order
+    RGB)."""
+    w = 8 + x % 25
+    h = 8 + (x // 7) % 17
+    base = x % 251
+    idx = bytes(
+        (base + 11 * r + c // 3) % 256 for r in range(h) for c in range(w)
+    )
+    return encode_gif_lzw(w, h, idx)
 
 
 def attach_ppm_payload(docs_with_seed: DataFrame, planter=None) -> DataFrame:

@@ -923,3 +923,106 @@ def minhash_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(F.col("est_jaccard") - exact), 4).alias("abs_err"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# 206. quality_calibration — per-source quantile normalization (r8)
+# --------------------------------------------------------------------------
+# The curation step between scoring and filtering: raw quality scores
+# are not comparable ACROSS sources (a clean-wiki source's median beats
+# a crawl source's p90), so production filters calibrate per source —
+# replace each doc's score with its within-source quantile rank, then
+# cut at one global quantile. Exact-integer discipline throughout: the
+# score is BIGINT micro-units (floor DIV — Spark DIV == DuckDB //), the
+# rank key is the total order (score, doc_id) so no tie semantics can
+# diverge, and the percent rank is (rank-1)*1e6 // (n-1) in micro-units
+# (single-doc sources pin to 1e6). Scale: ONE shuffle on source; a
+# pathological hot source rides the same two-phase bucketed_cumsum
+# remedy the window tier uses (rank == cumsum of ones), so the plan
+# survives skew without a rewrite.
+_CALIB_ORACLE = f"""
+WITH feats AS (
+    SELECT doc_id, source,
+           CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tokens,
+           CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS BIGINT) AS n_punct,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+), scored AS (
+    SELECT doc_id, source,
+           (CAST(n_tokens * 1000000 AS BIGINT) // greatest(n_chars, 1)
+            - CAST(n_punct * 1000000 AS BIGINT) // greatest(n_chars, 1)
+            + n_tokens) AS score_u6
+    FROM feats
+), ranked AS (
+    SELECT doc_id, source, score_u6,
+           CAST(row_number() OVER (
+               PARTITION BY source ORDER BY score_u6, doc_id
+           ) AS BIGINT) AS src_rank,
+           CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_src
+    FROM scored
+)
+SELECT doc_id, source, score_u6, src_rank,
+       CASE WHEN n_src = 1 THEN CAST(1000000 AS BIGINT)
+            ELSE (src_rank - 1) * 1000000 // (n_src - 1) END AS pr_u6,
+       CASE WHEN n_src = 1 THEN TRUE
+            ELSE (src_rank - 1) * 1000000 // (n_src - 1) >= 500000
+       END AS keep
+FROM ranked
+"""
+
+
+@register(
+    "quality_calibration", oracle=_CALIB_ORACLE, tags=("llm", "curation")
+)
+def quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quantile calibration of an exact-integer quality
+    score: token density minus punctuation density (micro-units, floor
+    DIV) plus a length term, ranked within source under the total order
+    (score, doc_id), percent rank in exact micro-units, and the global
+    keep cut at the calibrated median. Every source contributes ~half
+    its docs regardless of its raw score distribution — the property
+    raw-threshold filters (quality_filter) lack."""
+    docs = _docs(spark, sf_dir)
+    toks = T.tokens(F.col("text"))
+    feats = docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.length(F.regexp_replace("text", "[A-Za-z0-9\\s]", ""))
+        .cast("bigint")
+        .alias("n_punct"),
+        F.length("text").cast("bigint").alias("n_chars_c"),
+    )
+    scored = feats.select(
+        "doc_id",
+        "source",
+        (
+            F.expr("n_tokens * 1000000 DIV greatest(n_chars_c, 1)")
+            - F.expr("n_punct * 1000000 DIV greatest(n_chars_c, 1)")
+            + F.col("n_tokens")
+        )
+        .cast("bigint")
+        .alias("score_u6"),
+    )
+    w = Window.partitionBy("source").orderBy("score_u6", "doc_id")
+    ranked = scored.select(
+        "doc_id",
+        "source",
+        "score_u6",
+        F.row_number().over(w).cast("bigint").alias("src_rank"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("source"))
+        .cast("bigint")
+        .alias("n_src"),
+    )
+    pr = F.when(F.col("n_src") == 1, F.lit(1000000).cast("bigint")).otherwise(
+        F.expr("(src_rank - 1) * 1000000 DIV (n_src - 1)")
+    )
+    return ranked.select(
+        "doc_id",
+        "source",
+        "score_u6",
+        "src_rank",
+        pr.alias("pr_u6"),
+        (pr >= 500000).alias("keep"),
+    )

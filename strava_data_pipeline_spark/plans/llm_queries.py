@@ -938,6 +938,78 @@ def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 205. multimodal_decode_gif — real LZW decode (GIF) end to end
+# --------------------------------------------------------------------------
+# Third real codec, and the first with a genuine ENTROPY-CODED stream:
+# the Spark path round-trips real GIF89a bytes (logical screen
+# descriptor + 256-entry color table + image descriptor + LZW-
+# compressed raster in sub-blocks) through encode → Arrow → decode.
+# The decoder reassembles sub-blocks and runs full LZW decompression —
+# variable-width LSB-first codes, clear/EOI control codes, the KwKwK
+# case, width growth at each 2^w boundary — so a one-bit misalignment
+# anywhere corrupts every later pixel and breaks the hash. Plants are
+# deliberately larger than the P6/BMP ones (up to 32x24) so big images
+# cross the 512-code boundary and the 9→10-bit width path carries real
+# weight. idx(p) = (base + 11*row + col//3) % 256 (runs of three);
+# r = (idx*11+5) % 256, g = (idx*13+7) % 256, b = (idx*17+11) % 256.
+_MM_GIF_ORACLE = """
+WITH h AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(text), 1, 8))::UBIGINT AS BIGINT) AS x
+    FROM documents
+), dims AS (
+    SELECT doc_id,
+           CAST(8 + x % 25 AS INT) AS width,
+           CAST(8 + (x // 7) % 17 AS INT) AS height,
+           x % 251 AS base
+    FROM h
+), px AS (
+    SELECT doc_id, width, height,
+           CAST(width * height AS BIGINT) AS n_pixels,
+           CAST(list_sum([
+               ((base + 11*(p // width) + (p % width) // 3) % 256 * 11 + 5) % 256
+               FOR p IN range(0, width*height)]) AS BIGINT) AS sum_r,
+           CAST(list_sum([
+               ((base + 11*(p // width) + (p % width) // 3) % 256 * 13 + 7) % 256
+               FOR p IN range(0, width*height)]) AS BIGINT) AS sum_g,
+           CAST(list_sum([
+               ((base + 11*(p // width) + (p % width) // 3) % 256 * 17 + 11) % 256
+               FOR p IN range(0, width*height)]) AS BIGINT) AS sum_b
+    FROM dims
+)
+SELECT doc_id, width, height, n_pixels,
+       sum_r, sum_g, sum_b,
+       CAST(sum_r * 10000 // n_pixels AS BIGINT) AS mean_r_q4,
+       CAST(sum_g * 10000 // n_pixels AS BIGINT) AS mean_g_q4,
+       CAST(sum_b * 10000 // n_pixels AS BIGINT) AS mean_b_q4
+FROM px
+"""
+
+
+@register(
+    "multimodal_decode_gif", oracle=_MM_GIF_ORACLE, tags=("llm", "multimodal")
+)
+def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real ENTROPY-CODED image decode through the Arrow path: plant
+    GIF89a payloads (operators/multimodal.plant_gif — headers, color
+    table, real LZW compression with variable-width codes), decode
+    them with the pure-python GIF parser + LZW decompressor
+    (_decode_gif_lzw), reduce to the same channel stats as the P6/BMP
+    paths. Format-dispatched through the SAME decode_image entry — one
+    decode surface, three real codecs (netpbm raster, BMP run-length,
+    GIF LZW); JPEG/PNG stay honestly stubbed (their codecs need native
+    libs absent here). Same two-stage mapInPandas shape and 100 TB
+    layout notes as multimodal_decode."""
+    from strava_data_pipeline_spark.operators import multimodal as M
+
+    docs = _docs(spark, sf_dir)
+    seeded = docs.select("doc_id", md5_u32(F.col("text")).alias("x"))
+    return M.extract_image_stats(
+        M.attach_ppm_payload(seeded, planter=M.plant_gif)
+    )
+
+
+# --------------------------------------------------------------------------
 # 40. corpus_dedup_keep — end-to-end dedup application (keep-list)
 # --------------------------------------------------------------------------
 def _dedup_keep_oracle() -> str:

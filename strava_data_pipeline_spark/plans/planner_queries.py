@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from strava_data_pipeline_spark.plans.registry import register
 from strava_data_pipeline_spark.sources.catalog import load_table
+from strava_data_pipeline_spark.streaming.tuning import stream_tuned
 
 # --------------------------------------------------------------------------
 # 175. join_cardinality_audit — |A ⋈ B| estimates vs exact truth
@@ -491,6 +492,7 @@ UNION ALL SELECT batch_key, route, 'value_non_negative',
 
 
 @register("quarantine_audit", oracle=_QAUDIT_ORACLE, tags=("streaming", "ops"))
+@stream_tuned
 def quarantine_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end audit of the streaming publish-or-quarantine gate:
     plant deterministic violations in an event feed, land it as four
@@ -668,6 +670,7 @@ FROM events GROUP BY 1, 2
 
 
 @register("rollup_audit", oracle=_ROLLUP_AUDIT_ORACLE, tags=("streaming", "ops"))
+@stream_tuned
 def rollup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end audit of streaming incremental rollup maintenance:
     land the event table as four single-file micro-batches interleaved
@@ -763,6 +766,7 @@ FROM p LEFT JOIN v
 
 
 @register("attribution_audit", oracle=_ATTR_AUDIT_ORACLE, tags=("streaming", "ops"))
+@stream_tuned(width=4)  # two state stores/batch: commit overhead dominates
 def attribution_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end audit of the stream-stream attribution join: split
     the event table into a lead feed (views: event_id % 3 != 0) and a

@@ -52,6 +52,8 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # no query's official green can age more than a few rounds.
 _ENUMERATE_FIRST: tuple[str, ...] = (
     # --- new in r8: no official green row yet ---
+    "multimodal_decode_gif",
+    "quality_calibration",
     "attribution_audit",
     "attribution_last_touch_bucketed",
     "curation_pipeline_e2e",

@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 
 from strava_data_pipeline_spark.plans.registry import register
 from strava_data_pipeline_spark.sources.catalog import load_table
+from strava_data_pipeline_spark.streaming.tuning import stream_tuned
 
 _FLUSH_TYPE = "__flush"
 
@@ -141,6 +142,7 @@ FROM marked
 
 
 @register("sync_audit", oracle=_SYNC_AUDIT_ORACLE, tags=("streaming", "ops"))
+@stream_tuned
 def sync_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end audit of the incremental sync sink: land the event
     table as four id-split micro-batches plus a CORRECTION batch
@@ -215,6 +217,7 @@ GROUP BY 1, 2, 3
 @register(
     "windowed_counts_audit", oracle=_WINCOUNT_ORACLE, tags=("streaming", "ops")
 )
+@stream_tuned
 def windowed_counts_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end audit of the watermarked tumbling-window aggregation
     (streaming/windowed.py::windowed_type_counts, 10-min windows,
@@ -280,6 +283,7 @@ SELECT event_id, ts, user_id, event_type, value FROM events
 @register(
     "dedup_stream_audit", oracle=_SDEDUP_ORACLE, tags=("streaming", "ops")
 )
+@stream_tuned
 def dedup_stream_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end audit of streaming deduplication
     (streaming/dedup.py::dedup_stream —
@@ -368,6 +372,7 @@ FROM sess GROUP BY user_id, session_seq
 @register(
     "session_window_audit", oracle=_SESSWIN_ORACLE, tags=("streaming", "ops")
 )
+@stream_tuned
 def session_window_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end audit of NATIVE streaming session windows
     (streaming/windowed.py::session_window_stats — F.session_window
@@ -435,6 +440,8 @@ FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
 
 
 @register("enrich_audit", oracle=_ENRICH_ORACLE, tags=("streaming", "ops"))
+# deliberately NOT @stream_tuned: a stateless stream has no state store
+# to over-shard, and the per-batch broadcast join wants analytics width
 def enrich_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end audit of stream-static enrichment
     (streaming/enrich.py::enrich_with_users — per-micro-batch
@@ -493,6 +500,7 @@ def _ewma_oracle() -> str:
 
 
 @register("ewma_audit", oracle=_ewma_oracle(), tags=("streaming", "ops"))
+@stream_tuned(width=16)  # applyInPandasWithState compute wants parallelism
 def ewma_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end audit of the custom stateful EWMA operator
     (streaming/ewma.py::ewma_stream, applyInPandasWithState — per-user
@@ -558,6 +566,7 @@ FROM marked
 @register(
     "versioned_sink_audit", oracle=_VSINK_ORACLE, tags=("streaming", "ops")
 )
+@stream_tuned
 def versioned_sink_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end audit of the exactly-once versioned snapshot sink
     (streaming/versioned_sink.py — per-batch latest-wins merge
@@ -733,6 +742,9 @@ SELECT doc_id FROM ({' UNION ALL '.join(f'SELECT doc_id FROM k{i}' for i in rang
     oracle=_dedup_index_oracle(),
     tags=("streaming", "llm", "dedup"),
 )
+# deliberately NOT @stream_tuned: the per-batch band joins against the
+# whole kept index are REAL batch work — analytics width wins (grid-
+# measured: 32 beats 8/16 here; the opposite of the stateful faces)
 def dedup_index_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end audit of the streaming near-dup index
     (streaming/dedup_index.py::start_minhash_dedup_sink — each

@@ -1203,3 +1203,26 @@ def test_session_window_exact_gap_boundary(spark, dirs):
         .count()
     )
     assert n_sessions == 1
+
+
+def test_scoped_stream_shuffle_restores_width(spark):
+    """The stream-tuning context manager (streaming/tuning.py) must pin
+    the state-store width for the block and restore the analytics width
+    afterwards — including when the block raises, so a failed stream
+    never leaks a narrowed session conf into later batch plans."""
+    from strava_data_pipeline_spark.streaming.tuning import (
+        scoped_stream_shuffle,
+        stream_shuffle_partitions,
+    )
+
+    key = "spark.sql.shuffle.partitions"
+    prior = spark.conf.get(key)
+    with scoped_stream_shuffle(spark):
+        assert spark.conf.get(key) == str(stream_shuffle_partitions())
+    assert spark.conf.get(key) == prior
+
+    with pytest.raises(RuntimeError, match="boom"):
+        with scoped_stream_shuffle(spark, 3):
+            assert spark.conf.get(key) == "3"
+            raise RuntimeError("boom")
+    assert spark.conf.get(key) == prior

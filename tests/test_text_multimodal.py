@@ -567,3 +567,146 @@ class TestBmpRle8Codec:
         )
         with _pytest.raises(NotImplementedError, match="RLE8"):
             decode_image(p24)
+
+
+class TestGifLzwCodec:
+    """Pure-python GIF/LZW codec (operators/multimodal.py, r8): the
+    entropy-coded de-stub. Round-trip against the palette arithmetic,
+    the variable-width boundaries the planted encoder does cross, the
+    spec branches it never emits (interlace, extensions, local color
+    table, KwKwK), and loud rejection of malformed streams."""
+
+    def _rgb(self, i):
+        return bytes(
+            ((i * 11 + 5) % 256, (i * 13 + 7) % 256, (i * 17 + 11) % 256)
+        )
+
+    def test_round_trip_matches_palette_arithmetic(self):
+        from strava_data_pipeline_spark.operators.multimodal import (
+            decode_image,
+            plant_gif,
+        )
+
+        for x in (0, 7, 99, 123456, 2**31 - 1):
+            w, h, base = 8 + x % 25, 8 + (x // 7) % 17, x % 251
+            d = decode_image(plant_gif(x))
+            assert (d["format"], d["width"], d["height"]) == ("gif", w, h)
+            exp = b"".join(
+                self._rgb((base + 11 * r + c // 3) % 256)
+                for r in range(h)
+                for c in range(w)
+            )
+            assert d["pixels"] == exp
+
+    def test_width_growth_and_table_reset(self):
+        # a varied 150x150 raster pushes the LZW table past every width
+        # boundary (9→10→11→12 bits) AND through the 4096-entry reset —
+        # a one-bit desync at any boundary corrupts every later pixel
+        from strava_data_pipeline_spark.operators.multimodal import (
+            decode_image,
+            encode_gif_lzw,
+        )
+
+        idx = bytes((i * i * 31 + i * 7) % 256 for i in range(150 * 150))
+        d = decode_image(encode_gif_lzw(150, 150, idx))
+        assert d["pixels"] == b"".join(self._rgb(k) for k in idx)
+
+    def test_kwkwk_uniform_run(self):
+        # a uniform raster is the canonical KwKwK generator: the encoder
+        # emits a phrase code one step after defining it, so the decoder
+        # repeatedly sees code == next free slot (entry = prev + prev[0])
+        from strava_data_pipeline_spark.operators.multimodal import (
+            decode_image,
+            encode_gif_lzw,
+        )
+
+        idx = bytes((42,)) * 400
+        d = decode_image(encode_gif_lzw(20, 20, idx))
+        assert d["pixels"] == self._rgb(42) * 400
+
+    def _manual_gif(self, w, h, idx, ipacked=0, pre_image=b"", pal=None):
+        import struct
+
+        from strava_data_pipeline_spark.operators.multimodal import (
+            _gif_palette_entry,
+            _lzw_compress,
+        )
+
+        screen = struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+        gpal = b"".join(_gif_palette_entry(i) for i in range(256))
+        desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, ipacked)
+        lpal = b"" if pal is None else pal
+        lzw = _lzw_compress(idx, 8)
+        blocks = bytearray(b"\x08")
+        for i in range(0, len(lzw), 255):
+            blocks += bytes((len(lzw[i : i + 255]),)) + lzw[i : i + 255]
+        blocks += b"\x00"
+        return (
+            b"GIF89a" + screen + gpal + pre_image + desc + lpal
+            + bytes(blocks) + b"\x3b"
+        )
+
+    def test_interlaced_rows_reordered(self):
+        # store rows in the four-pass interlace order with the flag set;
+        # the decoder must reassemble the top-down raster
+        from strava_data_pipeline_spark.operators.multimodal import (
+            _decode_gif_lzw,
+        )
+
+        w, h = 3, 10
+        rows = [bytes((r, r, r)) for r in range(h)]
+        order = [r for s, st in ((0, 8), (4, 8), (2, 4), (1, 2))
+                 for r in range(s, h, st)]
+        stored = b"".join(rows[r] for r in order)
+        d = _decode_gif_lzw(self._manual_gif(w, h, stored, ipacked=0x40))
+        assert d["pixels"] == b"".join(
+            self._rgb(r) for r in range(h) for _ in range(w)
+        )
+
+    def test_extension_blocks_skipped(self):
+        # a graphic-control extension (0x21 0xF9) precedes the image
+        # descriptor in most real GIFs; the decoder must skip it
+        from strava_data_pipeline_spark.operators.multimodal import (
+            _decode_gif_lzw,
+        )
+
+        ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+        d = _decode_gif_lzw(
+            self._manual_gif(2, 1, b"\x05\x09", pre_image=ext)
+        )
+        assert d["pixels"] == self._rgb(5) + self._rgb(9)
+
+    def test_local_color_table_wins(self):
+        # an image with a 2-entry LOCAL table (ipacked 0x80, size bits
+        # 0): indexes resolve through it, not the global table
+        from strava_data_pipeline_spark.operators.multimodal import (
+            _decode_gif_lzw,
+        )
+
+        lpal = b"\x10\x20\x30" + b"\x40\x50\x60"
+        d = _decode_gif_lzw(
+            self._manual_gif(2, 1, b"\x01\x00", ipacked=0x80, pal=lpal)
+        )
+        assert d["pixels"] == b"\x40\x50\x60" + b"\x10\x20\x30"
+
+    def test_rejections(self):
+        import pytest as _pytest
+
+        from strava_data_pipeline_spark.operators.multimodal import (
+            _decode_gif_lzw,
+            decode_image,
+            encode_gif_lzw,
+        )
+
+        with _pytest.raises(ValueError, match="not a GIF"):
+            _decode_gif_lzw(b"NOPE" + b"\x00" * 20)
+        # raster byte count must match the descriptor dims
+        with _pytest.raises(ValueError, match="raster"):
+            _decode_gif_lzw(self._manual_gif(3, 2, b"\x01\x02"))
+        # truncated LZW stream (EOI never arrives) fails loudly
+        good = encode_gif_lzw(4, 4, bytes(range(16)))
+        with _pytest.raises(ValueError):
+            decode_image(good[: len(good) - 6] + b"\x00\x3b")
+        # JPEG magic still routes to the honest stub
+        with _pytest.raises(NotImplementedError):
+            decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
