@@ -178,9 +178,12 @@ BENCH_QUERIES = [
     "sessions_overlap_bucketed",
     "curation_pipeline_e2e",
     "multimodal_decode_bmp",
-    # round-8 continuation (LZW decode + per-source calibration)
+    # round-8 continuation (LZW decode + per-source calibration + the
+    # two-phase global shard plan; stateful_session_audit stays
+    # tier2-only like the other streaming faces)
     "multimodal_decode_gif",
     "quality_calibration",
+    "corpus_shard_plan",
 ]
 
 

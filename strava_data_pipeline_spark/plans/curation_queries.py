@@ -1026,3 +1026,92 @@ def quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         pr.alias("pr_u6"),
         (pr >= 500000).alias("keep"),
     )
+
+
+# --------------------------------------------------------------------------
+# 208. corpus_shard_plan — token-budget output sharding (r8)
+# --------------------------------------------------------------------------
+# The export step after curation: assign every doc to a training shard
+# so each shard holds ~TARGET tokens, under a deterministic global
+# order (hash order decorrelates shard content from crawl order — the
+# shuffle a data loader would otherwise need). shard_id is the doc's
+# EXCLUSIVE token prefix-sum DIV target: shards fill to the target and
+# spill the boundary doc into the next — sizes land in
+# [target - max_doc + 1, target + max_doc - 1], the standard
+# split-at-document-boundary contract.
+#
+# Scale: a global prefix sum is the textbook one-task window (ORDER BY
+# over everything), so the plan goes through bucketed_cumsum with a
+# CONSTANT key and 64 contiguous hash-range buckets: the heavy cumsum
+# runs per bucket (parallel), the sequential dependency rides one
+# summary row per bucket, and the boundary join reuses the bucket
+# exchange. DuckDB oracle is the plain one-pass window — the two
+# strategies must agree to the row.
+_SHARD_TARGET = 2000
+
+
+def _shard_plan_oracle() -> str:
+    h = md5_u32_duckdb("text")
+    return f"""
+WITH t AS (
+    SELECT doc_id, {h} AS h,
+           CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tokens
+    FROM documents
+), c AS (
+    SELECT n_tokens,
+           sum(n_tokens) OVER (ORDER BY h, doc_id
+               ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_excl
+    FROM t
+)
+SELECT cum_excl // {_SHARD_TARGET} AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM c GROUP BY shard_id
+"""
+
+
+@register(
+    "corpus_shard_plan", oracle=_shard_plan_oracle(), tags=("llm", "curation")
+)
+def corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic token-budget shard assignment via a SKEW-ROBUST
+    global prefix sum: hash-order the corpus (md5_u32 of the body,
+    doc_id tie-break), two-phase-cumsum token counts through
+    operators/bucketed_prefix.bucketed_cumsum over 64 contiguous
+    hash-range buckets (constant key — the global-order case of the
+    window-tier remedy), shard at every _SHARD_TARGET tokens, report
+    per-shard doc/token totals."""
+    from strava_data_pipeline_spark.operators.bucketed_prefix import (
+        bucketed_cumsum,
+    )
+
+    docs = _docs(spark, sf_dir)
+    base = docs.select(
+        "doc_id",
+        md5_u32(F.col("text")).alias("h"),
+        F.size(T.tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    ).withColumns(
+        {
+            "gkey": F.lit(1),
+            # 64 contiguous hash ranges: bucket b's rows all precede
+            # bucket b+1's in (h, doc_id) order, the contiguity the
+            # two-phase carry requires
+            "hbucket": F.expr("h DIV 67108864"),
+        }
+    )
+    cum = bucketed_cumsum(
+        base, "gkey", "hbucket", ["h", "doc_id"], {"cum_incl": "n_tokens"}
+    )
+    return (
+        cum.select(
+            F.expr(f"(cum_incl - n_tokens) DIV {_SHARD_TARGET}").alias(
+                "shard_id"
+            ),
+            "n_tokens",
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+    )

@@ -54,6 +54,8 @@ _ENUMERATE_FIRST: tuple[str, ...] = (
     # --- new in r8: no official green row yet ---
     "multimodal_decode_gif",
     "quality_calibration",
+    "stateful_session_audit",
+    "corpus_shard_plan",
     "attribution_audit",
     "attribution_last_touch_bucketed",
     "curation_pipeline_e2e",

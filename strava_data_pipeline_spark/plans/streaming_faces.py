@@ -25,11 +25,12 @@ Determinism disciplines (one per face, documented per query):
   the exact-gap boundary (merge, not break — verified by a planted
   test) matches the batch sessionize contract.
 
-The stateful applyInPandasWithState sessionizer (streaming/stateful.py)
-stays pytest-only BY DESIGN: its ProcessingTimeTimeout closes sessions
-on wall-clock trigger cadence, which no deterministic oracle can
-reproduce — the native session-window face covers the semantics that
-ARE event-time-deterministic.
+The ProcessingTimeTimeout sessionizer (streaming/stateful.py::
+track_sessions) stays pytest-only BY DESIGN — wall-clock trigger
+cadence has no deterministic oracle — but its EVENT-TIME twin
+(track_sessions_event_time, same gap semantics, watermark-driven
+closes) is fully hashable: `stateful_session_audit` (row 207) runs the
+real custom operator end to end.
 """
 
 from __future__ import annotations
@@ -784,4 +785,98 @@ def dedup_index_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return read_kept_docs(spark, kept_dir).select(
         F.col("doc_id").cast("bigint").alias("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# 207. stateful_session_audit — the CUSTOM stateful sessionizer on disk
+# --------------------------------------------------------------------------
+# The last streaming component without a driver-hashable face was the
+# applyInPandasWithState sessionizer — its ProcessingTimeTimeout closes
+# sessions on wall-clock cadence, which no deterministic oracle can
+# reproduce. track_sessions_event_time (streaming/stateful.py) is its
+# EVENT-TIME twin: same gap semantics, but sessions close when the
+# WATERMARK passes end + gap — a pure function of the feed. This face
+# runs the REAL custom operator (concat-sorted groups, vectorized gap
+# split, exact-cent accumulation, event-time timeouts, the in-data-path
+# close for tails the watermark already proved dead) over four
+# time-sliced batches + two flushes and hashes the committed sessions
+# against the batch gap-sessionize SQL. session_end here is the LAST
+# EVENT's ts (the custom operator's contract; the native face's
+# last + gap convention is covered by session_window_audit).
+_STATEFUL_SESS_ORACLE = """
+WITH flagged AS (
+    SELECT user_id, ts, value, event_id,
+           CASE WHEN floor(epoch(ts)) - lag(floor(epoch(ts))) OVER w > 1800
+                THEN 1 ELSE 0 END AS new_s
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+    SELECT user_id, ts,
+           CAST(round(value * 100) AS BIGINT) AS cents,
+           CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+    FROM flagged
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       min(ts) AS session_start,
+       max(ts) AS session_end
+FROM sess GROUP BY user_id, session_seq
+"""
+
+
+@register(
+    "stateful_session_audit",
+    oracle=_STATEFUL_SESS_ORACLE,
+    tags=("streaming", "ops"),
+)
+@stream_tuned
+def stateful_session_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end audit of the custom applyInPandasWithState gap
+    sessionizer with event-time timeouts: a session split on a batch
+    boundary, merged across a real gap, closed early/never by the
+    timeout machinery, double-emitted on the timeout-vs-data-path
+    race, or mis-summed by float partials is a hash mismatch on the
+    committed parquet. The exact-gap MERGE boundary is pinned by
+    tests/test_streaming.py::test_event_time_sessionizer_gap_and_timeout
+    (the synthetic corpus cannot exercise an exact 30:00 gap)."""
+    from strava_data_pipeline_spark.streaming.stateful import (
+        track_sessions_event_time,
+    )
+
+    root = _mkroot(sf_dir, "statefulsess")
+    landing = os.path.join(root, "landing")
+    target = os.path.join(root, "target")
+    ckpt = os.path.join(root, "ckpt")
+
+    ev = load_table(spark, sf_dir, "events")
+    slices, hi = _time_slices(ev)
+    for k, sl in enumerate(slices):
+        _land(landing, _event_cols(sl), 1_000_000 + k)
+
+    def run_once() -> None:
+        (
+            track_sessions_event_time(
+                _stream(spark, landing), gap_minutes=30
+            )
+            .writeStream.format("parquet")
+            .option("path", target)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    _land(landing, _flush_row(spark, hi + 864_000), 1_000_010)
+    run_once()
+    _land(landing, _flush_row(spark, hi + 1_728_000), 1_000_020)
+    run_once()
+
+    return spark.read.parquet(target).where(F.col("user_id") >= 0).select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("total_cents").cast("bigint").alias("total_cents"),
+        "session_start",
+        "session_end",
     )

@@ -1226,3 +1226,88 @@ def test_scoped_stream_shuffle_restores_width(spark):
             assert spark.conf.get(key) == "3"
             raise RuntimeError("boom")
     assert spark.conf.get(key) == prior
+
+
+def test_event_time_sessionizer_gap_and_timeout(spark, dirs):
+    """The EventTimeTimeout gap sessionizer (streaming/stateful.py::
+    track_sessions_event_time): in-batch gap splits emit immediately,
+    the open tail closes via event-time timeout once the watermark
+    passes end + gap, an EXACT-gap arrival merges (the batch sessionize
+    boundary contract), and values accumulate in exact cents."""
+    from strava_data_pipeline_spark.streaming.stateful import (
+        track_sessions_event_time,
+    )
+
+    landing, target, ckpt = dirs
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        (
+            track_sessions_event_time(stream, gap_minutes=30)
+            .writeStream.format("parquet")
+            .option("path", target)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(120)
+        )
+
+    # batch 1: session A (10:00, 10:10) closes IN-BATCH at the 11:30
+    # arrival (80-min gap); session B opens at 11:30
+    _write_batch(
+        spark,
+        landing,
+        [
+            (1, datetime(2024, 1, 1, 10, 0), 7, "run", 5.25),
+            (2, datetime(2024, 1, 1, 10, 10), 7, "run", 4.75),
+            (3, datetime(2024, 1, 1, 11, 30), 7, "ride", 1.10),
+        ],
+    )
+    run_once()
+    rows = spark.read.parquet(target).collect()
+    assert len(rows) == 1
+    a = rows[0]
+    assert (a["n_events"], a["total_cents"]) == (2, 1000)
+    assert a["session_start"] == datetime(2024, 1, 1, 10, 0)
+    assert a["session_end"] == datetime(2024, 1, 1, 10, 10)
+
+    # batch 2: 11:50 merges into B (20 min), 13:00 closes B (70 min),
+    # 13:30 is the EXACT 30-min gap — must MERGE into C, not break
+    _write_batch(
+        spark,
+        landing,
+        [
+            (4, datetime(2024, 1, 1, 11, 50), 7, "ride", 2.40),
+            (5, datetime(2024, 1, 1, 13, 0), 7, "swim", 3.00),
+            (6, datetime(2024, 1, 1, 13, 30), 7, "swim", 0.50),
+        ],
+    )
+    run_once()
+    got = {
+        (r["session_start"], r["session_end"]): r
+        for r in spark.read.parquet(target).collect()
+    }
+    b = got[(datetime(2024, 1, 1, 11, 30), datetime(2024, 1, 1, 11, 50))]
+    assert (b["n_events"], b["total_cents"]) == (2, 350)
+
+    # two flush batches: the first advances the watermark past
+    # C.end + gap, the second gives the timeout a batch to fire in
+    _write_batch(
+        spark, landing, [(-1, datetime(2024, 1, 1, 18, 0), -1, "x", 0.0)]
+    )
+    run_once()
+    _write_batch(
+        spark, landing, [(-2, datetime(2024, 1, 1, 19, 0), -1, "x", 0.0)]
+    )
+    run_once()
+    got = {
+        (r["session_start"], r["session_end"]): r
+        for r in spark.read.parquet(target).where("user_id >= 0").collect()
+    }
+    assert len(got) == 3
+    c = got[(datetime(2024, 1, 1, 13, 0), datetime(2024, 1, 1, 13, 30))]
+    assert (c["n_events"], c["total_cents"]) == (2, 350)
