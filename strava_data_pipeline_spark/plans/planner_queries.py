@@ -24,6 +24,8 @@ from strava_data_pipeline_spark.plans.registry import register
 from strava_data_pipeline_spark.sources.catalog import load_table
 from strava_data_pipeline_spark.streaming.tuning import stream_tuned
 
+from contextlib import nullcontext as _noop_ctx
+
 # --------------------------------------------------------------------------
 # 175. join_cardinality_audit — |A ⋈ B| estimates vs exact truth
 # --------------------------------------------------------------------------
@@ -766,7 +768,6 @@ FROM p LEFT JOIN v
 
 
 @register("attribution_audit", oracle=_ATTR_AUDIT_ORACLE, tags=("streaming", "ops"))
-@stream_tuned(width=4)  # two state stores/batch: commit overhead dominates
 def attribution_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end audit of the stream-stream attribution join: split
     the event table into a lead feed (views: event_id % 3 != 0) and a
@@ -880,10 +881,26 @@ def attribution_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .awaitTermination()
         )
 
-    land(flush_batch(1), 1_000_010)
-    run_once()
-    land(flush_batch(2), 1_000_020)
-    run_once()
+    # State-store width is SIZE-ADAPTIVE (the pagerank persist-gate
+    # pattern): this face runs TWO state stores per batch, so at
+    # audit-feed volume per-partition commit overhead dominates (grid:
+    # 52.8s @32 vs 14.7s @4 at sf0.1) — but the stored state is the
+    # whole within-watermark event window, so at the mult=100
+    # rehearsal's 10M-event feed a 4-wide store serializes the state
+    # sort (the probe ran past 595s; 32-wide finished in 357s). Width
+    # tracks state volume: narrow below 1M events, analytics width
+    # above. Both modes hold the same oracle hash.
+    from strava_data_pipeline_spark.streaming.tuning import (
+        scoped_stream_shuffle,
+    )
+
+    n_events = ev.count()
+    width = 4 if n_events <= 1_000_000 else None  # None = analytics width
+    with scoped_stream_shuffle(spark, width) if width else _noop_ctx():
+        land(flush_batch(1), 1_000_010)
+        run_once()
+        land(flush_batch(2), 1_000_020)
+        run_once()
 
     out = spark.read.parquet(target).where(F.col("follow_id") >= 0)
     return out.select(
