@@ -184,6 +184,7 @@ BENCH_QUERIES = [
     "multimodal_decode_gif",
     "quality_calibration",
     "corpus_shard_plan",
+    "cms_heavy_hitters",
 ]
 
 

@@ -822,3 +822,93 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# 209. cms_heavy_hitters — count-min sketch under an exact audit (r8)
+# --------------------------------------------------------------------------
+# The streaming-friendly heavy-hitter sketch (Cormode & Muthukrishnan
+# 2005): D=4 hash rows x W=256 counters; a key's estimate is the MIN of
+# its D counters, which can only OVERcount (collisions add, never
+# subtract) — the one-sided error contract this audit proves per key.
+# Counters are built from the per-key count table (counts are additive,
+# so summing key counts into buckets is bit-identical to hashing every
+# occurrence — and ships D x distinct-keys rows to the sketch instead
+# of D x corpus). Everything is exact BIGINT: both engines materialize
+# the identical sketch, so est/overcount hash exactly — the same
+# sketch-under-exact-audit shape as minhash_error_eval/
+# simhash_error_eval.
+#
+# 100 TB: one map-combined groupBy on the key (the same shuffle the
+# exact count needs), then the sketch build + probe run on the key
+# DIMENSION (distinct keys), never the corpus; the D-row explode is a
+# codegen array, not a join.
+_CMS_D = 4
+_CMS_W = 256
+
+
+def _cms_oracle() -> str:
+    h = md5_u32_duckdb("'cms' || CAST(j AS VARCHAR) || '#' || CAST(user_id AS VARCHAR)")
+    return f"""
+WITH c AS (
+    SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+    FROM events GROUP BY 1
+), hashes AS (
+    SELECT user_id, cnt, j, {h} % {_CMS_W} AS b
+    FROM c CROSS JOIN (SELECT unnest(range({_CMS_D})) AS j)
+), counters AS (
+    SELECT j, b, CAST(sum(cnt) AS BIGINT) AS v
+    FROM hashes GROUP BY 1, 2
+)
+SELECT h.user_id,
+       h.cnt AS exact_cnt,
+       CAST(min(t.v) AS BIGINT) AS cms_est,
+       CAST(min(t.v) - h.cnt AS BIGINT) AS overcount
+FROM hashes h JOIN counters t USING (j, b)
+GROUP BY h.user_id, h.cnt
+"""
+
+
+@register(
+    "cms_heavy_hitters", oracle=_cms_oracle(), tags=("llm", "sketch")
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters with a per-key exact audit:
+    exact per-user counts (the baseline shuffle), a D x W BIGINT
+    sketch built from the count table, and each key probed back
+    through its D buckets — min counter = CMS estimate, estimate
+    minus exact = the collision overcount (provably >= 0; a negative
+    value anywhere is a sketch-build bug and a hash mismatch)."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    js = F.array(*[F.lit(j) for j in range(_CMS_D)])
+    hashes = c.select(
+        "user_id", "cnt", F.explode(js).alias("j")
+    ).withColumn(
+        "b",
+        md5_u32(
+            F.concat(
+                F.lit("cms"),
+                F.col("j").cast("string"),
+                F.lit("#"),
+                F.col("user_id").cast("string"),
+            )
+        )
+        % _CMS_W,
+    )
+    counters = hashes.groupBy("j", "b").agg(
+        F.sum("cnt").cast("bigint").alias("v")
+    )
+    return (
+        hashes.join(counters, ["j", "b"])
+        .groupBy("user_id", "cnt")
+        .agg(F.min("v").cast("bigint").alias("cms_est"))
+        .select(
+            "user_id",
+            F.col("cnt").alias("exact_cnt"),
+            "cms_est",
+            (F.col("cms_est") - F.col("cnt")).cast("bigint").alias("overcount"),
+        )
+    )

@@ -56,6 +56,8 @@ _ENUMERATE_FIRST: tuple[str, ...] = (
     "quality_calibration",
     "stateful_session_audit",
     "corpus_shard_plan",
+    "cms_heavy_hitters",
+    "cms_merge_audit",
     "attribution_audit",
     "attribution_last_touch_bucketed",
     "curation_pipeline_e2e",

@@ -880,3 +880,85 @@ def stateful_session_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_start",
         "session_end",
     )
+
+
+# --------------------------------------------------------------------------
+# 210. cms_merge_audit — streaming sketch mergeability on disk
+# --------------------------------------------------------------------------
+# Same oracle as the batch cms_heavy_hitters (row 209): the audit's
+# whole claim is that four id-split micro-batches of per-batch DELTA
+# sketches, landed append-only by the real foreachBatch sink and summed
+# per (j, b) at read time, yield BYTE-IDENTICAL estimates to the
+# one-pass batch sketch. A lost delta partition, a double-applied
+# replay, or any non-additive merge shifts a counter and lands in the
+# hash. Order-insensitive by construction (addition commutes), so no
+# mtime/flush choreography — the simplest possible face choreography,
+# which is itself the point: this is what makes sketches the
+# STREAMING-NATIVE aggregation family.
+def _cms_audit_oracle() -> str:
+    from strava_data_pipeline_spark.plans.mining_queries import _cms_oracle
+
+    return _cms_oracle()
+
+
+@register(
+    "cms_merge_audit", oracle=_cms_audit_oracle(), tags=("streaming", "sketch")
+)
+@stream_tuned
+def cms_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end audit of the streaming count-min sink
+    (streaming/sketch.py): four id-split batches through
+    start_cms_sink (one delta partition per batch, replay-idempotent
+    overwrite), live counters summed by read_cms_counters, every key
+    probed through its D buckets — estimates must equal the batch
+    sketch's exactly."""
+    from strava_data_pipeline_spark.streaming.sketch import (
+        CMS_D,
+        CMS_W,
+        read_cms_counters,
+        start_cms_sink,
+    )
+    from strava_data_pipeline_spark.functions.hashing import md5_u32
+
+    root = _mkroot(sf_dir, "cmsaudit")
+    landing = os.path.join(root, "landing")
+    target = os.path.join(root, "target")
+    ckpt = os.path.join(root, "ckpt")
+
+    ev = load_table(spark, sf_dir, "events")
+    for k in range(4):
+        _land(landing, _event_cols(ev.where(F.col("event_id") % 4 == k)),
+              1_000_000 + k)
+
+    start_cms_sink(_stream(spark, landing), target, ckpt).awaitTermination()
+
+    counters = read_cms_counters(spark, target)
+    c = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    js = F.array(*[F.lit(j) for j in range(CMS_D)])
+    hashes = c.select(
+        "user_id", "cnt", F.explode(js).alias("j")
+    ).withColumn(
+        "b",
+        md5_u32(
+            F.concat(
+                F.lit("cms"),
+                F.col("j").cast("string"),
+                F.lit("#"),
+                F.col("user_id").cast("string"),
+            )
+        )
+        % CMS_W,
+    )
+    return (
+        hashes.join(counters, ["j", "b"])
+        .groupBy("user_id", "cnt")
+        .agg(F.min("v").cast("bigint").alias("cms_est"))
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.col("cnt").alias("exact_cnt"),
+            "cms_est",
+            (F.col("cms_est") - F.col("cnt")).cast("bigint").alias("overcount"),
+        )
+    )

@@ -280,3 +280,103 @@ class TestMinhashErrorEval:
             assert 0.0 <= r["est_jaccard"] <= 1.0
             assert 0.0 <= r["exact_jaccard"] <= 1.0
             assert abs(r["abs_err"] - abs(r["est_jaccard"] - r["exact_jaccard"])) < 1.1e-4
+
+
+class TestCorpusShardPlan:
+    """Token-budget shard planner (r8, row 208): boundary-doc spill
+    bound and conservation, through the real two-phase plan."""
+
+    def test_conservation_and_size_bounds(self, spark, sf_dir):
+        from strava_data_pipeline_spark.functions import text as T
+        from strava_data_pipeline_spark.plans.curation_queries import (
+            _SHARD_TARGET,
+            corpus_shard_plan,
+        )
+        from strava_data_pipeline_spark.sources.catalog import load_table
+
+        from pyspark.sql import functions as F
+
+        plan = corpus_shard_plan(spark, sf_dir).collect()
+        docs = load_table(spark, sf_dir, "documents")
+        tok = docs.select(
+            F.size(T.tokens(F.col("text"))).cast("bigint").alias("n")
+        )
+        total, max_doc, n_docs = tok.agg(
+            F.sum("n"), F.max("n"), F.count("*")
+        ).first()
+        # every doc lands in exactly one shard; every token is counted
+        assert sum(r["n_docs"] for r in plan) == n_docs
+        assert sum(r["n_tokens"] for r in plan) == total
+        # shard ids are a dense prefix 0..k-1
+        ids = sorted(r["shard_id"] for r in plan)
+        assert ids == list(range(len(ids)))
+        # split-at-document-boundary bound: every shard except the last
+        # holds > target - max_doc tokens, and none exceeds
+        # target + max_doc - 1
+        by_id = {r["shard_id"]: r for r in plan}
+        for sid in ids:
+            r = by_id[sid]
+            assert r["n_tokens"] <= _SHARD_TARGET + max_doc - 1
+            if sid != ids[-1]:
+                assert r["n_tokens"] > _SHARD_TARGET - max_doc
+
+
+class TestQualityCalibration:
+    """Per-source quantile calibration (r8, row 206): the fairness
+    property the raw-threshold filter lacks, plus the single-doc edge
+    the synthetic corpus never exercises."""
+
+    def test_each_source_keeps_about_half(self, spark, sf_dir):
+        from strava_data_pipeline_spark.plans.curation_queries import (
+            quality_calibration,
+        )
+
+        rows = quality_calibration(spark, sf_dir).collect()
+        by_src: dict[str, list] = {}
+        for r in rows:
+            by_src.setdefault(r["source"], []).append(r)
+        assert len(by_src) > 1
+        for src, rs in by_src.items():
+            n = len(rs)
+            kept = sum(1 for r in rs if r["keep"])
+            if n == 1:
+                assert kept == 1
+                continue
+            # exact boundary: (rank-1)*1e6 // (n-1) >= 5e5
+            # <=> 2*(rank-1) >= n-1 <=> rank-1 >= ceil((n-1)/2) = n//2
+            expect = n - n // 2
+            assert kept == expect, (src, n, kept, expect)
+            # ranks are a permutation of 1..n
+            assert sorted(r["src_rank"] for r in rs) == list(range(1, n + 1))
+
+    def test_single_doc_source_pins_full_rank(self, spark, tmp_path):
+        import shutil
+
+        from strava_data_pipeline_spark.plans.curation_queries import (
+            quality_calibration,
+        )
+
+        from pyspark.sql import functions as F  # noqa: F401
+
+        # a planted sf-dir whose documents table has ONE doc in one
+        # source and three in another: the n_src == 1 branch must pin
+        # pr_u6 = 1e6 / keep = TRUE instead of dividing by zero
+        src = str(tmp_path / "mini")
+        import os
+
+        os.makedirs(src)
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma", "en", "solo", 16),
+                (2, "a b", "en", "many", 3),
+                (3, "c d e f g h", "en", "many", 11),
+                (4, "i j k l", "en", "many", 7),
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        docs.write.parquet(f"{src}/documents.parquet")
+        rows = {r["doc_id"]: r for r in quality_calibration(spark, src).collect()}
+        assert rows[1]["pr_u6"] == 1_000_000 and rows[1]["keep"]
+        many = [rows[i] for i in (2, 3, 4)]
+        assert sorted(r["src_rank"] for r in many) == [1, 2, 3]
+        shutil.rmtree(src, ignore_errors=True)

@@ -305,3 +305,29 @@ class TestAnnRecallEval:
             assert r["lsh_hits"] == want_lsh
             assert 0.0 <= r["ivf_recall"] <= 1.0
             assert 0.0 <= r["lsh_recall"] <= 1.0
+
+
+class TestCmsHeavyHitters:
+    """Count-min sketch audit (r8, row 209): the one-sided error
+    contract and the min-probe arithmetic, through the real Spark
+    path on the tiny corpus (the oracle hash covers exact equality;
+    these pin the PROPERTIES a refactor must not lose)."""
+
+    def test_one_sided_error_and_exact_totals(self, spark, sf_dir):
+        from strava_data_pipeline_spark.plans.mining_queries import (
+            cms_heavy_hitters,
+        )
+        from strava_data_pipeline_spark.sources.catalog import load_table
+
+        rows = cms_heavy_hitters(spark, sf_dir).collect()
+        assert rows, "empty sketch audit"
+        # CMS can only OVERcount: min-of-counters >= true count, always
+        assert all(r["overcount"] >= 0 for r in rows)
+        assert all(r["cms_est"] == r["exact_cnt"] + r["overcount"] for r in rows)
+        # exact side really is the per-user count of the corpus
+        ev = load_table(spark, sf_dir, "events")
+        n = ev.count()
+        assert sum(r["exact_cnt"] for r in rows) == n
+        # W=256 >> distinct users at sf0.001, so most keys collide in
+        # no row of the sketch and estimate exactly; at least SOME must
+        assert any(r["overcount"] == 0 for r in rows)

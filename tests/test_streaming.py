@@ -1311,3 +1311,54 @@ def test_event_time_sessionizer_gap_and_timeout(spark, dirs):
     assert len(got) == 3
     c = got[(datetime(2024, 1, 1, 13, 0), datetime(2024, 1, 1, 13, 30))]
     assert (c["n_events"], c["total_cents"]) == (2, 350)
+
+
+def test_cms_sink_prefix_validity(spark, dirs):
+    """The streaming CMS sink (streaming/sketch.py): after every batch
+    the summed deltas form a valid sketch of exactly the rows seen so
+    far — the additivity contract that lets any prefix serve reads
+    while the feed keeps landing."""
+    from strava_data_pipeline_spark.streaming.sketch import (
+        cms_delta,
+        read_cms_counters,
+        start_cms_sink,
+    )
+
+    landing, target, ckpt = dirs
+    b1 = [
+        (1, datetime(2024, 1, 1, 10), 7, "run", 1.0),
+        (2, datetime(2024, 1, 1, 11), 7, "run", 2.0),
+        (3, datetime(2024, 1, 1, 12), 9, "ride", 3.0),
+    ]
+    b2 = [
+        (4, datetime(2024, 1, 2, 10), 7, "run", 4.0),
+        (5, datetime(2024, 1, 2, 11), 8, "swim", 5.0),
+    ]
+
+    def counters_now():
+        return {
+            (r["j"], r["b"]): r["v"]
+            for r in read_cms_counters(spark, target).collect()
+        }
+
+    def batch_sketch(rows):
+        df = spark.createDataFrame(rows, EVENT_SCHEMA)
+        return {(r["j"], r["b"]): r["v"] for r in cms_delta(df).collect()}
+
+    _write_batch(spark, landing, b1)
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    start_cms_sink(stream, target, ckpt).awaitTermination(120)
+    assert counters_now() == batch_sketch(b1)
+
+    _write_batch(spark, landing, b2)
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    start_cms_sink(stream, target, ckpt).awaitTermination(120)
+    assert counters_now() == batch_sketch(b1 + b2)
