@@ -143,6 +143,7 @@ def test_no_python_row_eval_in_query_path(spark, name):
         "multimodal_features",
         "multimodal_decode",
         "multimodal_decode_bmp",
+        "multimodal_decode_gif",
     ):
         assert "MapInPandas" in plan
     else:
