@@ -185,6 +185,7 @@ BENCH_QUERIES = [
     "quality_calibration",
     "corpus_shard_plan",
     "cms_heavy_hitters",
+    "multimodal_resize",
 ]
 
 

@@ -1010,6 +1010,80 @@ def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 211. multimodal_resize — real nearest-neighbor resize end to end
+# --------------------------------------------------------------------------
+# De-stubs resize_image: GIF payloads are decoded (full LZW), downscaled
+# by REAL nearest-neighbor resampling to (1 + w//3, 1 + h//3),
+# re-encoded as P6, and the RESIZED bytes decoded again — so the
+# resample index mapping (src row = r2*h // h2, src col = c2*w // w2)
+# AND the P6 encoder round-trip both land in the hash. The oracle
+# recomputes the sampled pixels arithmetically: for each target pixel
+# the source index is exact integer math over the planted affine
+# index/palette, no floats anywhere.
+_MM_RESIZE_ORACLE = """
+WITH h AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(text), 1, 8))::UBIGINT AS BIGINT) AS x
+    FROM documents
+), dims AS (
+    SELECT doc_id,
+           CAST(8 + x % 25 AS BIGINT) AS w,
+           CAST(8 + (x // 7) % 17 AS BIGINT) AS h0,
+           x % 251 AS base
+    FROM h
+), d2 AS (
+    SELECT doc_id, w, h0, base,
+           1 + w // 3 AS w2, 1 + h0 // 3 AS h2
+    FROM dims
+), px AS (
+    SELECT doc_id,
+           CAST(w2 AS INT) AS width, CAST(h2 AS INT) AS height,
+           CAST(w2 * h2 AS BIGINT) AS n_pixels,
+           CAST(list_sum([
+               ((base + 11*((p // w2) * h0 // h2)
+                 + (((p % w2) * w // w2) // 3)) % 256 * 11 + 5) % 256
+               FOR p IN range(0, w2*h2)]) AS BIGINT) AS sum_r,
+           CAST(list_sum([
+               ((base + 11*((p // w2) * h0 // h2)
+                 + (((p % w2) * w // w2) // 3)) % 256 * 13 + 7) % 256
+               FOR p IN range(0, w2*h2)]) AS BIGINT) AS sum_g,
+           CAST(list_sum([
+               ((base + 11*((p // w2) * h0 // h2)
+                 + (((p % w2) * w // w2) // 3)) % 256 * 17 + 11) % 256
+               FOR p IN range(0, w2*h2)]) AS BIGINT) AS sum_b
+    FROM d2
+)
+SELECT doc_id, width, height, n_pixels,
+       sum_r, sum_g, sum_b,
+       CAST(sum_r * 10000 // n_pixels AS BIGINT) AS mean_r_q4,
+       CAST(sum_g * 10000 // n_pixels AS BIGINT) AS mean_g_q4,
+       CAST(sum_b * 10000 // n_pixels AS BIGINT) AS mean_b_q4
+FROM px
+"""
+
+
+@register(
+    "multimodal_resize", oracle=_MM_RESIZE_ORACLE, tags=("llm", "multimodal")
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image RESIZE through the Arrow path: plant LZW GIFs,
+    decode → nearest-neighbor downscale (operators/multimodal.
+    resize_image — the former stub, now real for every decodable
+    format) → P6 re-encode → re-decode → channel stats of the SMALL
+    raster. A wrong sample index, an off-by-one in the target grid, or
+    a P6 writer bug shifts a channel sum and breaks the hash. Same
+    two-stage mapInPandas shape and 100 TB layout notes as the decode
+    rows; resize composes decode, so the whole LZW path rides along."""
+    from strava_data_pipeline_spark.operators import multimodal as M
+
+    docs = _docs(spark, sf_dir)
+    seeded = docs.select("doc_id", md5_u32(F.col("text")).alias("x"))
+    return M.extract_resized_image_stats(
+        M.attach_ppm_payload(seeded, planter=M.plant_gif)
+    )
+
+
+# --------------------------------------------------------------------------
 # 40. corpus_dedup_keep — end-to-end dedup application (keep-list)
 # --------------------------------------------------------------------------
 def _dedup_keep_oracle() -> str:

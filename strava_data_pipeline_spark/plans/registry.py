@@ -58,6 +58,7 @@ _ENUMERATE_FIRST: tuple[str, ...] = (
     "corpus_shard_plan",
     "cms_heavy_hitters",
     "cms_merge_audit",
+    "multimodal_resize",
     "attribution_audit",
     "attribution_last_touch_bucketed",
     "curation_pipeline_e2e",

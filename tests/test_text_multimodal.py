@@ -95,14 +95,22 @@ class TestMultimodal:
         assert feats[1]["hist_1"] == ref["hist"][1]
 
     def test_codec_stubs_raise(self):
-        # compressed formats stay stubbed (no codec libs here); PPM is
-        # real — see TestPpmDecode
+        # JPEG/PNG stay stubbed (no codec libs here); PPM/BMP/GIF are
+        # real — see TestPpmDecode/TestBmpRle8Codec/TestGifLzwCodec.
+        # resize_image is real for decodable formats and inherits the
+        # honest stub for the rest through decode_image
         with pytest.raises(NotImplementedError):
             M.decode_image(b"\x89PNG....")
         with pytest.raises(NotImplementedError):
-            M.resize_image(b"x", 2, 2)
+            M.resize_image(b"\x89PNG....", 2, 2)
         with pytest.raises(NotImplementedError):
             M.sample_frames(b"x", 2)
+        # real resize on a real format: nearest-neighbor identity at
+        # the same dims returns the same raster re-encoded as P6
+        p = M.plant_ppm(42)
+        d = M.decode_image(p)
+        same = M.decode_image(M.resize_image(p, d["width"], d["height"]))
+        assert same["pixels"] == d["pixels"]
 
 
 class TestPpmDecode:
