@@ -505,6 +505,13 @@ def _decode_gif_lzw(payload: bytes) -> dict:
             for stored, actual in enumerate(order):
                 rows[actual] = idx[stored * w : (stored + 1) * w]
             idx = b"".join(rows)
+        # keep the typed-failure contract: a decoded index past the
+        # color table (legal streams can use 2/4/16-entry tables) must
+        # be ValueError, not an uncontrolled IndexError at pal[k]
+        if max(idx) >= len(pal):
+            raise ValueError(
+                f"GIF index {max(idx)} beyond color table of {len(pal)}"
+            )
         pixels = b"".join(pal[k] for k in idx)
         return {
             "format": "gif",

@@ -1047,6 +1047,15 @@ def quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # summary row per bucket, and the boundary join reuses the bucket
 # exchange. DuckDB oracle is the plain one-pass window — the two
 # strategies must agree to the row.
+#
+# r8 driver red root-cause: shard_id was the ONLY un-CAST oracle output
+# in the registry whose type was HUGEINT (windowed sum(BIGINT) ->
+# HUGEINT, and // keeps it). fetchall() renders HUGEINT as Python int
+# (replica green); an Arrow-path fetch renders it as decimal128, which
+# a value normalizer may stringify differently (driver red). Every
+# oracle output is now CAST to a canonical type; tools/verify_oracle.py
+# fails on HUGEINT/DECIMAL/TIMESTAMPTZ outputs so the replica catches
+# this class pre-submit.
 _SHARD_TARGET = 2000
 
 
@@ -1063,7 +1072,7 @@ WITH t AS (
                ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_excl
     FROM t
 )
-SELECT cum_excl // {_SHARD_TARGET} AS shard_id,
+SELECT CAST(cum_excl // {_SHARD_TARGET} AS BIGINT) AS shard_id,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS n_tokens
 FROM c GROUP BY shard_id

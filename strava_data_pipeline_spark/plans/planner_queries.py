@@ -17,6 +17,8 @@ brief.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -891,11 +893,20 @@ def attribution_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tracks state volume: narrow below 1M events, analytics width
     # above. Both modes hold the same oracle hash.
     from strava_data_pipeline_spark.streaming.tuning import (
+        _ENV_KEY,
         scoped_stream_shuffle,
     )
 
     n_events = ev.count()
-    width = 4 if n_events <= 1_000_000 else None  # None = analytics width
+    # None = analytics width. Mirror stream_tuned's precedence: the env
+    # override ALWAYS wins (tuning.py's documented contract), so a
+    # cluster-wide stream re-size reaches this face's small-feed branch
+    # too (r8 ADVICE).
+    width = (
+        4
+        if n_events <= 1_000_000 and _ENV_KEY not in os.environ
+        else None
+    )
     with scoped_stream_shuffle(spark, width) if width else _noop_ctx():
         land(flush_batch(1), 1_000_010)
         run_once()

@@ -44,65 +44,23 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # Enumeration-order priority: the driver's correctness harness samples a
 # rotating subset of ``queries()`` per round, and dict order is the only
 # lever the engine has over which queries get officially recorded.  The
-# r8 ordering cycles OLDEST-GREEN-FIRST (VERDICT r6 task 7): queries new
-# in r8 (no official green row yet) lead, then the 38 queries whose
-# latest official hash-match is still round 4, then the r5 block, r6,
-# and finally the 50 queries the r7 window just re-proved — so the
-# driver's ~50-query window always re-proves the stalest rows first and
-# no query's official green can age more than a few rounds.
+# r9 ordering cycles OLDEST-GREEN-FIRST (VERDICT r6 task 7): queries new
+# in r9 lead, then the two r8 REDS (fixed this round — the TIMESTAMPTZ
+# oracle typing and the HUGEINT shard_id leak — and never officially
+# green), then the 11 queries whose latest official hash-match is still
+# round 4, then the r5 / r6 / r7 blocks — so the driver's ~50-query
+# window always re-proves the stalest rows first and no query's
+# official green can age more than a few rounds. Everything r8 just
+# proved falls to registration order at the tail.
 _ENUMERATE_FIRST: tuple[str, ...] = (
-    # --- new in r8: no official green row yet ---
-    "multimodal_decode_gif",
-    "quality_calibration",
-    "stateful_session_audit",
+    # --- new in r9: no official green row yet ---
+    "multimodal_decode_png",
+    "export_pipeline_e2e",
+    "corpus_shard_buckets",
+    # --- red in r8 (driver-vs-replica divergence; fixed this round) ---
     "corpus_shard_plan",
-    "cms_heavy_hitters",
-    "cms_merge_audit",
-    "multimodal_resize",
-    "attribution_audit",
-    "attribution_last_touch_bucketed",
-    "curation_pipeline_e2e",
-    "cusum_changepoint_bucketed",
-    "dedup_index_audit",
-    "dedup_stream_audit",
-    "enrich_audit",
-    "events_rolling_7d_bucketed",
-    "ewma_audit",
-    "multimodal_decode_bmp",
-    "scd2_intervals_bucketed",
-    "session_window_audit",
-    "sessions_overlap_bucketed",
-    "sync_audit",
-    "versioned_sink_audit",
     "windowed_counts_audit",
     # --- latest official green row is round 4 ---
-    "dedup_clusters",
-    "dedup_containment",
-    "dedup_incremental",
-    "dedup_simhash64",
-    "dedup_substring",
-    "embedding_centroids",
-    "events_asof_profile",
-    "events_funnel",
-    "events_in_windows",
-    "events_pivot",
-    "events_rollup",
-    "jwt_validate",
-    "key_lifecycle",
-    "key_lookup",
-    "kmeans_lloyd",
-    "lang_confusion",
-    "multimodal_features",
-    "percentile_stats",
-    "perplexity_buckets",
-    "pii_redact",
-    "quality_filter",
-    "repetition_metrics",
-    "retention_cohorts",
-    "semdedup",
-    "session_stats",
-    "source_caps",
-    "stratified_sample",
     "tfidf_top_terms",
     "token_refresh",
     "type_streaks",

@@ -203,10 +203,8 @@ def sync_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 198. windowed_counts_audit — watermarked tumbling aggregation on disk
 # --------------------------------------------------------------------------
 _WINCOUNT_ORACLE = """
-SELECT to_timestamp(CAST(floor(epoch(ts)) AS BIGINT) // 600 * 600)
-         AS window_start,
-       to_timestamp(CAST(floor(epoch(ts)) AS BIGINT) // 600 * 600 + 600)
-         AS window_end,
+SELECT CAST(floor(epoch(ts)) AS BIGINT) // 600 * 600 AS window_start,
+       CAST(floor(epoch(ts)) AS BIGINT) // 600 * 600 + 600 AS window_end,
        event_type,
        CAST(count(*) AS BIGINT) AS n_events,
        round(sum(value), 2) AS total_value
@@ -262,11 +260,16 @@ def windowed_counts_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     _land(landing, _flush_row(spark, hi + 1_728_000), 1_000_020)
     run_once()
 
+    # Window bounds go out as epoch-second BIGINTs on BOTH sides: DuckDB's
+    # to_timestamp() yields TIMESTAMP WITH TIME ZONE, which the driver's
+    # schema comparator (correctly) refuses to equate with Spark's naive
+    # TIMESTAMP — the r8 red for this face. Integers have no tz to disagree
+    # about.
     return spark.read.parquet(target).where(
         F.col("event_type") != _FLUSH_TYPE
     ).select(
-        "window_start",
-        "window_end",
+        F.unix_seconds("window_start").alias("window_start"),
+        F.unix_seconds("window_end").alias("window_end"),
         "event_type",
         F.col("n_events").cast("bigint").alias("n_events"),
         F.col("total_value").cast("double").alias("total_value"),

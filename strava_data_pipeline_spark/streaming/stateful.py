@@ -16,6 +16,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     IntegerType,
     LongType,
@@ -118,13 +119,16 @@ GAP_SESSION_OUTPUT_SCHEMA = StructType(
     ]
 )
 
-# open session: (n_events, total_cents, start_us, end_us)
+# ALL unfinalized sessions (parallel arrays, one element per session
+# still inside the watermark horizon) — holding only the newest session
+# would glue any out-of-order-across-batches event into the wrong
+# session and could never repair an eagerly-emitted one (r8 ADVICE).
 GAP_SESSION_STATE_SCHEMA = StructType(
     [
-        StructField("n_events", IntegerType()),
-        StructField("total_cents", LongType()),
-        StructField("start_us", LongType()),
-        StructField("end_us", LongType()),
+        StructField("n_events", ArrayType(IntegerType())),
+        StructField("total_cents", ArrayType(LongType())),
+        StructField("start_us", ArrayType(LongType())),
+        StructField("end_us", ArrayType(LongType())),
     ]
 )
 
@@ -144,24 +148,68 @@ def track_sessions_event_time(
     ``stateful_session_audit`` registry face.
 
     Semantics (matches the batch sessionizer contract exactly):
-    - boundary: a new session starts when ts - prev_ts > gap; an
-      EXACT-gap arrival merges.
+    - boundary: a new session starts when floor-second(ts) -
+      floor-second(prev_ts) > gap; an EXACT-gap arrival merges. Gap
+      arithmetic is on WHOLE SECONDS (``ts_us // 1_000_000``) — the
+      ``cast(ts AS long)`` truncation every session oracle and
+      operators/sessionize.py use. Comparing raw microseconds split
+      pairs whose floor-gap was exactly the threshold but whose µs gap
+      exceeded it (r8 ADVICE-high; such pairs exist in the rehearsal
+      feeds).
     - session_end is the LAST EVENT's ts (not last + gap — that is the
       native session_window convention, covered by its own face).
     - values accumulate in exact BIGINT cents (round(value*100)), so no
       float partial-sum order can leak into a hash.
+    - ANY within-watermark disorder is handled, across batches too: a
+      session is emitted only once the watermark PROVES no admissible
+      event can extend or bridge it. Until then every unfinalized
+      session rides in state (parallel arrays), and each batch re-merges
+      stored sessions with the batch's own — a late event landing
+      inside or within gap of an old session merges; one landing
+      between two stored sessions can bridge them into one.
+
+    Close rule: an event merges into a session ending at end_sec iff
+    its floor-second <= end_sec + gap_sec, i.e. iff ts_us <
+    (end_sec + gap_sec + 1) * 1e6. Spark admits ts >= watermark
+    (only ts < watermark is late), so the session is provably closed
+    iff wm_ms >= (end_sec + gap_sec + 1) * 1000 — closing at
+    ``end + gap <= wm`` would split an exact-boundary arrival (r8
+    ADVICE-low). Each batch emits the provably-closed prefix in the
+    data path and parks the rest with an event-time timeout at the
+    earliest remaining close bound; the timeout handler re-applies the
+    same rule. State per key stays bounded: sessions are > gap apart,
+    so only sessions inside the (watermark - gap) horizon can remain.
 
     Mechanics: within a micro-batch the group's rows are materialized
     with pd.concat and sorted by (ts, event_id) — the ewma.py chunk-
-    order lesson — then split vectorized on gap breaks; all sessions
-    but the last emit immediately, the last stays in state with an
-    event-time timeout at end + gap. If the current watermark already
-    passed end + gap (possible when a batch carries a user's OLD tail),
-    the session closes in the data path instead — Spark rejects timeout
-    timestamps behind the watermark. State per key is one 4-field
-    tuple; timeouts fire for every stored key once the watermark
-    advances, whether or not the key sees more data."""
-    gap_us = gap_minutes * 60_000_000
+    order lesson — then split vectorized on floor-second gap breaks.
+    Stored sessions merge with batch sessions by interval merge on
+    (start, end): a session's internal gaps are all <= gap, so an
+    event (or session) overlapping its span is always within gap of
+    one of its events — interval merge on the 4-tuples is EXACTLY
+    event-level sessionization of the union."""
+    gap_sec = gap_minutes * 60
+
+    def _close_at_ms(s: tuple) -> int:
+        # first wm_ms at which nothing admissible can merge into s
+        return (s[3] // 1_000_000 + gap_sec + 1) * 1000
+
+    def _merge(sessions: list) -> list:
+        """Interval-merge sessions sorted by start; floor-second gap."""
+        sessions = sorted(sessions, key=lambda s: (s[2], s[3]))
+        out = [sessions[0]]
+        for s in sessions[1:]:
+            last = out[-1]
+            if s[2] // 1_000_000 - last[3] // 1_000_000 <= gap_sec:
+                out[-1] = (
+                    last[0] + s[0],
+                    last[1] + s[1],
+                    min(last[2], s[2]),
+                    max(last[3], s[3]),
+                )
+            else:
+                out.append(s)
+        return out
 
     def _emit(user_id, sessions) -> pd.DataFrame:
         return pd.DataFrame(
@@ -178,27 +226,61 @@ def track_sessions_event_time(
             }
         )
 
+    def _settle(sessions, state: GroupState) -> list:
+        """Park not-provably-closed sessions with a timeout; return the
+        provably-closed ones for emission. Eager (no generator) so the
+        state mutations never ride on consumer laziness."""
+        wm_ms = state.getCurrentWatermarkMs()
+        closed = [s for s in sessions if _close_at_ms(s) <= wm_ms]
+        kept = [s for s in sessions if _close_at_ms(s) > wm_ms]
+        if kept:
+            state.update(
+                (
+                    [s[0] for s in kept],
+                    [s[1] for s in kept],
+                    [s[2] for s in kept],
+                    [s[3] for s in kept],
+                )
+            )
+            # earliest close bound; > wm_ms by the kept predicate, as
+            # setTimeoutTimestamp requires
+            state.setTimeoutTimestamp(min(_close_at_ms(s) for s in kept))
+        elif state.exists:
+            state.remove()
+        return closed
+
+    def _stored(state: GroupState) -> list:
+        if not state.exists:
+            return []
+        ns, cs, ss, es = state.get
+        return [
+            (int(n), int(c), int(s), int(e))
+            for n, c, s, e in zip(ns, cs, ss, es)
+        ]
+
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
         if state.hasTimedOut:
-            n, cents, start_us, end_us = state.get
-            state.remove()
-            yield _emit(user_id, [(n, cents, start_us, end_us)])
+            closed = _settle(_stored(state), state)
+            if closed:
+                yield _emit(user_id, closed)
             return
         pdf = pd.concat(list(pdfs), ignore_index=True)
         pdf = pdf[pdf["ts"].notna()].sort_values(["ts", "event_id"])
         if pdf.empty:
             return
         ts_us = (pdf["ts"].astype("int64") // 1000).to_numpy()
+        sec = ts_us // 1_000_000
         cents = (
             (pdf["value"].astype("float64") * 100).round().astype("int64")
         ).to_numpy()
-        # vectorized gap split: break where the gap STRICTLY exceeds
+        # vectorized gap split: break where the floor-second gap
+        # STRICTLY exceeds the threshold
         breaks = [0] + [
-            i for i in range(1, len(ts_us)) if ts_us[i] - ts_us[i - 1] > gap_us
-        ] + [len(ts_us)]
+            i for i in range(1, len(sec)) if sec[i] - sec[i - 1] > gap_sec
+        ] + [len(sec)]
         sessions = [
             (
                 int(b - a),
@@ -208,28 +290,7 @@ def track_sessions_event_time(
             )
             for a, b in zip(breaks[:-1], breaks[1:])
         ]
-        if state.exists:
-            n, c, s_us, e_us = state.get
-            first = sessions[0]
-            if first[2] - e_us > gap_us:  # state session closed by gap
-                sessions = [(n, c, s_us, e_us)] + sessions
-            else:  # merge into the open session
-                sessions[0] = (
-                    n + first[0],
-                    c + first[1],
-                    min(s_us, first[2]),
-                    max(e_us, first[3]),
-                )
-        closed, tail = sessions[:-1], sessions[-1]
-        wm_ms = state.getCurrentWatermarkMs()
-        if tail[3] // 1000 + gap_us // 1000 <= wm_ms:
-            # the watermark already proved no event can extend it
-            closed = closed + [tail]
-            if state.exists:
-                state.remove()
-        else:
-            state.update(tail)
-            state.setTimeoutTimestamp(tail[3] // 1000 + gap_us // 1000)
+        closed = _settle(_merge(_stored(state) + sessions), state)
         if closed:
             yield _emit(user_id, closed)
 

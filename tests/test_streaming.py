@@ -1230,10 +1230,11 @@ def test_scoped_stream_shuffle_restores_width(spark):
 
 def test_event_time_sessionizer_gap_and_timeout(spark, dirs):
     """The EventTimeTimeout gap sessionizer (streaming/stateful.py::
-    track_sessions_event_time): in-batch gap splits emit immediately,
-    the open tail closes via event-time timeout once the watermark
-    passes end + gap, an EXACT-gap arrival merges (the batch sessionize
-    boundary contract), and values accumulate in exact cents."""
+    track_sessions_event_time): sessions emit only once the WATERMARK
+    proves them closed (never eagerly — an eager emit could not be
+    repaired by a within-watermark late event), an EXACT-gap arrival
+    merges (the batch sessionize boundary contract), and values
+    accumulate in exact cents."""
     from strava_data_pipeline_spark.streaming.stateful import (
         track_sessions_event_time,
     )
@@ -1256,8 +1257,10 @@ def test_event_time_sessionizer_gap_and_timeout(spark, dirs):
             .awaitTermination(120)
         )
 
-    # batch 1: session A (10:00, 10:10) closes IN-BATCH at the 11:30
-    # arrival (80-min gap); session B opens at 11:30
+    # batch 1: session A (10:00, 10:10) splits from B (11:30) in-batch,
+    # but nothing may EMIT yet — the run's final watermark is only
+    # 10:30 (11:30 - 1h), short of A.close_at 10:40:01; a late event
+    # <= 10:40 is still admissible and must be able to extend A
     _write_batch(
         spark,
         landing,
@@ -1268,15 +1271,11 @@ def test_event_time_sessionizer_gap_and_timeout(spark, dirs):
         ],
     )
     run_once()
-    rows = spark.read.parquet(target).collect()
-    assert len(rows) == 1
-    a = rows[0]
-    assert (a["n_events"], a["total_cents"]) == (2, 1000)
-    assert a["session_start"] == datetime(2024, 1, 1, 10, 0)
-    assert a["session_end"] == datetime(2024, 1, 1, 10, 10)
+    assert spark.read.parquet(target).count() == 0
 
-    # batch 2: 11:50 merges into B (20 min), 13:00 closes B (70 min),
-    # 13:30 is the EXACT 30-min gap — must MERGE into C, not break
+    # batch 2: 11:50 merges into B (20 min), 13:00 opens C (70 min gap),
+    # 13:30 is the EXACT 30-min gap — must MERGE into C, not break.
+    # The run's closing watermark 12:30 proves A and B' closed.
     _write_batch(
         spark,
         landing,
@@ -1291,6 +1290,8 @@ def test_event_time_sessionizer_gap_and_timeout(spark, dirs):
         (r["session_start"], r["session_end"]): r
         for r in spark.read.parquet(target).collect()
     }
+    a = got[(datetime(2024, 1, 1, 10, 0), datetime(2024, 1, 1, 10, 10))]
+    assert (a["n_events"], a["total_cents"]) == (2, 1000)
     b = got[(datetime(2024, 1, 1, 11, 30), datetime(2024, 1, 1, 11, 50))]
     assert (b["n_events"], b["total_cents"]) == (2, 350)
 
@@ -1311,6 +1312,81 @@ def test_event_time_sessionizer_gap_and_timeout(spark, dirs):
     assert len(got) == 3
     c = got[(datetime(2024, 1, 1, 13, 0), datetime(2024, 1, 1, 13, 30))]
     assert (c["n_events"], c["total_cents"]) == (2, 350)
+
+
+def test_event_time_sessionizer_floor_gap_and_disorder(spark, dirs):
+    """The two r8 ADVICE bugs, pinned: (1) gap arithmetic is on FLOOR
+    SECONDS — a pair whose floor-gap is exactly 1800 s but whose µs gap
+    exceeds 1800.0 s MERGES (raw-µs comparison split it); (2) a
+    within-watermark late event arriving a batch later must BRIDGE two
+    stored sessions into one — the single-tail state glued it to the
+    newest session and could never repair the eagerly-emitted first."""
+    from strava_data_pipeline_spark.streaming.stateful import (
+        track_sessions_event_time,
+    )
+
+    landing, target, ckpt = dirs
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        (
+            track_sessions_event_time(stream, gap_minutes=30)
+            .writeStream.format("parquet")
+            .option("path", target)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(120)
+        )
+
+    # batch 1: A = {10:00:00.100}, B = {10:50:00.900} — 50-min gap,
+    # two sessions, neither provably closed (watermark ends at 9:50)
+    _write_batch(
+        spark,
+        landing,
+        [
+            (1, datetime(2024, 1, 1, 10, 0, 0, 100_000), 7, "run", 1.00),
+            (2, datetime(2024, 1, 1, 10, 50, 0, 900_000), 7, "run", 2.00),
+        ],
+    )
+    run_once()
+    assert spark.read.parquet(target).count() == 0
+
+    # batch 2: the 10:25 straggler (admissible: >= watermark 9:50)
+    # bridges A and B into ONE session; 11:20:00.950 is the EXACT
+    # floor-second 30-min gap off B's end (floor 10:50:00 -> 11:20:00,
+    # µs gap 1800.05 s) — must merge, not break
+    _write_batch(
+        spark,
+        landing,
+        [
+            (3, datetime(2024, 1, 1, 10, 25, 0), 7, "run", 4.00),
+            (4, datetime(2024, 1, 1, 11, 20, 0, 950_000), 7, "run", 8.00),
+        ],
+    )
+    run_once()
+
+    # flushes: advance the watermark past end + gap, then give the
+    # event-time timeout a batch to fire in
+    _write_batch(
+        spark, landing, [(-1, datetime(2024, 1, 1, 16, 0), -1, "x", 0.0)]
+    )
+    run_once()
+    _write_batch(
+        spark, landing, [(-2, datetime(2024, 1, 1, 17, 0), -1, "x", 0.0)]
+    )
+    run_once()
+
+    rows = spark.read.parquet(target).where("user_id >= 0").collect()
+    assert len(rows) == 1
+    s = rows[0]
+    assert (s["n_events"], s["total_cents"]) == (4, 1500)
+    assert s["session_start"] == datetime(2024, 1, 1, 10, 0, 0, 100_000)
+    assert s["session_end"] == datetime(2024, 1, 1, 11, 20, 0, 950_000)
 
 
 def test_cms_sink_prefix_validity(spark, dirs):

@@ -718,3 +718,10 @@ class TestGifLzwCodec:
         # JPEG magic still routes to the honest stub
         with _pytest.raises(NotImplementedError):
             decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
+        # an index past a small LOCAL color table (2 entries, size bits
+        # 0) must be the typed ValueError, not IndexError at pal[k]
+        lpal = b"\x10\x20\x30" + b"\x40\x50\x60"
+        with _pytest.raises(ValueError, match="beyond color table"):
+            _decode_gif_lzw(
+                self._manual_gif(2, 1, b"\x01\x05", ipacked=0x80, pal=lpal)
+            )

@@ -40,6 +40,36 @@ def norm_value(v):
     return str(v)
 
 
+# Oracle OUTPUT types that fetchall() and an Arrow-path fetch render
+# differently (HUGEINT/DECIMAL -> decimal128; TIMESTAMPTZ -> tz-aware):
+# the r8 corpus_shard_plan red. Oracles must CAST to canonical types.
+NONCANONICAL = ("hugeint", "decimal", "with time zone", "ubigint", "uinteger")
+
+
+def noncanonical_cols(cols, types):
+    return [
+        c
+        for c, t in zip(cols, types)
+        if any(b in str(t).lower() for b in NONCANONICAL)
+    ]
+
+
+def tz_signature(cols, types):
+    """Map column name -> True iff the type carries a time zone.
+
+    The driver's comparator distinguishes TIMESTAMP WITH TIME ZONE from
+    naive TIMESTAMP (the r8 windowed_counts_audit red); the name-only
+    comparison here missed it. Spark's 'timestamp_ntz' ends in 'tz' but
+    is naive — match the full 'with time zone' / exact 'timestamptz'
+    spellings only.
+    """
+    sig = {}
+    for c, t in zip(cols, types):
+        s = str(t).lower()
+        sig[c] = ("with time zone" in s) or s == "timestamptz"
+    return sig
+
+
 def table_hash(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted("|".join(norm_value(r[i]) for i in order) for r in rows)
@@ -101,9 +131,23 @@ def main() -> int:
             print(f"FAIL  {name}: duckdb error: {str(ex)[:200]}")
             failures.append(name)
             continue
+        badtypes = noncanonical_cols(dcols, rel.types)
+        if badtypes:
+            print(f"FAIL  {name}: non-canonical oracle output type on "
+                  f"{badtypes} (CAST it — Arrow-path fetches diverge)")
+            failures.append(name)
+            continue
         sh = table_hash([c.lower() for c in scols], [tuple(r) for r in srows])
         dh = table_hash(dcols, drows)
         cols_ok = sorted(c.lower() for c in scols) == sorted(dcols)
+        stz = tz_signature([c.lower() for c in scols],
+                           [t for _, t in sdf.dtypes])
+        dtz = tz_signature(dcols, rel.types)
+        if cols_ok and stz != dtz:
+            bad = sorted(c for c in stz if stz[c] != dtz.get(c, stz[c]))
+            print(f"FAIL  {name}: tz-typed schema mismatch on {bad}")
+            failures.append(name)
+            continue
         n_ok = len(srows) == len(drows)
         if cols_ok and n_ok and sh == dh:
             print(f"PASS  {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
