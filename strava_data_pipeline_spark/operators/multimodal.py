@@ -122,9 +122,10 @@ def decode_image(payload: bytes) -> dict:
     """Image decode. REAL for binary PPM (P6): header parse (whitespace
     + ``#`` comments per the netpbm spec) and raw RGB raster — a pure-
     python decoder needing no codec libs, exercised end-to-end through
-    the Arrow path by the ``multimodal_decode`` registry query.
-    Compressed formats (JPEG/PNG/...) remain STUBBED: their codecs are
-    not in this container; swap in PIL.Image.open on a real cluster.
+    the Arrow path by the ``multimodal_decode`` registry query. Also
+    REAL: RLE8 BMP, LZW GIF, and 8-bit-RGB PNG (stdlib zlib inflates
+    IDAT). JPEG remains the one honest STUB: its entropy coding needs
+    a native codec; swap in PIL.Image.open on a real cluster.
     """
     if payload is None or len(payload) < 2:
         raise ValueError("empty payload")
@@ -148,8 +149,11 @@ def decode_image(payload: bytes) -> dict:
         return _decode_bmp_rle8(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return _decode_gif_lzw(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(payload)
     raise NotImplementedError(
-        "media codecs unavailable in this environment; "
+        "media codecs unavailable in this environment (JPEG is the one "
+        "remaining stub — its entropy coding needs a native lib); "
         "swap in PIL.Image.open(io.BytesIO(payload)) on a real cluster"
     )
 
@@ -200,9 +204,9 @@ def encode_bmp_rle8(width: int, height: int, indexes: bytes) -> bytes:
 
 
 def _decode_bmp_rle8(payload: bytes) -> dict:
-    """Real BMP decode for the 8-bit RLE8-compressed variant — the one
-    compressed raster format feasible pure-python in this container
-    (JPEG/PNG need codec libs and stay stubbed). Handles encoded-mode
+    """Real BMP decode for the 8-bit RLE8-compressed variant — one of
+    the compressed raster formats feasible pure-python in this
+    container (JPEG needs codec libs and stays stubbed). Handles encoded-mode
     runs, ABSOLUTE mode (with its word-boundary padding), end-of-line
     and end-of-bitmap escapes, bottom-up row order, and the palette
     lookup; rejects delta escapes and non-RLE8 BMPs loudly rather than
@@ -522,13 +526,207 @@ def _decode_gif_lzw(payload: bytes) -> dict:
         }
 
 
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6): nearest of left/up/up-left
+    to the linear estimate a + b - c, ties breaking left, up, up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(width: int, height: int, pixels: bytes) -> bytes:
+    """Real PNG writer: signature + IHDR (8-bit truecolor RGB, no
+    interlace) + one zlib-compressed IDAT + IEND, CRC32 on every chunk.
+    Scanline filters CYCLE row % 5 through all five spec filter types
+    (None/Sub/Up/Average/Paeth) so a decoder must reverse every one —
+    the plant-with-real-encoder pattern of encode_gif_lzw, where the
+    encoder and decoder verify each other against the arithmetic
+    oracle. ``pixels`` is ``3*width*height`` top-down interleaved RGB."""
+    import struct
+    import zlib
+
+    if len(pixels) != 3 * width * height:
+        raise ValueError(
+            f"PNG {width}x{height} needs {3 * width * height} pixel bytes, "
+            f"got {len(pixels)}"
+        )
+    bpp, stride = 3, 3 * width
+    raw = bytearray()
+    prior = bytes(stride)
+    for r in range(height):
+        row = pixels[r * stride : (r + 1) * stride]
+        ftype = r % 5
+        raw.append(ftype)
+        if ftype == 0:  # None
+            raw += row
+        elif ftype == 1:  # Sub
+            raw += bytes(
+                (row[i] - (row[i - bpp] if i >= bpp else 0)) & 0xFF
+                for i in range(stride)
+            )
+        elif ftype == 2:  # Up
+            raw += bytes((row[i] - prior[i]) & 0xFF for i in range(stride))
+        elif ftype == 3:  # Average
+            raw += bytes(
+                (row[i] - ((row[i - bpp] if i >= bpp else 0) + prior[i]) // 2)
+                & 0xFF
+                for i in range(stride)
+            )
+        else:  # Paeth
+            raw += bytes(
+                (
+                    row[i]
+                    - _paeth(
+                        row[i - bpp] if i >= bpp else 0,
+                        prior[i],
+                        prior[i - bpp] if i >= bpp else 0,
+                    )
+                )
+                & 0xFF
+                for i in range(stride)
+            )
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(payload: bytes) -> dict:
+    """Real PNG decode for the pure-python-feasible profile: chunk walk
+    with CRC32 verification, IHDR parse, multi-IDAT reassembly, stdlib
+    zlib inflate, and per-scanline reversal of all five filter types
+    (None/Sub/Up/Average/Paeth). 8-bit truecolor RGB, non-interlaced —
+    other color types / bit depths / Adam7 need profile work that adds
+    nothing to the Spark surface and raise the honest
+    NotImplementedError; malformed streams (bad CRC, truncated or
+    oversized raster, missing IDAT) fail loudly with ValueError.
+    Returns the same result shape as the P6/BMP/GIF paths."""
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG stream")
+    i = 8
+    w = h = None
+    idat = bytearray()
+    seen_end = False
+    while i < len(payload):
+        if i + 8 > len(payload):
+            raise ValueError("truncated PNG chunk header")
+        (length,) = struct.unpack_from(">I", payload, i)
+        tag = payload[i + 4 : i + 8]
+        data = payload[i + 8 : i + 8 + length]
+        if len(data) != length or i + 12 + length > len(payload):
+            raise ValueError(f"truncated PNG chunk {tag!r}")
+        (crc,) = struct.unpack_from(">I", payload, i + 8 + length)
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        i += 12 + length
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, ilace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or ctype != 2:
+                raise NotImplementedError(
+                    f"only 8-bit truecolor PNG decodes pure-python here "
+                    f"(got depth={depth}, color type={ctype}); swap in PIL "
+                    f"on a real cluster"
+                )
+            if comp != 0 or filt != 0:
+                raise ValueError(
+                    f"bad PNG compression/filter method ({comp}/{filt})"
+                )
+            if ilace != 0:
+                raise NotImplementedError(
+                    "Adam7-interlaced PNG not supported pure-python here"
+                )
+            if w <= 0 or h <= 0:
+                raise ValueError(f"bad PNG dimensions {w}x{h}")
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            seen_end = True
+            break
+        # ancillary chunks (tEXt, gAMA, ...) skip silently, as per spec
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if not idat:
+        raise ValueError("PNG missing IDAT")
+    if not seen_end:
+        raise ValueError("PNG data ended without IEND")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as ex:
+        raise ValueError(f"PNG IDAT inflate failed: {ex}") from None
+    bpp, stride = 3, 3 * w
+    if len(raw) != h * (1 + stride):
+        raise ValueError(
+            f"PNG raster decoded to {len(raw)} bytes "
+            f"(expected {h * (1 + stride)})"
+        )
+    out = bytearray()
+    prior = bytes(stride)
+    for r in range(h):
+        ftype = raw[r * (1 + stride)]
+        line = raw[r * (1 + stride) + 1 : (r + 1) * (1 + stride)]
+        cur = bytearray(line)
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for k in range(bpp, stride):
+                cur[k] = (cur[k] + cur[k - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for k in range(stride):
+                cur[k] = (cur[k] + prior[k]) & 0xFF
+        elif ftype == 3:  # Average
+            for k in range(stride):
+                left = cur[k - bpp] if k >= bpp else 0
+                cur[k] = (cur[k] + (left + prior[k]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for k in range(stride):
+                left = cur[k - bpp] if k >= bpp else 0
+                ul = prior[k - bpp] if k >= bpp else 0
+                cur[k] = (cur[k] + _paeth(left, prior[k], ul)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype} on row {r}")
+        out += cur
+        prior = bytes(cur)
+    return {
+        "format": "png",
+        "width": w,
+        "height": h,
+        "maxval": 255,
+        "pixels": bytes(out),
+    }
+
+
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
     """Real nearest-neighbor resize for every format decode_image can
-    parse (P6 / RLE8 BMP / GIF): decode, sample source pixel
+    parse (P6 / RLE8 BMP / GIF / PNG): decode, sample source pixel
     (r*h_in // h_out, c*w_in // w_out) for each target pixel — the
     exact integer mapping a SQL oracle can recompute — and re-encode
     as binary PPM (the interchange format of this pipeline's decode
-    surface). Formats that cannot decode here (JPEG/PNG) still raise
+    surface). Formats that cannot decode here (JPEG) still raise
     through decode_image's honest stub."""
     if width <= 0 or height <= 0:
         raise ValueError(f"bad resize target {width}x{height}")
@@ -662,6 +860,29 @@ def plant_gif(x: int) -> bytes:
         (base + 11 * r + c // 3) % 256 for r in range(h) for c in range(w)
     )
     return encode_gif_lzw(w, h, idx)
+
+
+def plant_png(x: int) -> bytes:
+    """Deterministic planted PNG for hash seed ``x``: same dims as
+    plant_gif (width 8 + x%25, height 8 + (x//7)%17 — height >= 8
+    guarantees every filter type 0-4 appears at least once, since
+    encode_png cycles row % 5). Pixel at (row r, col c) derives from
+    idx = (base + 11r + c//3) % 256 with PNG-SPECIFIC affine channels
+    (r = (idx*19+3) % 256, g = (idx*23+9) % 256, b = (idx*29+13) % 256
+    — constants differ from the GIF/BMP palettes so a format-dispatch
+    slip cannot accidentally hash-match), so a DuckDB oracle recomputes
+    the decoded channel sums arithmetically."""
+    w = 8 + x % 25
+    h = 8 + (x // 7) % 17
+    base = x % 251
+    px = bytearray()
+    for r in range(h):
+        for c in range(w):
+            k = (base + 11 * r + c // 3) % 256
+            px += bytes(
+                ((k * 19 + 3) % 256, (k * 23 + 9) % 256, (k * 29 + 13) % 256)
+            )
+    return encode_png(w, h, bytes(px))
 
 
 def attach_ppm_payload(docs_with_seed: DataFrame, planter=None) -> DataFrame:

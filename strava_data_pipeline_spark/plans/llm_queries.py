@@ -1010,6 +1010,75 @@ def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 212. multimodal_decode_png — real zlib/filter decode (PNG) end to end
+# --------------------------------------------------------------------------
+# Fourth real codec, and the first with a DEFLATE stream: the Spark
+# path round-trips real PNG bytes (signature + IHDR + one zlib IDAT +
+# IEND, CRC32 on every chunk) through encode → Arrow → decode. The
+# encoder cycles the scanline filter row % 5 through all five spec
+# types (None/Sub/Up/Average/Paeth) and heights are >= 8, so EVERY
+# image exercises every filter reversal — a wrong predictor anywhere
+# propagates through all later scanlines (Up/Average/Paeth chain on
+# prior rows) and breaks the hash. Dims match the GIF plants; channel
+# constants are PNG-specific (r = (idx*19+3) % 256, g = (idx*23+9)
+# % 256, b = (idx*29+13) % 256) so a dispatch slip cannot hash-match.
+_MM_PNG_ORACLE = """
+WITH h AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(text), 1, 8))::UBIGINT AS BIGINT) AS x
+    FROM documents
+), dims AS (
+    SELECT doc_id,
+           CAST(8 + x % 25 AS INT) AS width,
+           CAST(8 + (x // 7) % 17 AS INT) AS height,
+           x % 251 AS base
+    FROM h
+), px AS (
+    SELECT doc_id, width, height,
+           CAST(width * height AS BIGINT) AS n_pixels,
+           CAST(list_sum([
+               ((base + 11*(p // width) + (p % width) // 3) % 256 * 19 + 3) % 256
+               FOR p IN range(0, width*height)]) AS BIGINT) AS sum_r,
+           CAST(list_sum([
+               ((base + 11*(p // width) + (p % width) // 3) % 256 * 23 + 9) % 256
+               FOR p IN range(0, width*height)]) AS BIGINT) AS sum_g,
+           CAST(list_sum([
+               ((base + 11*(p // width) + (p % width) // 3) % 256 * 29 + 13) % 256
+               FOR p IN range(0, width*height)]) AS BIGINT) AS sum_b
+    FROM dims
+)
+SELECT doc_id, width, height, n_pixels,
+       sum_r, sum_g, sum_b,
+       CAST(sum_r * 10000 // n_pixels AS BIGINT) AS mean_r_q4,
+       CAST(sum_g * 10000 // n_pixels AS BIGINT) AS mean_g_q4,
+       CAST(sum_b * 10000 // n_pixels AS BIGINT) AS mean_b_q4
+FROM px
+"""
+
+
+@register(
+    "multimodal_decode_png", oracle=_MM_PNG_ORACLE, tags=("llm", "multimodal")
+)
+def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real DEFLATE-era image decode through the Arrow path: plant PNG
+    payloads (operators/multimodal.plant_png — real encoder, per-row
+    filter cycling), decode with the pure-python chunk walk + CRC
+    check + zlib inflate + five-filter reversal (_decode_png), reduce
+    to the same channel stats as the P6/BMP/GIF paths. Format-
+    dispatched through the SAME decode_image entry — one decode
+    surface, FOUR real codecs; JPEG stays the one honest stub (its
+    entropy coding needs a native lib). Same two-stage mapInPandas
+    shape and 100 TB layout notes as multimodal_decode."""
+    from strava_data_pipeline_spark.operators import multimodal as M
+
+    docs = _docs(spark, sf_dir)
+    seeded = docs.select("doc_id", md5_u32(F.col("text")).alias("x"))
+    return M.extract_image_stats(
+        M.attach_ppm_payload(seeded, planter=M.plant_png)
+    )
+
+
+# --------------------------------------------------------------------------
 # 211. multimodal_resize — real nearest-neighbor resize end to end
 # --------------------------------------------------------------------------
 # De-stubs resize_image: GIF payloads are decoded (full LZW), downscaled
@@ -3007,14 +3076,16 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # 192. curation_pipeline_e2e — the composed curation capstone (r8)
 # --------------------------------------------------------------------------
-def _curation_e2e_oracle() -> str:
-    """Chained-CTE oracle: quality gate -> exact dedup -> minhash-LSH
-    near dedup -> benchmark decontamination -> split counts, each CTE
-    consuming the previous one — the independent DuckDB evaluation of
-    the SAME composed pipeline. Stage fragments reuse the individual
-    queries' oracle arithmetic verbatim (same permutation literals,
-    band keys, bucket caps, bucket salt) so a divergence is a
-    COMPOSITION bug, not a re-derivation drift."""
+def _curation_ctes() -> str:
+    """The WITH-chain through the ``clean`` survivors (stages 1-4:
+    quality gate -> exact dedup -> minhash-LSH near dedup -> benchmark
+    decontamination), shared VERBATIM by the split-count oracle
+    (curation_pipeline_e2e) and the shard-export oracle
+    (export_pipeline_e2e) — the two faces must disagree only in what
+    they do with the same survivors. Stage fragments reuse the
+    individual queries' oracle arithmetic verbatim (same permutation
+    literals, band keys, bucket caps, bucket salt) so a divergence is
+    a COMPOSITION bug, not a re-derivation drift."""
     params = perm_params(D.N_PERMS)
     mh_cols = ",\n        ".join(
         f"min((x * {a} + {b}) % {MINHASH_PRIME}) AS mh_{j}"
@@ -3087,7 +3158,13 @@ WITH base AS MATERIALIZED (
 ), clean AS (
     SELECT doc_id, lang FROM near_surv
     WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
-), labeled AS (
+)"""
+
+
+def _curation_e2e_oracle() -> str:
+    """Split counts over the shared survivor chain (see _curation_ctes)."""
+    return f"""
+{_curation_ctes()}, labeled AS (
     SELECT lang,
            CASE WHEN {_bucket_duck('doc_id', 'split')} < 800 THEN 'train'
                 WHEN {_bucket_duck('doc_id', 'split')} < 900 THEN 'val'
@@ -3132,6 +3209,23 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     clears per query; loops must clearCache after materializing)."""
     from strava_data_pipeline_spark.operators.sampling import assign_split
 
+    base, clean = _curation_clean(spark, sf_dir)
+
+    # stage 5 — stable split assignment over the curated corpus
+    return (
+        assign_split(clean.select("doc_id", "lang"))
+        .groupBy("split", "lang")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+
+
+def _curation_clean(spark: SparkSession, sf_dir: str):
+    """Stages 1-4 of the curation capstone, factored so the split-count
+    face (curation_pipeline_e2e) and the shard-export face
+    (export_pipeline_e2e) provably run the SAME composed pipeline.
+    Returns (base, clean): the persisted narrow frame (one corpus body
+    scan — md5 hash, token array, length stats; bodies dropped) and the
+    curated survivor frame (doc_id, lang, toks)."""
     docs = _docs(spark, sf_dir)
     toks = T.tokens(F.col("text"))
     base = docs.select(
@@ -3198,10 +3292,116 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     clean = nd.join(contaminated, "doc_id", "left_anti")
+    return base, clean
 
-    # stage 5 — stable split assignment over the curated corpus
+
+# --------------------------------------------------------------------------
+# 213. export_pipeline_e2e — the corpus EXPORT half on disk (r9)
+# --------------------------------------------------------------------------
+# The engine planned shards (corpus_shard_plan) and packed bins
+# (corpus_pack_bins) but never WROTE a curated corpus as an audited
+# artifact — every streaming sink writes events/rollups/sketches. This
+# face closes the loop with the sync_audit discipline: the curation
+# survivors (stages 1-4, the SAME _curation_clean frame the split-count
+# capstone consumes) are exported as token-budget shards through
+# sources/corpus_export.export_corpus_shards — bucketed global prefix
+# sum for shard_id, one immutable dir per shard, manifest + marker
+# publish via the versioned store — then the export is REPLAYED (the
+# second call must fingerprint-match and add no version) and the
+# COMMITTED snapshot is read back and hashed against the chained
+# oracle. A lost shard, a doc in two shards, a boundary shifted by a
+# nondeterministic order, or a replay that double-published all land in
+# the hash; n_versions pins replay idempotence into every output row.
+_EXPORT_TARGET = 500
+
+
+def _export_e2e_oracle() -> str:
+    """Shard stats over the shared survivor chain: join ``clean`` back
+    to ``base`` for the content hash (h = first 32 md5 bits — derivable
+    from text_hash, no second body scan on the ORACLE side either) and
+    token counts, then corpus_shard_plan's window arithmetic."""
+    return f"""
+{_curation_ctes()}, kept AS (
+    SELECT c.doc_id,
+           CAST(('0x' || substr(b.text_hash, 1, 8))::UBIGINT AS BIGINT) AS h,
+           CAST(len(b.t) AS BIGINT) AS n_tokens
+    FROM clean c JOIN base b ON b.doc_id = c.doc_id
+), cum AS (
+    SELECT n_tokens,
+           sum(n_tokens) OVER (ORDER BY h, doc_id
+               ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_excl
+    FROM kept
+)
+SELECT CAST(cum_excl // {_EXPORT_TARGET} AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(1 AS BIGINT) AS n_versions
+FROM cum GROUP BY shard_id
+"""
+
+
+@register(
+    "export_pipeline_e2e",
+    oracle=_export_e2e_oracle(),
+    tags=("llm", "curation", "ops"),
+)
+def export_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curate -> shard -> PUBLISH -> replay -> audit the committed
+    artifact. Runs stages 1-4 once (one corpus body scan builds the
+    narrow base frame), joins the survivor ids back to the raw table
+    for bodies — the EXPORT scan, the one unavoidable second read:
+    bodies must be read to be written, and carrying them through four
+    curation shuffles instead would be strictly worse — and exports
+    through the versioned store twice. The second export must be a
+    fingerprint-matched no-op (replay adds no version; n_versions in
+    every row pins it). Output is computed from the COMMITTED shard
+    files, not the in-flight frame, so the store's manifest resolution
+    and partition dirs are inside the hash.
+
+    100 TB notes: shard assignment is the skew-immune bucketed prefix
+    sum (one summary row per hash bucket rides the sequential
+    dependency); the write is one pass, one dir per shard; the replay
+    check costs one narrow aggregate (count + two BIGINT sums), never
+    a re-read of shard bodies."""
+    import hashlib as _hl
+    import shutil as _sh
+
+    from strava_data_pipeline_spark.sources.corpus_export import (
+        export_corpus_shards,
+    )
+    from strava_data_pipeline_spark.sources.versioned import (
+        committed_versions,
+        read_snapshot,
+    )
+
+    base, clean = _curation_clean(spark, sf_dir)
+    meta = base.select(
+        "doc_id",
+        F.conv(F.substring("text_hash", 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+        F.col("n_tokens"),
+    )
+    bodies = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    kept = clean.select("doc_id").join(meta, "doc_id").join(bodies, "doc_id")
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:6]
+    root = f"spark-warehouse/_corpusexport_{tag}"
+    _sh.rmtree(root, ignore_errors=True)
+
+    v1, wrote1 = export_corpus_shards(kept, root, _EXPORT_TARGET)
+    v2, wrote2 = export_corpus_shards(kept, root, _EXPORT_TARGET)
+    assert wrote1 and not wrote2 and v1 == v2, (v1, wrote1, v2, wrote2)
+
+    committed = read_snapshot(spark, root)
+    n_versions = len(committed_versions(spark, root))
     return (
-        assign_split(clean.select("doc_id", "lang"))
-        .groupBy("split", "lang")
-        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        committed.groupBy(F.col("shard_id").cast("bigint").alias("shard_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .withColumn("n_versions", F.lit(n_versions).cast("bigint"))
     )

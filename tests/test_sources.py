@@ -579,3 +579,91 @@ class TestCrashRecoveryPaths:
         # a NEW stream identity restarting at batch 0 is NOT blocked
         assert not V.batch_committed(spark, root, 0, app_id="new-run")
         assert not V.batch_committed(spark, root, 0)
+
+
+class TestCorpusExport:
+    """sources/corpus_export.py: token-budget shard export through the
+    versioned store — assignment arithmetic, replay idempotence, new
+    version on changed content, crash-window recovery."""
+
+    def _kept(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, h long, n_tokens long, text string"
+        )
+
+    def test_assignment_matches_plain_window(self, spark):
+        from strava_data_pipeline_spark.sources.corpus_export import (
+            assign_shards,
+        )
+
+        rows = [
+            (i, (i * 2654435761) % (1 << 32), 10 + (i * 7) % 90, f"d{i}")
+            for i in range(200)
+        ]
+        got = {
+            r["doc_id"]: r["shard_id"]
+            for r in assign_shards(self._kept(spark, rows), 300).collect()
+        }
+        # plain python prefix sum in (h, doc_id) order is the spec
+        cum = 0
+        for doc_id, _h, n, _t in sorted(rows, key=lambda r: (r[1], r[0])):
+            assert got[doc_id] == cum // 300, doc_id
+            cum += n
+
+    def test_replay_adds_no_version_changed_content_does(self, spark, tmp_path):
+        from strava_data_pipeline_spark.sources import versioned as V
+        from strava_data_pipeline_spark.sources.corpus_export import (
+            export_corpus_shards,
+        )
+
+        root = str(tmp_path / "export")
+        rows = [(i, i * 977 % 4096, 25, f"d{i}") for i in range(40)]
+        v1, wrote1 = export_corpus_shards(self._kept(spark, rows), root, 100)
+        assert (v1, wrote1) == (1, True)
+        # identical content -> no-op, same version
+        v2, wrote2 = export_corpus_shards(self._kept(spark, rows), root, 100)
+        assert (v2, wrote2) == (1, False)
+        assert V.committed_versions(spark, root) == [1]
+        # same docs, different TARGET -> re-export (the sidecar pins it)
+        v3, wrote3 = export_corpus_shards(self._kept(spark, rows), root, 50)
+        assert (v3, wrote3) == (2, True)
+        # changed content -> re-export; time travel keeps v1 readable
+        rows2 = rows + [(999, 1, 25, "new")]
+        v4, wrote4 = export_corpus_shards(self._kept(spark, rows2), root, 50)
+        assert (v4, wrote4) == (3, True)
+        assert V.read_snapshot(spark, root, version=1).count() == 40
+        assert V.read_snapshot(spark, root).count() == 41
+
+    def test_crash_between_marker_and_sidecar_converges(self, spark, tmp_path):
+        # a crash after the marker but before the sidecar replays as one
+        # redundant version with IDENTICAL content — never a wedge,
+        # never divergent data
+        from strava_data_pipeline_spark.sources import versioned as V
+        from strava_data_pipeline_spark.sources.corpus_export import (
+            _sidecar_path,
+            export_corpus_shards,
+        )
+
+        root = str(tmp_path / "export")
+        rows = [(i, i * 31 % 512, 10, f"d{i}") for i in range(20)]
+        export_corpus_shards(self._kept(spark, rows), root, 60)
+        fs, jvm = V._fs(spark, root)
+        fs.delete(_sidecar_path(jvm, root, 1), False)  # simulate the crash
+        v2, wrote2 = export_corpus_shards(self._kept(spark, rows), root, 60)
+        assert (v2, wrote2) == (2, True)
+        a = sorted(
+            tuple(r)
+            for r in V.read_snapshot(spark, root, version=1)
+            .select("doc_id", "shard_id")
+            .collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in V.read_snapshot(spark, root, version=2)
+            .select("doc_id", "shard_id")
+            .collect()
+        )
+        assert a == b
+        # and the sidecar is back: the NEXT replay no-ops again
+        v3, wrote3 = export_corpus_shards(self._kept(spark, rows), root, 60)
+        assert (v3, wrote3) == (2, False)

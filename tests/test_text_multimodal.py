@@ -577,6 +577,130 @@ class TestBmpRle8Codec:
             decode_image(p24)
 
 
+class TestPngCodec:
+    """Pure-python PNG codec (operators/multimodal.py, r9): the
+    DEFLATE-era de-stub. Round-trip against the planted channel
+    arithmetic (the encoder cycles all five filter types row % 5, so
+    every image exercises every filter reversal), filter-by-filter
+    equality on a hand-built image, ancillary-chunk skipping, and loud
+    rejection of malformed streams (CRC, truncation, Adam7, non-RGB)."""
+
+    def _rgb(self, i):
+        return bytes(
+            ((i * 19 + 3) % 256, (i * 23 + 9) % 256, (i * 29 + 13) % 256)
+        )
+
+    def test_round_trip_matches_channel_arithmetic(self):
+        from strava_data_pipeline_spark.operators.multimodal import (
+            decode_image,
+            plant_png,
+        )
+
+        for x in (0, 7, 99, 123456, 2**31 - 1):
+            w, h, base = 8 + x % 25, 8 + (x // 7) % 17, x % 251
+            d = decode_image(plant_png(x))
+            assert (d["format"], d["width"], d["height"]) == ("png", w, h)
+            exp = b"".join(
+                self._rgb((base + 11 * r + c // 3) % 256)
+                for r in range(h)
+                for c in range(w)
+            )
+            assert d["pixels"] == exp
+
+    def test_every_filter_type_reverses(self):
+        # encode/decode a noisy raster tall enough that rows hit all
+        # five filters (h=10 -> types 0,1,2,3,4 twice); a wrong
+        # predictor in ANY filter propagates into later Up/Avg/Paeth
+        # rows and cannot cancel out
+        from strava_data_pipeline_spark.operators.multimodal import (
+            decode_image,
+            encode_png,
+        )
+
+        w, h = 13, 10
+        px = bytes((i * i * 37 + i * 11 + 5) % 256 for i in range(3 * w * h))
+        d = decode_image(encode_png(w, h, px))
+        assert d["pixels"] == px
+
+    def test_ancillary_chunks_skipped_and_multi_idat(self):
+        # split the IDAT in two and interpose a tEXt chunk: the chunk
+        # walk must reassemble IDATs and skip ancillary chunks
+        from strava_data_pipeline_spark.operators.multimodal import (
+            _decode_png,
+            _png_chunk,
+            encode_png,
+        )
+
+        import struct
+
+        w, h = 4, 5
+        px = bytes((7 * i + 3) % 256 for i in range(3 * w * h))
+        whole = encode_png(w, h, px)
+        # deconstruct: sig + IHDR chunk + IDAT chunk + IEND chunk
+        sig, rest = whole[:8], whole[8:]
+        (l1,) = struct.unpack_from(">I", rest, 0)
+        ihdr, rest = rest[: 12 + l1], rest[12 + l1 :]
+        (l2,) = struct.unpack_from(">I", rest, 0)
+        idat = rest[8 : 8 + l2]
+        rebuilt = (
+            sig
+            + ihdr
+            + _png_chunk(b"tEXt", b"Comment\x00planted")
+            + _png_chunk(b"IDAT", idat[: len(idat) // 2])
+            + _png_chunk(b"IDAT", idat[len(idat) // 2 :])
+            + _png_chunk(b"IEND", b"")
+        )
+        assert _decode_png(rebuilt)["pixels"] == px
+
+    def test_rejections(self):
+        import struct
+
+        import pytest as _pytest
+
+        from strava_data_pipeline_spark.operators.multimodal import (
+            _decode_png,
+            _png_chunk,
+            encode_png,
+            plant_png,
+        )
+
+        good = plant_png(42)
+        with _pytest.raises(ValueError, match="not a PNG"):
+            _decode_png(b"\x89PNX" + good[4:])
+        # corrupt an IDAT byte -> CRC mismatch, never silent garbage
+        bad = bytearray(good)
+        bad[45] ^= 0xFF
+        with _pytest.raises(ValueError, match="CRC"):
+            _decode_png(bytes(bad))
+        # truncated mid-chunk
+        with _pytest.raises(ValueError, match="truncated"):
+            _decode_png(good[:-8])
+        # Adam7 interlace -> honest NotImplementedError
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+        p = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+        with _pytest.raises(NotImplementedError, match="Adam7"):
+            _decode_png(p)
+        # grayscale (color type 0) -> honest NotImplementedError
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+        p = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+        with _pytest.raises(NotImplementedError, match="truecolor"):
+            _decode_png(p)
+        # raster length mismatch (IHDR lies about dims)
+        w, h = 3, 3
+        px = bytes(3 * w * h)
+        whole = encode_png(w, h, px)
+        (l1,) = struct.unpack_from(">I", whole, 8)
+        lying = struct.pack(">IIBBBBB", w + 1, h, 8, 2, 0, 0, 0)
+        rebuilt = (
+            whole[:8] + _png_chunk(b"IHDR", lying) + whole[8 + 12 + l1 :]
+        )
+        with _pytest.raises(ValueError, match="raster"):
+            _decode_png(rebuilt)
+        # encoder input contract
+        with _pytest.raises(ValueError, match="pixel bytes"):
+            encode_png(2, 2, b"\x00" * 5)
+
+
 class TestGifLzwCodec:
     """Pure-python GIF/LZW codec (operators/multimodal.py, r8): the
     entropy-coded de-stub. Round-trip against the palette arithmetic,
