@@ -186,6 +186,12 @@ BENCH_QUERIES = [
     "corpus_shard_plan",
     "cms_heavy_hitters",
     "multimodal_resize",
+    # round-9 additions (PNG decode + the shard plan's per-bucket
+    # diagnostic; export_pipeline_e2e stays tier2-only like the other
+    # disk-choreography faces — it IS curation_pipeline_e2e plus a
+    # versioned-store publish + replay)
+    "multimodal_decode_png",
+    "corpus_shard_buckets",
 ]
 
 

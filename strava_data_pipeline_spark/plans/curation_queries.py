@@ -1079,6 +1079,57 @@ FROM c GROUP BY shard_id
 """
 
 
+# --------------------------------------------------------------------------
+# 214. corpus_shard_buckets — the shard plan's diagnostic decomposition
+# --------------------------------------------------------------------------
+# corpus_shard_plan is maximally hash-fragile BY DESIGN (a global
+# exclusive prefix sum: one differently-tokenized document anywhere
+# shifts every later shard boundary and corrupts most output rows), so
+# a bare hash mismatch there localizes nothing. This twin emits the
+# per-hash-bucket (n_docs, sum_tokens) marginals the prefix sum is
+# built FROM: if the plan ever reds while this row greens, the
+# divergence is in the cumsum/boundary machinery; if both red, it is
+# in hashing/tokenization — and the failing bucket names which 1/64th
+# of the corpus to diff. (The r8 red's root cause — the oracle's
+# HUGEINT shard_id — was found by a type sweep, but the next
+# divergence may not be type-shaped.)
+def _shard_buckets_oracle() -> str:
+    h = md5_u32_duckdb("text")
+    return f"""
+SELECT h // 67108864 AS hbucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+FROM (SELECT {h} AS h,
+             CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tokens
+      FROM documents)
+GROUP BY hbucket
+"""
+
+
+@register(
+    "corpus_shard_buckets",
+    oracle=_shard_buckets_oracle(),
+    tags=("llm", "curation", "ops"),
+)
+def corpus_shard_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket marginals of corpus_shard_plan's global hash order:
+    one map-side-combinable groupBy over the same (h, n_tokens)
+    projection the plan feeds bucketed_cumsum — zero windows, one
+    shuffle of 64 summary rows. Scale-free by construction."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(
+            md5_u32(F.col("text")).alias("h"),
+            F.size(T.tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+        )
+        .groupBy(F.expr("h DIV 67108864").alias("hbucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        )
+    )
+
+
 @register(
     "corpus_shard_plan", oracle=_shard_plan_oracle(), tags=("llm", "curation")
 )

@@ -790,12 +790,13 @@ def attribution_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       to listing luck.
     - Deferred emission needs a watermark PAST the last real follow's
       window before unmatched rows release, and availableNow stops at
-      the last data file — the advanced watermark would never get a
-      batch to run in. Two sentinel flush batches (user_id -1, ts far
-      beyond the corpus, one row per SIDE — the global watermark is
-      the min across both withWatermark nodes) provide that: flush 1
-      advances the watermark, and a second availableNow run from the
-      SAME checkpoint gives flush 2 a batch in which every real
+      the last data file — a watermark advanced by the LAST batch
+      would never get a batch to run in. Two sentinel flush batches
+      (user_id -1, ts far beyond the corpus, one row per SIDE — the
+      global watermark is the min across both withWatermark nodes)
+      provide that: flush 1 advances the watermark, and flush 2's own
+      micro-batch (maxFilesPerTrigger=1 gives every file its own batch
+      boundary inside ONE availableNow run) is where every real
       unmatched follow finalizes. Sentinels filter out of the audit
       by id; the second flush's own rows are the only state left
       pending, exactly as a forever-running production stream would
@@ -907,9 +908,16 @@ def attribution_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         if n_events <= 1_000_000 and _ENV_KEY not in os.environ
         else None
     )
+    # SINGLE availableNow run, both flushes mtime-staged upfront: with
+    # maxFilesPerTrigger=1 each file is its own micro-batch and the
+    # watermark advances BETWEEN batches, so flush 2's batch already
+    # runs with flush 1's advanced watermark — the restart the two-run
+    # shape paid for (checkpoint + state-store reload, the dominant
+    # cost of the mult=100 probe) bought nothing the in-run batch
+    # boundary doesn't provide. Same committed rows, same oracle hash,
+    # verified at sf0.01 and mult=100.
     with scoped_stream_shuffle(spark, width) if width else _noop_ctx():
         land(flush_batch(1), 1_000_010)
-        run_once()
         land(flush_batch(2), 1_000_020)
         run_once()
 

@@ -224,8 +224,10 @@ def windowed_counts_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (epoch-aligned slices, mtimes ordered — a window's rows never
     arrive behind the watermark), finalize every real window with two
     sentinel flush batches (append-mode aggregation state flushes only
-    in a batch that RUNS with the advanced watermark — the
-    attribution_audit two-run shape), and hash the committed windows
+    in a batch that RUNS with the advanced watermark — flush 2's
+    micro-batch, inside the same availableNow run since
+    maxFilesPerTrigger=1 gives every file its own batch boundary), and
+    hash the committed windows
     against the batch GROUP BY over the same 10-minute epoch buckets.
     A window emitted early (non-final counts), twice, or never is a
     hash mismatch. The sentinel's own (unfinalized) window filters out
@@ -255,8 +257,14 @@ def windowed_counts_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .awaitTermination()
         )
 
+    # Both flushes mtime-staged, ONE availableNow run: with
+    # maxFilesPerTrigger=1 each file is its own micro-batch and the
+    # watermark advances between batches, so flush 2's batch already
+    # runs with flush 1's advanced watermark and finalizes every real
+    # window — the second run the old shape paid for (checkpoint +
+    # state-store reload) bought nothing the in-run batch boundary
+    # doesn't provide. Same committed rows, same oracle hash.
     _land(landing, _flush_row(spark, hi + 864_000), 1_000_010)
-    run_once()
     _land(landing, _flush_row(spark, hi + 1_728_000), 1_000_020)
     run_once()
 
@@ -348,14 +356,19 @@ def dedup_stream_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # 200. session_window_audit — native session windows on disk
 # --------------------------------------------------------------------------
-# Oracle = the batch gap-sessionize arithmetic: session_window merges
-# events closer than the gap; a session's window runs [min(ts),
-# max(ts) + gap). Same flagged/summed CTE as the events_sessionize
-# oracle, with the window-end and value-sum columns added.
+# Oracle = the batch gap-sessionize arithmetic AT NATIVE PRECISION:
+# F.session_window compares FULL-MICROSECOND gaps (merge iff
+# ts - prev <= gap in µs; the exact-gap merge pinned by pytest is the
+# µs-equality case), unlike the repo's cast-as-long session convention
+# — a pair whose floor-second gap is exactly 1800 but whose µs gap
+# exceeds 1800.0s SPLITS natively. The mult=10 rehearsal feed contains
+# two such pairs and caught the old floor-second oracle two sessions
+# short; every other session face keeps the floor convention because
+# its OPERATOR does. A session's window runs [min(ts), max(ts) + gap).
 _SESSWIN_ORACLE = """
 WITH flagged AS (
     SELECT user_id, ts, value, event_id,
-           CASE WHEN floor(epoch(ts)) - lag(floor(epoch(ts))) OVER w > 1800
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
                 THEN 1 ELSE 0 END AS new_s
     FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sess AS (
@@ -391,9 +404,13 @@ def session_window_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Boundary semantics pinned by the oracle AND by a planted test
     (tests/test_streaming.py::test_session_window_exact_gap_boundary):
     F.session_window MERGES an event arriving EXACTLY gap after the
-    previous one — the same > 1800 break contract as the batch
-    sessionize — so the two engines' session sets are identical at
-    every boundary, not just on gap-free corpora."""
+    previous one, where "exactly" is FULL-MICROSECOND equality — the
+    native operator compares µs gaps, so a pair with floor-second gap
+    1800 but µs gap 1800.0xx s splits natively; the oracle encodes the
+    µs contract (epoch_us), unlike the floor-second convention of the
+    faces whose OPERATORS truncate (sessionize, the custom stateful
+    twin). The mult=10 rehearsal feed carries two such boundary pairs
+    and distinguishes the conventions."""
     from strava_data_pipeline_spark.streaming.windowed import (
         session_window_stats,
     )
@@ -419,8 +436,10 @@ def session_window_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .awaitTermination()
         )
 
+    # single availableNow run, both flushes mtime-staged — see
+    # windowed_counts_audit's note (maxFilesPerTrigger=1 gives flush 2
+    # a batch with flush 1's advanced watermark in-run)
     _land(landing, _flush_row(spark, hi + 864_000), 1_000_010)
-    run_once()
     _land(landing, _flush_row(spark, hi + 1_728_000), 1_000_020)
     run_once()
 
@@ -871,8 +890,10 @@ def stateful_session_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .awaitTermination()
         )
 
+    # single availableNow run, both flushes mtime-staged — see
+    # windowed_counts_audit's note (flush 2's batch fires the event-time
+    # timeouts under flush 1's advanced watermark in-run)
     _land(landing, _flush_row(spark, hi + 864_000), 1_000_010)
-    run_once()
     _land(landing, _flush_row(spark, hi + 1_728_000), 1_000_020)
     run_once()
 

@@ -51,6 +51,15 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.autoBroadcastJoinThreshold", cfg.spark.broadcast_threshold)
         .config("spark.driver.memory", driver_mem)
+        # the repo's queries never collect large results (driver-side
+        # discipline is pinned by tests), but the VERIFY harness
+        # legitimately collects full tables for hashing — at rehearsal
+        # scale that exceeds the 1g default, and the gate must not be
+        # the thing that can't scale
+        .config(
+            "spark.driver.maxResultSize",
+            os.environ.get("SPARK_GRAFT_DRIVER_MAX_RESULT_SIZE", "8g"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )

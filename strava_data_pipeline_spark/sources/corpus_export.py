@@ -12,9 +12,11 @@ applied to corpus export:
   operators/bucketed_prefix.bucketed_cumsum (constant key, 64 contiguous
   hash-range buckets — the sequential dependency rides one summary row
   per bucket, never the corpus);
-- the write goes through sources/versioned.commit_snapshot_partitioned,
-  one immutable dir per shard, manifest + marker publish — a crash at
-  any point leaves the previous export fully readable and the
+- the write goes through sources/versioned.commit_snapshot_bulk_partitioned
+  — ONE Spark job lays down every shard dir via dynamic partitionBy
+  (the incremental per-partition commit loop would cost one job per
+  shard: thousands for a real export), manifest + marker publish — a
+  crash at any point leaves the previous export fully readable and the
   half-written shards invisible;
 - replay is CONTENT-idempotent: a fingerprint of the kept set (exact
   BIGINT triple, order-insensitive) rides a sidecar next to the version
@@ -40,7 +42,7 @@ from strava_data_pipeline_spark.operators.bucketed_prefix import (
 )
 from strava_data_pipeline_spark.sources.versioned import (
     _fs,
-    commit_snapshot_partitioned,
+    commit_snapshot_bulk_partitioned,
     current_version,
 )
 
@@ -157,8 +159,11 @@ def export_corpus_shards(
                 and side.get("target_tokens") == target_tokens
             ):
                 return cur, False
+        # bulk single-pass publish: an export lays down THOUSANDS of
+        # shard dirs (one per ~target tokens); the incremental
+        # per-partition loop would cost one Spark job each
         sharded = assign_shards(kept, target_tokens)
-        ver = commit_snapshot_partitioned(sharded, root, "shard_id")
+        ver = commit_snapshot_bulk_partitioned(sharded, root, "shard_id")
         _write_sidecar(
             spark,
             root,

@@ -244,6 +244,74 @@ def commit_snapshot_partitioned(
     return ver
 
 
+def commit_snapshot_bulk_partitioned(
+    changed: DataFrame, root: str, part_col: str
+) -> int:
+    """Publish the next version writing ALL partitions in ONE Spark job.
+
+    :func:`commit_snapshot_partitioned` filters-and-writes each touched
+    partition separately — one job per partition, the right trade for
+    an incremental merge touching a handful of days, catastrophic for a
+    full-table publish with thousands of partitions (the corpus export
+    produces one shard dir per ~target tokens; at rehearsal scale that
+    was ~1800 sequential jobs). This sibling uses dynamic ``partitionBy``
+    so the shuffle-free single pass lays every partition dir down at
+    once, then builds the manifest from the directories the write
+    actually produced.
+
+    Contract differences from the incremental sibling:
+    - ``changed`` must be the COMPLETE table: no previous-manifest
+      entries are reused (an absent partition disappears — which is the
+      correct replace semantics for a full publish).
+    - ``part_col`` values must render cleanly in a directory name
+      (ints, dates, ``[A-Za-z0-9_.-]`` strings): the manifest token is
+      taken from Spark's own partition-dir naming, and a value Spark
+      URL-escapes would not round-trip through :func:`_part_token`'s
+      scheme — such a write raises rather than publishing a manifest
+      readers cannot address.
+
+    Crash-atomicity is the family contract: data lands under an
+    unpublished ``seg/v<N>/`` (static overwrite, so a crashed previous
+    attempt at the same version is wholly replaced), the manifest is
+    written next, and the marker creation publishes. The data files
+    KEEP ``part_col`` (a duplicate column drives the layout), so
+    readers see the same schema as the incremental path produces."""
+    spark = changed.sparkSession
+    ver = (current_version(spark, root) or 0) + 1
+    seg_rel = f"seg/v{ver}"
+    (
+        changed.withColumn("__part", F.col(part_col))
+        .write.mode("overwrite")
+        .partitionBy("__part")
+        .parquet(f"{root}/{seg_rel}")
+    )
+    fs, jvm = _fs(spark, root)
+    seg = jvm.org.apache.hadoop.fs.Path(f"{root}/{seg_rel}")
+    manifest: dict[str, str] = {}
+    for status in fs.listStatus(seg):
+        name = status.getPath().getName()
+        if not status.isDirectory() or not name.startswith("__part="):
+            continue
+        raw = name[len("__part=") :]
+        if _part_token(raw) != raw:
+            raise ValueError(
+                f"bulk partition value {raw!r} does not round-trip the "
+                f"manifest token scheme; use commit_snapshot_partitioned "
+                f"for values that need sanitizing"
+            )
+        manifest[raw] = f"{seg_rel}/{name}"
+    orphan = _manifest_path(jvm, root, ver)
+    if fs.exists(orphan):
+        # a crashed earlier attempt's manifest; its data dirs lived
+        # under seg/v<ver>, which the static overwrite just replaced
+        fs.delete(orphan, False)
+    _write_manifest(spark, root, ver, manifest)
+    fs.create(
+        jvm.org.apache.hadoop.fs.Path(f"{root}/_v_{ver}.committed"), False
+    ).close()
+    return ver
+
+
 def read_snapshot(
     spark: SparkSession, root: str, version: int | None = None
 ) -> DataFrame:

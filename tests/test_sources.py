@@ -667,3 +667,31 @@ class TestCorpusExport:
         # and the sidecar is back: the NEXT replay no-ops again
         v3, wrote3 = export_corpus_shards(self._kept(spark, rows), root, 60)
         assert (v3, wrote3) == (2, False)
+
+    def test_bulk_partitioned_commit_one_pass(self, spark, tmp_path):
+        from strava_data_pipeline_spark.sources import versioned as V
+
+        root = str(tmp_path / "bulk")
+        df = spark.createDataFrame(
+            [(i, i % 7, f"x{i}") for i in range(50)],
+            "doc_id long, shard_id long, text string",
+        )
+        ver = V.commit_snapshot_bulk_partitioned(df, root, "shard_id")
+        assert ver == 1
+        back = V.read_snapshot(spark, root)
+        # the data files KEEP the partition column (duplicate drives
+        # the layout) and every row round-trips
+        assert set(back.columns) == {"doc_id", "shard_id", "text"}
+        assert back.count() == 50
+        assert back.where("doc_id % 7 != shard_id").count() == 0
+        # partition-pruned addressing through the manifest tokens works
+        part = V.read_snapshot_parts(spark, root, [3])
+        assert part.count() == 50 // 7 + (1 if 3 < 50 % 7 else 0)
+        # a value Spark would URL-escape must refuse to publish
+        bad = spark.createDataFrame(
+            [(1, "a/b", "t")], "doc_id long, shard_id string, text string"
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="round-trip"):
+            V.commit_snapshot_bulk_partitioned(bad, str(tmp_path / "b2"), "shard_id")

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 import sys
 import time
 from datetime import date, datetime
@@ -88,6 +89,10 @@ def main() -> int:
     import __spark_entry__ as e
     from strava_data_pipeline_spark.session import get_spark
 
+    # the comparator collects full results for hashing — session.py
+    # sizes spark.driver.maxResultSize (default 8g) so rehearsal-scale
+    # results (attribution's ~10M joined rows at mult=100) hash instead
+    # of tripping the 1g default
     spark = get_spark("verify-oracle")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -95,9 +100,12 @@ def main() -> int:
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings"
     ).split():
-        con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        # driver testdata is one file per table; rehearsal corpora
+        # (.scratch/sfx*) are Spark-written DIRECTORIES — glob those
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     qs = e.queries()
     oracles = e.oracle_sql()
