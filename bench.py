@@ -192,6 +192,7 @@ BENCH_QUERIES = [
     # versioned-store publish + replay)
     "multimodal_decode_png",
     "corpus_shard_buckets",
+    "text_normalize",
 ]
 
 

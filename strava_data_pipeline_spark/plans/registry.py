@@ -57,6 +57,7 @@ _ENUMERATE_FIRST: tuple[str, ...] = (
     "multimodal_decode_png",
     "export_pipeline_e2e",
     "corpus_shard_buckets",
+    "text_normalize",
     # --- red in r8 (driver-vs-replica divergence; fixed this round) ---
     "corpus_shard_plan",
     "windowed_counts_audit",

@@ -395,3 +395,62 @@ def entropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("entropy"),
     )
+
+
+# --------------------------------------------------------------------------
+# 215. text_normalize — canonicalization-before-dedup, byte-pinned (r9)
+# --------------------------------------------------------------------------
+# The standard curation step the dedup family assumes has already
+# happened: collapse whitespace runs to one space, trim, lowercase —
+# so "Hello  World" and "hello world\n" share a canonical form and
+# exact dedup catches them. The audit reports, per source, how much
+# the canonicalization COLLAPSES (raw-distinct vs norm-distinct), and
+# pins the EXACT normalized bytes cross-engine with an
+# order-insensitive sum of md5_u32(normalized): if Spark's regex/
+# lower/trim semantics diverged from DuckDB's by one byte in one
+# document, the sum moves. (Java regex \s and RE2 \s are the same
+# six-character class; lower/trim are byte-stable on this corpus's
+# ASCII range — the hash sum is the ongoing proof, not an assumption.)
+#
+# Scale: one body scan, all normalization inside codegen
+# (regexp_replace/lower/trim), one map-side-combinable groupBy on
+# source; only 16-byte hashes and BIGINTs shuffle. countDistinct
+# resolves to two-phase HashAggregate — no window, no join.
+_NORMALIZE_ORACLE = f"""
+WITH n AS (
+    SELECT source,
+           md5(text) AS raw_h,
+           lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+    FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT raw_h) AS BIGINT) AS n_raw_distinct,
+       CAST(count(DISTINCT md5(norm)) AS BIGINT) AS n_norm_distinct,
+       CAST(sum({md5_u32_duckdb('norm')}) AS BIGINT) AS norm_hash_sum
+FROM n GROUP BY source
+"""
+
+
+@register(
+    "text_normalize", oracle=_NORMALIZE_ORACLE, tags=("llm", "text", "rewrite")
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace-collapse + trim + lowercase canonicalization with a
+    per-source collapse report and a cross-engine byte pin (summed
+    32-bit md5 of every normalized document). The canonical form is
+    what corpus_dedup_keep-style exact dedup should key on when crawls
+    differ only in formatting."""
+    docs = _docs(spark, sf_dir)
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), "\\s+", " ")))
+    n = docs.select(
+        "source",
+        F.md5("text").alias("raw_h"),
+        norm.alias("norm"),
+    )
+    return n.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("raw_h").cast("bigint").alias("n_raw_distinct"),
+        F.countDistinct(F.md5("norm")).cast("bigint").alias("n_norm_distinct"),
+        F.sum(md5_u32(F.col("norm"))).cast("bigint").alias("norm_hash_sum"),
+    )
