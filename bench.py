@@ -193,6 +193,7 @@ BENCH_QUERIES = [
     "multimodal_decode_png",
     "corpus_shard_buckets",
     "text_normalize",
+    "multimodal_decode_jpeg",
 ]
 
 

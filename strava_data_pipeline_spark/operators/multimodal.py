@@ -3,15 +3,17 @@
 Images/audio/video ride through the pipeline as ``binary`` columns with
 a typed metadata struct. The Spark-side machinery — schema, Arrow-batch
 UDF signatures, ``mapInPandas`` partitioning — is real and tested.
-Three codecs decode for REAL, pure-python: binary PPM (P6), RLE8-
-compressed 8-bit BMP (run-length decompression + palette lookup), and
-LZW-compressed GIF (variable-width codes, clear/EOI, KwKwK, interlace)
-— each exercised end-to-end by a registry query whose oracle
-recomputes the decoded pixel stats arithmetically. Formats whose
-codecs need native libs not in this container (JPEG/PNG/...) remain
-STUBBED
-(``NotImplementedError``); ``fake_decode`` is the deterministic
-stand-in tests use for those batch shapes.
+FIVE codecs decode for REAL, pure-python: binary PPM (P6),
+RLE8-compressed 8-bit BMP (run-length decompression + palette lookup),
+LZW-compressed GIF (variable-width codes, clear/EOI, KwKwK,
+interlace), zlib/filtered PNG (chunk walk, CRC32, all five scanline
+filters), and baseline grayscale JPEG (Huffman/DPCM entropy decode,
+dequant, full IDCT) — each exercised end-to-end by a registry query
+whose oracle recomputes the decoded pixel stats arithmetically. No
+format stub remains; the honest residual is PROFILE-level
+(color/progressive JPEG, non-8-bit-RGB PNG — typed
+``NotImplementedError``). ``fake_decode`` is the deterministic
+stand-in tests use for unknown-format batch shapes.
 
 At 100 TB the payload column dominates I/O: keep it in its own parquet
 column (column pruning skips it unless requested), partition by a
@@ -123,9 +125,11 @@ def decode_image(payload: bytes) -> dict:
     + ``#`` comments per the netpbm spec) and raw RGB raster — a pure-
     python decoder needing no codec libs, exercised end-to-end through
     the Arrow path by the ``multimodal_decode`` registry query. Also
-    REAL: RLE8 BMP, LZW GIF, and 8-bit-RGB PNG (stdlib zlib inflates
-    IDAT). JPEG remains the one honest STUB: its entropy coding needs
-    a native codec; swap in PIL.Image.open on a real cluster.
+    REAL: RLE8 BMP, LZW GIF, 8-bit-RGB PNG (stdlib zlib inflates
+    IDAT), and baseline grayscale JPEG (full entropy decode + IDCT).
+    No format stub remains; unsupported PROFILES (color/progressive
+    JPEG, non-8-bit-RGB PNG) raise typed NotImplementedError — swap in
+    PIL.Image.open on a real cluster for those.
     """
     if payload is None or len(payload) < 2:
         raise ValueError("empty payload")
@@ -151,9 +155,10 @@ def decode_image(payload: bytes) -> dict:
         return _decode_gif_lzw(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        return _decode_jpeg(payload)
     raise NotImplementedError(
-        "media codecs unavailable in this environment (JPEG is the one "
-        "remaining stub — its entropy coding needs a native lib); "
+        "no pure-python codec for this payload format; "
         "swap in PIL.Image.open(io.BytesIO(payload)) on a real cluster"
     )
 
@@ -718,6 +723,450 @@ def _decode_png(payload: bytes) -> dict:
         "maxval": 255,
         "pixels": bytes(out),
     }
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline, grayscale) — the final codec de-stub (r9)
+# ---------------------------------------------------------------------------
+# Scope: REAL baseline-DCT grayscale JPEG, both directions. The encoder
+# runs a true forward DCT + quantization + DPCM/run-length Huffman
+# coding (canonical tables embedded via DHT, byte stuffing, spec
+# markers); the decoder parses markers generically (tables come from
+# the FILE's DQT/DHT, not from shared constants), entropy-decodes,
+# dequantizes, and runs a full float IDCT. Color (multi-component,
+# chroma upsampling + YCbCr math) and progressive (SOF2) stay typed
+# NotImplementedError — the honest residual, now one PROFILE instead
+# of one format.
+#
+# Oracle exactness: the registry plants are FLAT 8x8 blocks under a
+# quant table with Q[DC] = 8. A flat block's forward DCT is DC-only
+# (F00 = 8*(v-128), AC exactly 0), quantized DC = v-128, and the
+# decoder's IDCT of a DC-only block is the flat value F00/8 — integer
+# arithmetic in disguise, so the DuckDB oracle recomputes every pixel
+# while both Huffman coders, the DPCM chain, zigzag, dequant, and the
+# IDCT all sit inside the hash. Non-flat content is covered by pytest
+# against a numpy DCT reference (float-tolerance, not hash).
+
+_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+# canonical Huffman specs (BITS counts per code length 1..16, then the
+# symbol values) — ITU T.81 Annex K luminance tables; the decoder never
+# reads these constants, it rebuilds tables from the file's own DHT
+_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_DC_VALS = tuple(range(12))
+_AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+_AC_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+)
+
+
+def _canonical_codes(bits, vals):
+    """symbol -> (code, length) under JPEG's canonical assignment."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _dct_matrix():
+    import numpy as np
+
+    c = np.zeros((8, 8))
+    for u in range(8):
+        for x in range(8):
+            cu = (0.5 / (2**0.5)) if u == 0 else 0.5
+            c[u, x] = cu * __import__("math").cos((2 * x + 1) * u * 3.141592653589793 / 16)
+    return c
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:  # byte stuffing
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.acc = (self.acc << (8 - self.n)) | ((1 << (8 - self.n)) - 1)
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.n = 0
+        return bytes(self.out)
+
+
+def _category(v: int) -> int:
+    s = 0
+    a = abs(v)
+    while a:
+        s += 1
+        a >>= 1
+    return s
+
+
+# quant table: DC step 8 (exactness contract above), AC step 16
+_JPEG_Q = (8,) + (16,) * 63  # natural order; position 0 is DC
+
+
+def encode_jpeg_gray(width: int, height: int, gray: bytes) -> bytes:
+    """Real baseline grayscale JPEG writer: true forward DCT per 8x8
+    block, quantization, DPCM DC + run-length AC Huffman coding with
+    the Annex K luminance tables (embedded via DHT), byte stuffing,
+    JFIF/SOF0/SOS markers. Dimensions must be multiples of 8 (a padding
+    policy would put encoder-invented pixels inside the planted-oracle
+    hash; real corpora pad upstream)."""
+    import struct
+
+    import numpy as np
+
+    if width % 8 or height % 8:
+        raise ValueError(f"JPEG plant dims must be multiples of 8, got {width}x{height}")
+    if len(gray) != width * height:
+        raise ValueError(
+            f"JPEG {width}x{height} needs {width * height} gray bytes, got {len(gray)}"
+        )
+    C = _dct_matrix()
+    q = np.array(_JPEG_Q, dtype=np.float64).reshape(8, 8)
+    img = np.frombuffer(gray, dtype=np.uint8).reshape(height, width).astype(np.float64) - 128.0
+
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+    w = _BitWriter()
+    prev_dc = 0
+    for by in range(height // 8):
+        for bx in range(width // 8):
+            blk = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            coef = C @ blk @ C.T
+            quant = np.rint(coef / q).astype(np.int64)
+            zz = [int(quant.flat[_ZIGZAG[k]]) for k in range(64)]
+            diff = zz[0] - prev_dc
+            prev_dc = zz[0]
+            s = _category(diff)
+            w.put(*dc_codes[s])
+            if s:
+                w.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+            run = 0
+            last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+            for k in range(1, last_nz + 1):
+                if zz[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    w.put(*ac_codes[0xF0])  # ZRL
+                    run -= 16
+                s = _category(zz[k])
+                w.put(*ac_codes[(run << 4) | s])
+                v = zz[k]
+                w.put(v if v > 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last_nz < 63:
+                w.put(*ac_codes[0x00])  # EOB
+    data = w.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    dqt = seg(0xFFDB, b"\x00" + bytes(_JPEG_Q[_ZIGZAG[k]] for k in range(64)))
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00")
+    dht = seg(
+        0xFFC4,
+        b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS)
+        + b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS),
+    )
+    sos = seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
+    app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    return b"\xff\xd8" + app0 + dqt + sof + dht + sos + data + b"\xff\xd9"
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    unstuffing; stops at any non-RST marker."""
+
+    def __init__(self, buf: bytes, pos: int):
+        self.buf = buf
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+        self.marker = None
+
+    def _fill(self) -> None:
+        if self.pos + 1 >= len(self.buf):
+            raise ValueError("truncated JPEG entropy stream")
+        b = self.buf[self.pos]
+        if b == 0xFF:
+            nxt = self.buf[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:  # RSTn inside the stream
+                self.marker = nxt
+                self.pos += 2
+                b = None
+            else:
+                self.marker = nxt
+                b = None
+        else:
+            self.pos += 1
+        if b is None:
+            raise ValueError("JPEG entropy stream ended at a marker mid-symbol")
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_reset(self) -> None:
+        """Consume an RST marker boundary: drop partial bits."""
+        self.acc = 0
+        self.n = 0
+        self.marker = None
+
+    def at_rst(self) -> bool:
+        # peek: a pending RST recorded by _fill, or literally next bytes
+        if self.n == 0 and self.pos + 1 < len(self.buf):
+            if self.buf[self.pos] == 0xFF and 0xD0 <= self.buf[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return True
+        return False
+
+
+def _huff_decode(reader: _BitReader, table: dict) -> int:
+    code = 0
+    length = 0
+    while length < 16:
+        code = (code << 1) | reader.bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code (16 bits, no match)")
+
+
+def _extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _decode_jpeg(payload: bytes) -> dict:
+    """Real baseline grayscale JPEG decode: generic marker walk (DQT /
+    DHT / SOF0 / DRI / SOS, APPn/COM skipped), canonical Huffman tables
+    rebuilt from the FILE's DHT, DPCM + run-length entropy decode with
+    restart-marker handling, dequantization through the file's DQT,
+    full float IDCT, level shift, clamp. Color JPEGs (3 components)
+    and progressive (SOF2) raise typed NotImplementedError — the
+    remaining honest profile gap; malformed streams raise ValueError.
+    Returns the P6-shaped dict (gray replicated to RGB)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream")
+    i = 2
+    qtables: dict[int, list[int]] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    w = h = None
+    comp_q = 0
+    restart_interval = 0
+    sos_at = None
+    dc_id = ac_id = 0
+    while i < len(payload):
+        if payload[i] != 0xFF:
+            raise ValueError(f"expected JPEG marker at offset {i}")
+        marker = payload[i + 1]
+        if marker == 0xD9:
+            raise ValueError("JPEG ended before scan data")
+        i += 2
+        if i + 2 > len(payload):
+            raise ValueError("truncated JPEG marker segment")
+        (ln,) = struct.unpack_from(">H", payload, i)
+        if ln < 2 or i + ln > len(payload):
+            raise ValueError(f"bad JPEG segment length {ln} at offset {i}")
+        seg = payload[i + 2 : i + ln]
+        if marker == 0xDB:  # DQT (possibly several tables)
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit JPEG quant tables unsupported")
+                zz = list(seg[j + 1 : j + 65])
+                nat = [0] * 64
+                for k in range(64):
+                    nat[_ZIGZAG[k]] = zz[k]
+                qtables[tq] = nat
+                j += 65
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 0x0F
+                bits = list(seg[j + 1 : j + 17])
+                nvals = sum(bits)
+                vals = list(seg[j + 17 : j + 17 + nvals])
+                codes = _canonical_codes(bits, vals)
+                htables[(tc, th)] = {
+                    (length, code): sym for sym, (code, length) in codes.items()
+                }
+                j += 17 + nvals
+        elif marker == 0xC0:  # SOF0 baseline
+            _prec, h, w, ncomp = struct.unpack_from(">BHHB", seg, 0)
+            if ncomp != 1:
+                raise NotImplementedError(
+                    "color JPEG (chroma components) not supported pure-python "
+                    "here — grayscale baseline decodes for real; swap in PIL "
+                    "on a real cluster"
+                )
+            # per-component spec follows (id, sampling, quant-table)
+            samp, comp_q = seg[7], seg[8]
+            if samp != 0x11:
+                raise NotImplementedError("subsampled JPEG unsupported")
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError(
+                f"only baseline sequential JPEG (SOF0) decodes here, got SOF{marker - 0xC0}"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS
+            if seg[0] != 1:
+                raise NotImplementedError("multi-component JPEG scan unsupported")
+            dc_id, ac_id = seg[2] >> 4, seg[2] & 0x0F
+            sos_at = i + ln
+            break
+        # APPn / COM / anything else: skipped
+        i += ln
+    if sos_at is None or w is None:
+        raise ValueError("JPEG missing SOS/SOF0")
+    if comp_q not in qtables:
+        raise ValueError(f"JPEG references missing quant table {comp_q}")
+    dc_tab = htables.get((0, dc_id))
+    ac_tab = htables.get((1, ac_id))
+    if dc_tab is None or ac_tab is None:
+        raise ValueError("JPEG references missing Huffman tables")
+
+    q = np.array(qtables[comp_q], dtype=np.float64).reshape(8, 8)
+    C = _dct_matrix()
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    out = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
+    reader = _BitReader(payload, sos_at)
+    prev_dc = 0
+    mcu = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                if not reader.at_rst():
+                    raise ValueError("JPEG restart marker missing at interval")
+                reader.align_reset()
+                prev_dc = 0
+            mcu += 1
+            zz = [0] * 64
+            s = _huff_decode(reader, dc_tab)
+            diff = _extend(reader.bits(s), s) if s else 0
+            prev_dc += diff
+            zz[0] = prev_dc
+            k = 1
+            while k < 64:
+                sym = _huff_decode(reader, ac_tab)
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                run, s = sym >> 4, sym & 0x0F
+                k += run
+                if k > 63 or s == 0:
+                    raise ValueError("JPEG AC run past block end")
+                zz[k] = _extend(reader.bits(s), s)
+                k += 1
+            nat = np.zeros(64, dtype=np.float64)
+            for k in range(64):
+                nat[_ZIGZAG[k]] = zz[k]
+            blk = C.T @ (nat.reshape(8, 8) * q) @ C
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                np.rint(blk) + 128, 0, 255
+            ).astype(np.uint8)
+    gray = out[:h, :w]
+    rgb = np.repeat(gray.reshape(-1), 3).astype(np.uint8).tobytes()
+    return {
+        "format": "jpeg",
+        "width": int(w),
+        "height": int(h),
+        "maxval": 255,
+        "pixels": rgb,
+    }
+
+
+def plant_jpeg(x: int) -> bytes:
+    """Deterministic planted baseline JPEG for hash seed ``x``: width
+    8*(1 + x%4), height 8*(1 + (x//7)%3) — whole 8x8 blocks, each FLAT
+    with gray(bx, by) = (base + 11*by + 3*bx) % 201 + 20. Flat blocks
+    make the DCT round-trip exact integer arithmetic under Q[DC]=8
+    (see the section note), so the DuckDB oracle recomputes every
+    decoded pixel while the full Huffman/DPCM/zigzag/IDCT machinery
+    sits inside the hash. Gray range [20, 220] keeps DC categories
+    well inside the table."""
+    w = 8 * (1 + x % 4)
+    h = 8 * (1 + (x // 7) % 3)
+    base = x % 251
+    row = bytearray()
+    gray = bytearray()
+    for r in range(h):
+        for c in range(w):
+            gray.append((base + 11 * (r // 8) + 3 * (c // 8)) % 201 + 20)
+    del row
+    return encode_jpeg_gray(w, h, bytes(gray))
 
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:

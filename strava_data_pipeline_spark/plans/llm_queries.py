@@ -1079,6 +1079,74 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 216. multimodal_decode_jpeg — real baseline JPEG decode end to end
+# --------------------------------------------------------------------------
+# The FINAL codec de-stub: grayscale baseline JPEG, real in both
+# directions (true forward DCT + DPCM/run-length Huffman in the
+# encoder; generic marker walk, file-supplied DQT/DHT tables, entropy
+# decode, dequant, full float IDCT in the decoder). Plants are flat
+# 8x8 blocks under Q[DC]=8, which makes the DCT round-trip exact
+# integer arithmetic (flat block -> DC-only spectrum -> IDCT returns
+# the flat value exactly), so the oracle recomputes every pixel while
+# both Huffman coders and the IDCT sit inside the hash. Non-flat
+# content is pytest-covered against quantization-error bounds. Color
+# and progressive JPEG remain the typed profile gap.
+_MM_JPEG_ORACLE = """
+WITH h AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(text), 1, 8))::UBIGINT AS BIGINT) AS x
+    FROM documents
+), dims AS (
+    SELECT doc_id,
+           CAST(8 * (1 + x % 4) AS INT) AS width,
+           CAST(8 * (1 + (x // 7) % 3) AS INT) AS height,
+           1 + x % 4 AS bw,
+           1 + (x // 7) % 3 AS bh,
+           x % 251 AS base
+    FROM h
+), px AS (
+    SELECT doc_id, width, height,
+           CAST(width * height AS BIGINT) AS n_pixels,
+           CAST(64 * list_sum([
+               (base + 11*(b // bw) + 3*(b % bw)) % 201 + 20
+               FOR b IN range(0, bw*bh)]) AS BIGINT) AS s
+    FROM dims
+)
+SELECT doc_id, width, height, n_pixels,
+       s AS sum_r, s AS sum_g, s AS sum_b,
+       CAST(s * 10000 // n_pixels AS BIGINT) AS mean_r_q4,
+       CAST(s * 10000 // n_pixels AS BIGINT) AS mean_g_q4,
+       CAST(s * 10000 // n_pixels AS BIGINT) AS mean_b_q4
+FROM px
+"""
+
+
+@register(
+    "multimodal_decode_jpeg",
+    oracle=_MM_JPEG_ORACLE,
+    tags=("llm", "multimodal"),
+)
+def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real TRANSFORM-CODED image decode through the Arrow path: plant
+    baseline grayscale JPEGs (operators/multimodal.plant_jpeg — real
+    forward DCT, quantization, DPCM + run-length Huffman, byte
+    stuffing), decode with the pure-python marker walk + entropy
+    decoder + full IDCT (_decode_jpeg), reduce to the same channel
+    stats as the P6/BMP/GIF/PNG paths. Format-dispatched through the
+    SAME decode_image entry — FIVE real codecs, zero format stubs
+    (color/progressive JPEG is the one remaining PROFILE gap). Same
+    two-stage mapInPandas shape and 100 TB layout notes as
+    multimodal_decode."""
+    from strava_data_pipeline_spark.operators import multimodal as M
+
+    docs = _docs(spark, sf_dir)
+    seeded = docs.select("doc_id", md5_u32(F.col("text")).alias("x"))
+    return M.extract_image_stats(
+        M.attach_ppm_payload(seeded, planter=M.plant_jpeg)
+    )
+
+
+# --------------------------------------------------------------------------
 # 211. multimodal_resize — real nearest-neighbor resize end to end
 # --------------------------------------------------------------------------
 # De-stubs resize_image: GIF payloads are decoded (full LZW), downscaled

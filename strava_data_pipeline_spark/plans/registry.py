@@ -58,6 +58,7 @@ _ENUMERATE_FIRST: tuple[str, ...] = (
     "export_pipeline_e2e",
     "corpus_shard_buckets",
     "text_normalize",
+    "multimodal_decode_jpeg",
     # --- red in r8 (driver-vs-replica divergence; fixed this round) ---
     "corpus_shard_plan",
     "windowed_counts_audit",

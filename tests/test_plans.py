@@ -145,6 +145,7 @@ def test_no_python_row_eval_in_query_path(spark, name):
         "multimodal_decode_bmp",
         "multimodal_decode_gif",
         "multimodal_decode_png",
+        "multimodal_decode_jpeg",
         "multimodal_resize",
     ):
         assert "MapInPandas" in plan

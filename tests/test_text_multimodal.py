@@ -95,10 +95,10 @@ class TestMultimodal:
         assert feats[1]["hist_1"] == ref["hist"][1]
 
     def test_codec_stubs_raise(self):
-        # JPEG/PNG stay stubbed (no codec libs here); PPM/BMP/GIF are
-        # real — see TestPpmDecode/TestBmpRle8Codec/TestGifLzwCodec.
-        # resize_image is real for decodable formats and inherits the
-        # honest stub for the rest through decode_image
+        # unknown formats route to the honest stub; all five planted
+        # formats are real — see the codec test classes. (The payload
+        # below is NOT the PNG magic — \r\n\x1a\n differs — so it
+        # exercises the unknown-format fallthrough.)
         with pytest.raises(NotImplementedError):
             M.decode_image(b"\x89PNG....")
         with pytest.raises(NotImplementedError):
@@ -577,6 +577,135 @@ class TestBmpRle8Codec:
             decode_image(p24)
 
 
+class TestJpegCodec:
+    """Pure-python baseline grayscale JPEG (operators/multimodal.py,
+    r9): the final codec de-stub. Flat plants round-trip EXACTLY (the
+    DC-only/Q[DC]=8 exactness contract the registry oracle relies on);
+    non-flat content round-trips within quantization error through the
+    REAL DCT path; restart markers, AC coefficients, and malformed /
+    unsupported-profile streams are all pinned."""
+
+    def test_flat_plants_exact(self):
+        from strava_data_pipeline_spark.operators.multimodal import (
+            decode_image,
+            plant_jpeg,
+        )
+
+        for x in (0, 7, 99, 123456, 2**31 - 1):
+            w, h, base = 8 * (1 + x % 4), 8 * (1 + (x // 7) % 3), x % 251
+            d = decode_image(plant_jpeg(x))
+            assert (d["format"], d["width"], d["height"]) == ("jpeg", w, h)
+            exp = bytearray()
+            for r in range(h):
+                for c in range(w):
+                    g = (base + 11 * (r // 8) + 3 * (c // 8)) % 201 + 20
+                    exp += bytes((g, g, g))
+            assert d["pixels"] == bytes(exp)
+
+    def test_nonflat_roundtrip_within_quant_error(self):
+        # random noise is the worst case for a coarse quantizer; the
+        # REAL forward+inverse DCT must still land within the error a
+        # step-16 table allows, and a smooth gradient must be near-exact
+        import numpy as np
+
+        from strava_data_pipeline_spark.operators.multimodal import (
+            _decode_jpeg,
+            encode_jpeg_gray,
+        )
+
+        rng = np.random.RandomState(42)
+        img = rng.randint(0, 256, size=(16, 24), dtype=np.uint8)
+        d = _decode_jpeg(encode_jpeg_gray(24, 16, img.tobytes()))
+        got = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(16, 24, 3)
+        assert (got[:, :, 0] == got[:, :, 1]).all()  # gray replication
+        err = np.abs(got[:, :, 0].astype(int) - img.astype(int))
+        assert err.max() <= 60 and err.mean() <= 8
+        grad = np.tile(np.arange(0, 240, 10, dtype=np.uint8), (8, 1))
+        d = _decode_jpeg(encode_jpeg_gray(24, 8, grad.tobytes()))
+        got = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(8, 24, 3)
+        assert np.abs(got[:, :, 0].astype(int) - grad.astype(int)).max() <= 3
+
+    def test_ac_coefficients_decode(self):
+        # a block with genuine AC structure (vertical stripes) forces
+        # run-length AC symbols through the Huffman path — EOB-only
+        # streams would not notice a broken AC decoder
+        import numpy as np
+
+        from strava_data_pipeline_spark.operators.multimodal import (
+            _decode_jpeg,
+            encode_jpeg_gray,
+        )
+
+        stripes = np.zeros((8, 8), dtype=np.uint8)
+        stripes[:, ::2] = 230
+        stripes[:, 1::2] = 30
+        d = _decode_jpeg(encode_jpeg_gray(8, 8, stripes.tobytes()))
+        got = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(8, 8, 3)[
+            :, :, 0
+        ]
+        # stripe CONTRAST must survive (exact values shift by quant)
+        assert got[:, ::2].astype(int).mean() - got[:, 1::2].astype(
+            int
+        ).mean() > 120
+
+    def test_restart_markers(self):
+        # splice a DRI segment + RST markers into a planted stream the
+        # hard way: re-encode block stream with restart_interval=1 by
+        # hand is overkill — instead verify the decoder accepts a DRI
+        # of 0 (no restarts) and rejects a missing RST when DRI says so
+        import struct
+
+        import pytest as _pytest
+
+        from strava_data_pipeline_spark.operators.multimodal import (
+            _decode_jpeg,
+            plant_jpeg,
+        )
+
+        p = plant_jpeg(12345)  # 16x24 -> 6 blocks
+        # inject DRI=1 right before SOS; entropy stream has no RSTs ->
+        # the decoder must fail LOUDLY at the first interval boundary
+        sos_at = p.find(b"\xff\xda")
+        dri = struct.pack(">HHH", 0xFFDD, 4, 1)
+        bad = p[:sos_at] + dri + p[sos_at:]
+        with _pytest.raises(ValueError, match="restart"):
+            _decode_jpeg(bad)
+        dri0 = struct.pack(">HHH", 0xFFDD, 4, 0)
+        ok = p[:sos_at] + dri0 + p[sos_at:]
+        assert _decode_jpeg(ok)["pixels"] == _decode_jpeg(p)["pixels"]
+
+    def test_rejections(self):
+        import pytest as _pytest
+
+        from strava_data_pipeline_spark.operators.multimodal import (
+            _decode_jpeg,
+            encode_jpeg_gray,
+            plant_jpeg,
+        )
+
+        good = plant_jpeg(7)
+        with _pytest.raises(ValueError, match="not a JPEG"):
+            _decode_jpeg(b"NOPE" + good[4:])
+        # progressive (SOF2) -> honest profile NotImplementedError
+        prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+        with _pytest.raises(NotImplementedError, match="SOF2"):
+            _decode_jpeg(prog)
+        # 3-component (color) SOF0 -> honest profile NotImplementedError
+        sof_at = good.find(b"\xff\xc0")
+        color = bytearray(good)
+        color[sof_at + 9] = 3  # ncomp byte inside SOF0
+        with _pytest.raises(NotImplementedError, match="color"):
+            _decode_jpeg(bytes(color))
+        # truncated entropy stream fails loudly
+        with _pytest.raises(ValueError):
+            _decode_jpeg(good[: len(good) - 6])
+        # encoder contract: dims must be block-aligned, raster sized
+        with _pytest.raises(ValueError, match="multiples of 8"):
+            encode_jpeg_gray(12, 8, bytes(96))
+        with _pytest.raises(ValueError, match="gray bytes"):
+            encode_jpeg_gray(8, 8, bytes(63))
+
+
 class TestPngCodec:
     """Pure-python PNG codec (operators/multimodal.py, r9): the
     DEFLATE-era de-stub. Round-trip against the planted channel
@@ -839,8 +968,9 @@ class TestGifLzwCodec:
         good = encode_gif_lzw(4, 4, bytes(range(16)))
         with _pytest.raises(ValueError):
             decode_image(good[: len(good) - 6] + b"\x00\x3b")
-        # JPEG magic still routes to the honest stub
-        with _pytest.raises(NotImplementedError):
+        # JPEG magic now routes to the REAL baseline decoder, which
+        # rejects this malformed stream (zero-length segment) loudly
+        with _pytest.raises(ValueError, match="segment length"):
             decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
         # an index past a small LOCAL color table (2 entries, size bits
         # 0) must be the typed ValueError, not IndexError at pal[k]
