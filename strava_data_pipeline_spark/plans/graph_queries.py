@@ -159,7 +159,12 @@ def kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
       by ~15% (59.5s vs 68.4s) because scans of a shrinking pruned
       list beat four cached full-list scans once the list is that
       big. The prune-once hybrid A/B'd a wash at mult=100 in r7
-      (52.6s vs 55.8s, inside box variance) and stays unlanded.
+      (52.6s vs 55.8s, inside box variance) and stays unlanded —
+      thread CLOSED in r9: the box's measured run-to-run variance
+      (0.7x-1.5x of floors within an hour) exceeds the hybrid's
+      largest plausible effect, so no local A/B can certify the
+      >=10% win that would justify a third iteration class; both
+      landed modes carry recorded floors and plan pins.
 
     Broadcast contract (both modes): the per-round peel/node join
     auto-broadcasts while the node set fits
