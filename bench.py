@@ -194,6 +194,8 @@ BENCH_QUERIES = [
     "corpus_shard_buckets",
     "text_normalize",
     "multimodal_decode_jpeg",
+    "multimodal_decode_wav",
+    "multimodal_frame_sample",
 ]
 
 

@@ -443,15 +443,60 @@ def encode_gif_lzw(width: int, height: int, indexes: bytes) -> bytes:
     )
 
 
+def encode_gif_animated(
+    width: int, height: int, frames: list[bytes]
+) -> bytes:
+    """Real ANIMATED GIF89a writer: one logical screen + global color
+    table, then per frame a graphic-control extension (disposal none,
+    zero delay) + image descriptor + independently LZW-compressed
+    raster; trailer. Each element of ``frames`` is ``width*height``
+    top-down palette indexes — full-size frames (no sub-rectangle
+    composition), which is also the decode contract."""
+    import struct
+
+    if not frames:
+        raise ValueError("animated GIF needs at least one frame")
+    screen = struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
+    palette = b"".join(_gif_palette_entry(i) for i in range(256))
+    out = bytearray(b"GIF89a" + screen + palette)
+    for idx in frames:
+        if len(idx) != width * height:
+            raise ValueError(
+                f"GIF frame needs {width * height} index bytes, "
+                f"got {len(idx)}"
+            )
+        out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE: no disposal
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        lzw = _lzw_compress(idx, 8)
+        out += b"\x08"
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out += bytes((len(chunk),)) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
 def _decode_gif_lzw(payload: bytes) -> dict:
     """Real GIF decode: logical screen descriptor, global/local color
     tables, extension-block skipping, sub-block reassembly, full LZW
     decompression (variable code widths, clear/EOI, KwKwK), and
     interlaced row reordering (the four-pass 8/8-8/4-4/2-2/1 scheme).
     Animated GIFs decode their FIRST frame (the still-image contract
-    downstream feature extraction wants); malformed streams fail
-    loudly rather than guessing. Same result shape as the P6/BMP paths
-    so downstream feature extraction is format-agnostic."""
+    downstream feature extraction wants — :func:`_decode_gif_frames`
+    returns them all); malformed streams fail loudly rather than
+    guessing. Same result shape as the P6/BMP paths so downstream
+    feature extraction is format-agnostic."""
+    return _decode_gif_frames(payload)[0]
+
+
+def _decode_gif_frames(payload: bytes) -> list[dict]:
+    """ALL frames of a (possibly animated) GIF, in stream order — the
+    same real LZW machinery per frame, graphic-control extensions
+    skipped between frames, per-frame local color tables honored. Each
+    frame is returned as a full standalone raster (the plants emit
+    full-size frames; sub-rectangle composite frames would need
+    disposal-method state and are not a shape this pipeline plants)."""
     import struct
 
     if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
@@ -463,12 +508,15 @@ def _decode_gif_lzw(payload: bytes) -> dict:
         n = 2 << (packed & 0x07)
         global_pal = [payload[i + 3 * k : i + 3 * k + 3] for k in range(n)]
         i += 3 * n
+    frames: list[dict] = []
     while True:
         if i >= len(payload):
             raise ValueError("GIF ended without an image descriptor")
         b0 = payload[i]
         i += 1
         if b0 == 0x3B:
+            if frames:
+                return frames
             raise ValueError("GIF trailer before any image descriptor")
         if b0 == 0x21:  # extension: label + sub-blocks, skip
             i += 1
@@ -502,6 +550,7 @@ def _decode_gif_lzw(payload: bytes) -> dict:
             i += 1 + n
         if i >= len(payload):
             raise ValueError("GIF data sub-blocks ended without terminator")
+        i += 1  # consume the 0x00 terminator (the next frame follows)
         idx = _lzw_decompress(bytes(lzw), min_code)
         if len(idx) != w * h:
             raise ValueError(
@@ -522,13 +571,15 @@ def _decode_gif_lzw(payload: bytes) -> dict:
                 f"GIF index {max(idx)} beyond color table of {len(pal)}"
             )
         pixels = b"".join(pal[k] for k in idx)
-        return {
-            "format": "gif",
-            "width": w,
-            "height": h,
-            "maxval": 255,
-            "pixels": pixels,
-        }
+        frames.append(
+            {
+                "format": "gif",
+                "width": w,
+                "height": h,
+                "maxval": 255,
+                "pixels": pixels,
+            }
+        )
 
 
 def _png_chunk(tag: bytes, data: bytes) -> bytes:
@@ -1191,9 +1242,29 @@ def resize_image(payload: bytes, width: int, height: int) -> bytes:
     return encode_ppm(width, height, bytes(out))
 
 
+def decode_frames(payload: bytes) -> list[dict]:
+    """All frames of a payload: animated GIFs yield every frame
+    through the real LZW path; every other decodable format is a
+    one-frame sequence through decode_image. The moving-picture
+    counterpart of decode_image, same per-frame result shape."""
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif_frames(payload)
+    return [decode_image(payload)]
+
+
 def sample_frames(payload: bytes, every_n: int) -> list[bytes]:
-    """Real video frame sampling — STUB (see decode_image)."""
-    raise NotImplementedError("media codecs unavailable; see decode_image")
+    """REAL frame sampling (formerly the last multimodal stub): decode
+    the payload's frame sequence and keep frames 0, n, 2n, ... — each
+    re-encoded as binary PPM, the interchange format of this decode
+    surface (the same convention resize_image uses). Undecodable
+    formats still raise the typed errors through decode_frames."""
+    if every_n <= 0:
+        raise ValueError(f"bad sampling stride {every_n}")
+    frames = decode_frames(payload)
+    return [
+        encode_ppm(f["width"], f["height"], f["pixels"])
+        for f in frames[::every_n]
+    ]
 
 
 def fake_decode(payload: bytes) -> dict:
@@ -1433,4 +1504,239 @@ def extract_resized_image_stats(media: DataFrame, divisor: int = 3) -> DataFrame
 
     return media.select("doc_id", "payload").mapInPandas(
         batches, IMAGE_STATS_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF PCM) — the AUDIO modality, real both directions (r9)
+# ---------------------------------------------------------------------------
+# Audio rides the same opaque-binary design as images: a real container
+# codec (RIFF chunk walk, fmt parse, 16-bit little-endian PCM samples)
+# behind a typed decode entry, Arrow-batched stats extraction, and a
+# registry query whose oracle recomputes every sample arithmetically
+# from the planted generator. Compressed audio (MP3/AAC/...) needs
+# native codecs and raises the typed NotImplementedError through the
+# same dispatch — profile gaps, not format stubs, exactly like JPEG
+# color.
+
+AUDIO_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("sum_amp", LongType()),
+        StructField("sum_abs", LongType()),
+        StructField("peak_abs", LongType()),
+        StructField("mean_abs_q4", LongType()),
+    ]
+)
+
+
+def encode_wav(sample_rate: int, samples) -> bytes:
+    """Real RIFF/WAVE writer: 16-bit PCM mono little-endian — RIFF
+    header, fmt chunk (PCM, 1 channel, byte rate/block align derived),
+    data chunk. ``samples`` is an iterable of ints in [-32768, 32767].
+    """
+    import struct
+
+    data = b"".join(struct.pack("<h", int(s)) for s in samples)
+    fmt = struct.pack(
+        "<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_audio(payload: bytes) -> dict:
+    """Real audio decode for RIFF/WAVE 16-bit PCM mono: chunk walk
+    (unknown chunks skipped with odd-size padding per the RIFF spec),
+    fmt validation, sample extraction. Other profiles — compressed
+    formats (audio_format != 1), multi-channel, non-16-bit — raise
+    typed NotImplementedError; malformed streams raise ValueError.
+    Returns {format, sample_rate, n_samples, samples(int16 list)}."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    (riff_len,) = struct.unpack_from("<I", payload, 4)
+    if riff_len + 8 > len(payload):
+        raise ValueError("truncated RIFF container")
+    i = 12
+    rate = None
+    data = None
+    while i + 8 <= riff_len + 8:
+        tag = payload[i : i + 4]
+        (ln,) = struct.unpack_from("<I", payload, i + 4)
+        body = payload[i + 8 : i + 8 + ln]
+        if len(body) != ln:
+            raise ValueError(f"truncated WAV chunk {tag!r}")
+        if tag == b"fmt ":
+            afmt, nch, rate, _brate, _align, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if afmt != 1:
+                raise NotImplementedError(
+                    f"compressed WAV (format {afmt}) needs a native codec; "
+                    f"only PCM decodes pure-python here"
+                )
+            if nch != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"only 16-bit mono PCM decodes here (got {nch} ch / "
+                    f"{bits}-bit)"
+                )
+        elif tag == b"data":
+            data = body
+        i += 8 + ln + (ln & 1)  # odd chunk sizes pad one byte
+    if rate is None:
+        raise ValueError("WAV missing fmt chunk")
+    if data is None:
+        raise ValueError("WAV missing data chunk")
+    if len(data) % 2:
+        raise ValueError("WAV PCM data not 16-bit aligned")
+    n = len(data) // 2
+    samples = list(struct.unpack(f"<{n}h", data))
+    return {
+        "format": "wav",
+        "sample_rate": int(rate),
+        "n_samples": n,
+        "samples": samples,
+    }
+
+
+def plant_wav(x: int) -> bytes:
+    """Deterministic planted PCM WAV for hash seed ``x``: sample rate
+    8000 + (x%5)*2000, length 256 + x%512 samples, sample i =
+    (base*31 + 7*i*i + 13*i) % 4001 - 2000 with base = x%251 — a
+    quadratic residue pattern (not representable as a run or ramp, so
+    byte-order or sign bugs cannot cancel), amplitude well inside
+    int16. Every field is exact-integer recomputable by a SQL oracle."""
+    rate = 8000 + (x % 5) * 2000
+    n = 256 + x % 512
+    base = x % 251
+    return encode_wav(
+        rate, ((base * 31 + 7 * i * i + 13 * i) % 4001 - 2000 for i in range(n))
+    )
+
+
+def extract_audio_stats(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL audio decode: parse each WAV payload with
+    decode_audio and reduce the PCM samples to exact-BIGINT stats
+    (sum, sum of |s|, peak |s|, 1e-4-unit mean of |s| via positive
+    floor division — Spark DIV and DuckDB // agree). numpy does the
+    reduction per payload; rows map 1:1 so Spark keeps pipelining."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                d = decode_audio(payload)
+                s = np.asarray(d["samples"], dtype=np.int64)
+                n = d["n_samples"]
+                sum_abs = int(np.abs(s).sum())
+                rows.append(
+                    (
+                        int(doc_id),
+                        d["sample_rate"],
+                        n,
+                        int(s.sum()),
+                        sum_abs,
+                        int(np.abs(s).max()) if n else 0,
+                        sum_abs * 10000 // n if n else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_STATS_SCHEMA.fields]
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        batches, AUDIO_STATS_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# frame sampling — the VIDEO-shaped modality face (r9)
+# ---------------------------------------------------------------------------
+
+FRAME_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", LongType()),
+        StructField("n_sampled", LongType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+    ]
+)
+
+
+def plant_gif_animated(x: int) -> bytes:
+    """Deterministic planted ANIMATED GIF for hash seed ``x``: width
+    8 + x%15, height 8 + (x//7)%9, frame count 2 + x%4 (so every plant
+    is genuinely multi-frame and stride-2 sampling always drops at
+    least one frame); frame f's palette index at (row r, col c) =
+    (base + 11r + c//3 + 29f) % 256 — the 29f term makes every frame's
+    raster distinct, so sampling the WRONG frames moves the channel
+    sums. Same affine palette as plant_gif."""
+    w = 8 + x % 15
+    h = 8 + (x // 7) % 9
+    n_frames = 2 + x % 4
+    base = x % 251
+    frames = [
+        bytes(
+            (base + 11 * r + c // 3 + 29 * f) % 256
+            for r in range(h)
+            for c in range(w)
+        )
+        for f in range(n_frames)
+    ]
+    return encode_gif_animated(w, h, frames)
+
+
+def extract_frame_stats(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """Arrow-batched REAL frame sampling: decode every payload's frame
+    sequence, sample stride ``every_n`` through the SAME
+    ``sample_frames`` entry users call (its P6 re-encode included —
+    the sampled bytes are decoded again before the reduction, so the
+    encoder sits in the hash), and reduce the sampled frames to summed
+    channel stats. Rows map 1:1; Arrow batches bound memory."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                total = len(decode_frames(payload))
+                sampled = sample_frames(payload, every_n)
+                sums = np.zeros(3, dtype=np.int64)
+                w = h = 0
+                for ppm in sampled:
+                    d = decode_image(ppm)
+                    w, h = d["width"], d["height"]
+                    px = np.frombuffer(d["pixels"], dtype=np.uint8)
+                    sums += px.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                rows.append(
+                    (
+                        int(doc_id),
+                        w,
+                        h,
+                        total,
+                        len(sampled),
+                        int(sums[0]),
+                        int(sums[1]),
+                        int(sums[2]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAME_STATS_SCHEMA.fields]
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        batches, FRAME_STATS_SCHEMA
     )

@@ -1147,6 +1147,135 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 217. multimodal_decode_wav — real AUDIO decode end to end (r9)
+# --------------------------------------------------------------------------
+# The audio modality joins the pipeline: planted RIFF/WAVE 16-bit PCM
+# payloads (real writer) decoded by the real chunk-walk parser
+# (operators/multimodal.decode_audio — fmt validation, unknown-chunk
+# skipping with odd-size padding, little-endian sample extraction),
+# reduced to exact-BIGINT amplitude stats. The planted samples are a
+# quadratic residue pattern ((base*31 + 7i² + 13i) % 4001 − 2000), so
+# a byte-order or sign bug cannot cancel in the sums; the oracle
+# recomputes every sample. Compressed audio (MP3/AAC) = typed profile
+# gap through the same dispatch, like JPEG color.
+_MM_WAV_ORACLE = """
+WITH h AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(text), 1, 8))::UBIGINT AS BIGINT) AS x
+    FROM documents
+), dims AS (
+    SELECT doc_id,
+           CAST(8000 + (x % 5) * 2000 AS BIGINT) AS sample_rate,
+           CAST(256 + x % 512 AS BIGINT) AS n_samples,
+           x % 251 AS base
+    FROM h
+), s AS (
+    SELECT doc_id, sample_rate, n_samples,
+           [(base*31 + 7*i*i + 13*i) % 4001 - 2000
+            FOR i IN range(0, n_samples)] AS smp
+    FROM dims
+)
+SELECT doc_id, sample_rate, n_samples,
+       CAST(list_sum(smp) AS BIGINT) AS sum_amp,
+       CAST(list_sum([abs(v) FOR v IN smp]) AS BIGINT) AS sum_abs,
+       CAST(list_max([abs(v) FOR v IN smp]) AS BIGINT) AS peak_abs,
+       CAST(list_sum([abs(v) FOR v IN smp]) * 10000 // n_samples
+            AS BIGINT) AS mean_abs_q4
+FROM s
+"""
+
+
+@register(
+    "multimodal_decode_wav", oracle=_MM_WAV_ORACLE, tags=("llm", "multimodal")
+)
+def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real AUDIO decode through the Arrow path: plant RIFF/WAVE PCM
+    payloads (operators/multimodal.plant_wav — real writer), decode
+    with the pure-python chunk walk + PCM extraction (decode_audio),
+    reduce to exact-BIGINT amplitude stats (extract_audio_stats). Same
+    two-stage mapInPandas shape as the image rows — the audio modality
+    is now first-class alongside the five image codecs. 100 TB notes
+    as multimodal_decode: the payload column prunes unless requested,
+    rows map 1:1, Arrow batches bound memory."""
+    from strava_data_pipeline_spark.operators import multimodal as M
+
+    docs = _docs(spark, sf_dir)
+    seeded = docs.select("doc_id", md5_u32(F.col("text")).alias("x"))
+    return M.extract_audio_stats(
+        M.attach_ppm_payload(seeded, planter=M.plant_wav)
+    )
+
+
+# --------------------------------------------------------------------------
+# 218. multimodal_frame_sample — real frame sampling end to end (r9)
+# --------------------------------------------------------------------------
+# De-stubs sample_frames, the last stubbed multimodal operation: plant
+# ANIMATED GIFs (real multi-frame GIF89a writer — graphic-control
+# extension + independently LZW-compressed raster per frame), sample
+# every 2nd frame through the REAL sample_frames entry (decode ->
+# stride -> P6 re-encode, the sampled bytes re-decoded before the
+# reduction so the encoder is in the hash), and sum channels over the
+# SAMPLED frames only. Frame f's raster carries a 29f term, so
+# sampling the wrong frames — off-by-one stride, dropped first frame,
+# trailing frame kept — moves the sums. The video-shaped modality
+# face: frame sequences as first-class payloads.
+_MM_FRAMES_ORACLE = """
+WITH h AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(text), 1, 8))::UBIGINT AS BIGINT) AS x
+    FROM documents
+), dims AS (
+    SELECT doc_id,
+           CAST(8 + x % 15 AS INT) AS width,
+           CAST(8 + (x // 7) % 9 AS INT) AS height,
+           CAST(2 + x % 4 AS BIGINT) AS n_frames,
+           x % 251 AS base
+    FROM h
+)
+SELECT doc_id, width, height, n_frames,
+       CAST((n_frames + 1) // 2 AS BIGINT) AS n_sampled,
+       CAST(list_sum([list_sum([
+           ((base + 11*(p // width) + (p % width) // 3 + 29*f)
+            % 256 * 11 + 5) % 256
+           FOR p IN range(0, width*height)])
+           FOR f IN range(0, n_frames, 2)]) AS BIGINT) AS sum_r,
+       CAST(list_sum([list_sum([
+           ((base + 11*(p // width) + (p % width) // 3 + 29*f)
+            % 256 * 13 + 7) % 256
+           FOR p IN range(0, width*height)])
+           FOR f IN range(0, n_frames, 2)]) AS BIGINT) AS sum_g,
+       CAST(list_sum([list_sum([
+           ((base + 11*(p // width) + (p % width) // 3 + 29*f)
+            % 256 * 17 + 11) % 256
+           FOR p IN range(0, width*height)])
+           FOR f IN range(0, n_frames, 2)]) AS BIGINT) AS sum_b
+FROM dims
+"""
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=_MM_FRAMES_ORACLE,
+    tags=("llm", "multimodal"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real FRAME SAMPLING through the Arrow path: plant animated GIFs
+    (operators/multimodal.plant_gif_animated), stride-2 sample through
+    the real sample_frames operator, reduce the sampled frames'
+    channels (extract_frame_stats). Every plant is genuinely
+    multi-frame (2-5 frames), every frame distinct, so the stride and
+    the frame boundaries are load-bearing in the hash. Same two-stage
+    mapInPandas shape and 100 TB layout notes as the decode rows."""
+    from strava_data_pipeline_spark.operators import multimodal as M
+
+    docs = _docs(spark, sf_dir)
+    seeded = docs.select("doc_id", md5_u32(F.col("text")).alias("x"))
+    return M.extract_frame_stats(
+        M.attach_ppm_payload(seeded, planter=M.plant_gif_animated), every_n=2
+    )
+
+
+# --------------------------------------------------------------------------
 # 211. multimodal_resize — real nearest-neighbor resize end to end
 # --------------------------------------------------------------------------
 # De-stubs resize_image: GIF payloads are decoded (full LZW), downscaled

@@ -59,6 +59,8 @@ _ENUMERATE_FIRST: tuple[str, ...] = (
     "corpus_shard_buckets",
     "text_normalize",
     "multimodal_decode_jpeg",
+    "multimodal_decode_wav",
+    "multimodal_frame_sample",
     # --- red in r8 (driver-vs-replica divergence; fixed this round) ---
     "corpus_shard_plan",
     "windowed_counts_audit",

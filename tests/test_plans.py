@@ -146,6 +146,8 @@ def test_no_python_row_eval_in_query_path(spark, name):
         "multimodal_decode_gif",
         "multimodal_decode_png",
         "multimodal_decode_jpeg",
+        "multimodal_decode_wav",
+        "multimodal_frame_sample",
         "multimodal_resize",
     ):
         assert "MapInPandas" in plan

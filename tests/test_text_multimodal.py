@@ -103,8 +103,10 @@ class TestMultimodal:
             M.decode_image(b"\x89PNG....")
         with pytest.raises(NotImplementedError):
             M.resize_image(b"\x89PNG....", 2, 2)
+        # sample_frames is REAL now (see TestFrameSampling); unknown
+        # formats still route to the typed stub through decode_frames
         with pytest.raises(NotImplementedError):
-            M.sample_frames(b"x", 2)
+            M.sample_frames(b"\x89PNG....", 2)
         # real resize on a real format: nearest-neighbor identity at
         # the same dims returns the same raster re-encoded as P6
         p = M.plant_ppm(42)
@@ -575,6 +577,154 @@ class TestBmpRle8Codec:
         )
         with _pytest.raises(NotImplementedError, match="RLE8"):
             decode_image(p24)
+
+
+class TestWavCodec:
+    """Pure-python RIFF/WAVE PCM codec (operators/multimodal.py, r9):
+    the audio modality. Round-trip against the planted quadratic
+    generator, RIFF chunk-walk robustness (unknown chunks, odd-size
+    padding), and typed rejection of compressed/multi-channel
+    profiles and malformed containers."""
+
+    def test_round_trip_matches_generator(self):
+        from strava_data_pipeline_spark.operators.multimodal import (
+            decode_audio,
+            plant_wav,
+        )
+
+        for x in (0, 7, 99, 123456, 2**31 - 1):
+            rate, n, base = 8000 + (x % 5) * 2000, 256 + x % 512, x % 251
+            d = decode_audio(plant_wav(x))
+            assert (d["format"], d["sample_rate"], d["n_samples"]) == (
+                "wav",
+                rate,
+                n,
+            )
+            exp = [
+                (base * 31 + 7 * i * i + 13 * i) % 4001 - 2000
+                for i in range(n)
+            ]
+            assert d["samples"] == exp
+
+    def test_unknown_chunks_skipped_with_padding(self):
+        # a LIST chunk of ODD size before data: the walk must skip it
+        # AND its pad byte, or every later chunk misparses
+        import struct
+
+        from strava_data_pipeline_spark.operators.multimodal import (
+            decode_audio,
+            plant_wav,
+        )
+
+        good = plant_wav(5)
+        lst = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+        rebuilt = good[:12] + lst + good[12:]
+        rebuilt = (
+            b"RIFF" + struct.pack("<I", len(rebuilt) - 8) + rebuilt[8:]
+        )
+        assert decode_audio(rebuilt)["samples"] == decode_audio(good)["samples"]
+
+    def test_rejections(self):
+        import struct
+
+        import pytest as _pytest
+
+        from strava_data_pipeline_spark.operators.multimodal import (
+            decode_audio,
+            encode_wav,
+            plant_wav,
+        )
+
+        good = plant_wav(7)
+        with _pytest.raises(ValueError, match="RIFF"):
+            decode_audio(b"RIFX" + good[4:])
+        with _pytest.raises(ValueError, match="truncated"):
+            decode_audio(good[:-10])
+        # compressed format code -> typed profile NotImplementedError
+        fmt_at = good.find(b"fmt ")
+        bad = bytearray(good)
+        bad[fmt_at + 8] = 2  # audio_format = ADPCM
+        with _pytest.raises(NotImplementedError, match="compressed"):
+            decode_audio(bytes(bad))
+        # stereo -> typed profile NotImplementedError
+        bad = bytearray(good)
+        bad[fmt_at + 10] = 2  # channels
+        with _pytest.raises(NotImplementedError, match="mono"):
+            decode_audio(bytes(bad))
+        # a fmt-less container fails loudly
+        nofmt = good[:12] + good[12 + 8 + 16 :]
+        nofmt = b"RIFF" + struct.pack("<I", len(nofmt) - 8) + nofmt[8:]
+        with _pytest.raises(ValueError, match="fmt"):
+            decode_audio(nofmt)
+        _ = encode_wav  # writer exercised via plant_wav above
+
+
+class TestFrameSampling:
+    """Real frame sampling over animated GIFs (operators/multimodal.py,
+    r9 — the last multimodal stub de-stubbed): multi-frame decode,
+    stride semantics, single-frame fallthrough, and the P6 re-encode
+    round-trip."""
+
+    def test_animated_frames_decode_distinct(self):
+        from strava_data_pipeline_spark.operators.multimodal import (
+            _gif_palette_entry,
+            decode_frames,
+            plant_gif_animated,
+        )
+
+        for x in (0, 7, 99, 123456, 2**31 - 1):
+            w, h = 8 + x % 15, 8 + (x // 7) % 9
+            nf, base = 2 + x % 4, x % 251
+            fr = decode_frames(plant_gif_animated(x))
+            assert len(fr) == nf
+            for f, d in enumerate(fr):
+                assert (d["width"], d["height"]) == (w, h)
+                exp = b"".join(
+                    _gif_palette_entry((base + 11 * r + c // 3 + 29 * f) % 256)
+                    for r in range(h)
+                    for c in range(w)
+                )
+                assert d["pixels"] == exp
+
+    def test_stride_semantics(self):
+        from strava_data_pipeline_spark.operators.multimodal import (
+            decode_frames,
+            decode_image,
+            plant_gif_animated,
+            sample_frames,
+        )
+
+        p = plant_gif_animated(3)  # 5 frames (2 + 3%4)
+        fr = decode_frames(p)
+        assert len(fr) == 5
+        s2 = sample_frames(p, 2)  # frames 0, 2, 4
+        assert len(s2) == 3
+        for got, want in zip(s2, (fr[0], fr[2], fr[4])):
+            assert decode_image(got)["pixels"] == want["pixels"]
+        s1 = sample_frames(p, 1)
+        assert len(s1) == 5
+        s9 = sample_frames(p, 9)  # stride past the end keeps frame 0
+        assert len(s9) == 1
+
+    def test_single_frame_formats_one_frame(self):
+        import pytest as _pytest
+
+        from strava_data_pipeline_spark.operators.multimodal import (
+            decode_image,
+            plant_jpeg,
+            plant_png,
+            sample_frames,
+        )
+
+        for plant in (plant_png, plant_jpeg):
+            p = plant(42)
+            s = sample_frames(p, 3)
+            assert len(s) == 1
+            assert (
+                decode_image(s[0])["pixels"] == decode_image(p)["pixels"]
+            )
+        with _pytest.raises(ValueError, match="stride"):
+            sample_frames(plant_png(1), 0)
 
 
 class TestJpegCodec:
