@@ -165,9 +165,15 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # 16. top_customers_by_revenue — Q10 shape
 # --------------------------------------------------------------------------
+# revenue quantizes to exact BIGINT cents PER ROW before the sum (the
+# q10_returned_items discipline): the old round(sum(double), 2)
+# accumulated in engine-chosen order and hash-diverged at a half-cent
+# boundary once the mult=10 rehearsal gave a customer enough addends —
+# rows/cols matched, values didn't.
 _Q10_ORACLE = """
 SELECT c.c_custkey AS custkey, c.c_name AS name,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
        round(c.c_acctbal, 2) AS acctbal, n.n_name AS nation
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
@@ -182,7 +188,9 @@ LIMIT 20
 
 @register("top_customers_by_revenue", oracle=_Q10_ORACLE, tags=("analytics", "bench"))
 def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Returned-item revenue per customer, top-20."""
+    """Returned-item revenue per customer, top-20. Revenue sums exact
+    BIGINT cents (per-row quantization — see the oracle note); top-20
+    rides TakeOrderedAndProject with the custkey tie-break."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
@@ -198,8 +206,15 @@ def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            (
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                        * 100
+                        + F.lit(0.5)
+                    ).cast("bigint")
+                ).cast("double")
+                / 100.0
             ).alias("revenue")
         )
         .select("custkey", "name", "revenue", "acctbal", "nation")

@@ -66,6 +66,13 @@ def _cls_weight_duck(bucket_expr: str) -> str:
     return _CLS_W.format(h=h)
 
 
+# score is exact 1e-6 units via a SHIFTED floor division: the old
+# round(sum/(n*1000), 6) DOUBLE diverged cross-engine at a half-ulp
+# boundary (one doc in the mult=10 rehearsal corpus — rows/cols
+# matched, hash didn't). The +n*1000 shift makes the numerator
+# non-negative, where Spark's DIV (truncate toward zero) and DuckDB's
+# // (floor) are the SAME function; subtracting the 1e6 shift back
+# keeps floor semantics for negative scores on both engines.
 _CLASSIFIER_ORACLE = f"""
 WITH tok AS (
     SELECT doc_id, unnest({_DUCK_TOKENS}) AS term FROM documents
@@ -77,7 +84,8 @@ WITH tok AS (
 SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_tokens,
        CAST(sum(w) AS BIGINT) AS sum_w_milli,
-       round(sum(w) * 1.0 / (count(*) * 1000), 6) AS score,
+       CAST((sum(w) + count(*) * 1000) * 1000 // count(*)
+            - 1000000 AS BIGINT) AS score_q6,
        sum(w) > 0 AS keep
 FROM scored GROUP BY 1
 """
@@ -87,7 +95,10 @@ FROM scored GROUP BY 1
 def classifier_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed linear quality classifier (fastText-style, Joulin et al.
     2016): token → feature bucket (md5 % B) → milli-unit weight; doc
-    score = mean weight over all occurrences, keep = positive sum. The
+    score = mean weight over all occurrences in EXACT 1e-6 units
+    (shifted floor division — see the oracle note; the double
+    round-to-6 it replaces hash-diverged cross-engine at a half-ulp
+    boundary in the mult=10 rehearsal), keep = positive sum. The
     weight is computed inline from the bucket id (no join at all) and
     the sum is exact BIGINT milli-units, so the gate boolean and the
     score are engine-identical. One scan, one map-combined doc_id
@@ -111,9 +122,12 @@ def classifier_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_tokens",
             "sum_w_milli",
-            F.round(
-                F.col("sum_w_milli") * 1.0 / (F.col("n_tokens") * 1000), 6
-            ).alias("score"),
+            F.expr(
+                "(sum_w_milli + n_tokens * 1000) * 1000 DIV n_tokens"
+                " - 1000000"
+            )
+            .cast("bigint")
+            .alias("score_q6"),
             (F.col("sum_w_milli") > 0).alias("keep"),
         )
     )

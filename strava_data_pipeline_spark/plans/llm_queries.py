@@ -48,12 +48,6 @@ _DUCK_SHINGLES = (
     r"list_distinct([array_to_string(t[i:i+2], ' ') "
     r"FOR i IN range(1, greatest(len(t) - 2, 0) + 1)])"
 )
-_DUCK_CHAR_GRAMS = (
-    r"list_distinct([substr(lower(text), i, 3) "
-    r"FOR i IN range(1, greatest(length(lower(text)) - 2, 0) + 1)])"
-)
-
-
 # --------------------------------------------------------------------------
 # 21. dedup_exact
 # --------------------------------------------------------------------------
@@ -352,17 +346,38 @@ def dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Grams hash to portable u32 BIGINTs on BOTH engines (see
 # operators/dedup.py::ngram_jaccard_pairs — jaccard over the hashed
-# gram sets, identical here), so the comparison is exact.
+# gram sets, identical here), so the comparison is exact. The gram
+# ORDER is corpus-adaptive in the operator (auto_gram_order: smallest
+# n >= 3 with 26**n >= 3*n_docs, cap 7); the oracle encodes the SAME
+# integer rule as closed-form count thresholds in a scalar CTE
+# (floor(26**n / 3) boundaries), so the two agree at EVERY corpus
+# size — the old statically-3-gram oracle was only valid below 5,859
+# docs and went blind at rehearsal scale.
+_DUCK_GRAM_ORDER = """(
+    SELECT CASE WHEN count(*) <= 5858 THEN 3
+                WHEN count(*) <= 152325 THEN 4
+                WHEN count(*) <= 3960458 THEN 5
+                WHEN count(*) <= 102971925 THEN 6
+                ELSE 7 END
+    FROM documents
+)"""
+
+_DUCK_CHAR_GRAMS_ADAPTIVE = (
+    "list_distinct([substr(lower(text), i, o.n) "
+    "FOR i IN range(1, greatest(length(lower(text)) - o.n + 1, 0) + 1)])"
+)
 _DUCK_CHAR_GRAMS_HASHED = (
-    f"list_distinct(list_transform({_DUCK_CHAR_GRAMS}, "
+    f"list_distinct(list_transform({_DUCK_CHAR_GRAMS_ADAPTIVE}, "
     f"g -> {md5_u32_duckdb('g')}))"
 )
 _JACCARD_ORACLE = f"""
-WITH g AS (
+WITH o AS (
+    SELECT {_DUCK_GRAM_ORDER} AS n
+), g AS (
     SELECT doc_id, lang,
            CAST(floor(n_chars / 64.0) AS INT) AS len_bucket,
            {_DUCK_CHAR_GRAMS_HASHED} AS grams
-    FROM documents
+    FROM documents, o
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        round(len(list_intersect(a.grams, b.grams)) * 1.0 /

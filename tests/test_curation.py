@@ -146,10 +146,11 @@ class TestClassifierScore:
         assert rows
         for r in rows:
             assert r["keep"] == (r["sum_w_milli"] > 0)
-            # tolerance, not equality: Python round() is banker's,
-            # Spark F.round is HALF_UP — they differ on exact .5 ulps
-            expect = r["sum_w_milli"] / (r["n_tokens"] * 1000)
-            assert abs(r["score"] - expect) < 5.1e-7
+            # EXACT equality: score_q6 is integer floor(sum*1000/n) via
+            # the shifted DIV (the double round-to-6 it replaced
+            # diverged cross-engine at a half-ulp boundary)
+            num = r["sum_w_milli"] * 1000
+            assert r["score_q6"] == num // r["n_tokens"]  # python // floors
 
     def test_deterministic(self, spark):
         a = {
