@@ -443,14 +443,37 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     differ only in formatting."""
     docs = _docs(spark, sf_dir)
     norm = F.lower(F.trim(F.regexp_replace(F.col("text"), "\\s+", " ")))
+    # narrow frame FIRST: bodies normalize once, then only 16-byte
+    # hashes and BIGINTs move. The distinct counts deliberately avoid
+    # countDistinct: two distincts in one agg rewrite through Spark's
+    # EXPAND (2x rows) and concentrate the hot source's merge on one
+    # reducer (measured 2.6x hot-domain tax at the skew rehearsal);
+    # the (source, hash)-keyed pre-aggregates below are map-side
+    # combinable at BOTH levels and spread on the hash no matter how
+    # skewed the source mix is.
     n = docs.select(
         "source",
         F.md5("text").alias("raw_h"),
-        norm.alias("norm"),
-    )
-    return n.groupBy("source").agg(
+        F.md5(norm).alias("norm_h"),
+        md5_u32(norm).alias("norm_u32"),
+    ).persist()
+    totals = n.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.countDistinct("raw_h").cast("bigint").alias("n_raw_distinct"),
-        F.countDistinct(F.md5("norm")).cast("bigint").alias("n_norm_distinct"),
-        F.sum(md5_u32(F.col("norm"))).cast("bigint").alias("norm_hash_sum"),
+        F.sum("norm_u32").cast("bigint").alias("norm_hash_sum"),
+    )
+    raw_d = (
+        n.groupBy("source", "raw_h")
+        .agg(F.lit(1))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_raw_distinct"))
+    )
+    norm_d = (
+        n.groupBy("source", "norm_h")
+        .agg(F.lit(1))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_norm_distinct"))
+    )
+    return totals.join(raw_d, "source").join(norm_d, "source").select(
+        "source", "n_docs", "n_raw_distinct", "n_norm_distinct",
+        "norm_hash_sum",
     )
