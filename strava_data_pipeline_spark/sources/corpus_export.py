@@ -159,6 +159,14 @@ def export_corpus_shards(
                 and side.get("target_tokens") == target_tokens
             ):
                 return cur, False
+        if fp[0] == 0:
+            # an all-filtered corpus is a pipeline FAULT, not an
+            # artifact: publishing would create a version whose empty
+            # manifest no reader can resolve. Fail loudly upstream.
+            raise ValueError(
+                "refusing to publish an empty corpus export "
+                "(kept set has zero documents)"
+            )
         # bulk single-pass publish: an export lays down THOUSANDS of
         # shard dirs (one per ~target tokens); the incremental
         # per-partition loop would cost one Spark job each

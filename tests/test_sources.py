@@ -695,3 +695,21 @@ class TestCorpusExport:
 
         with _pytest.raises(ValueError, match="round-trip"):
             V.commit_snapshot_bulk_partitioned(bad, str(tmp_path / "b2"), "shard_id")
+
+    def test_empty_export_refused_loudly(self, spark, tmp_path):
+        # an all-filtered corpus must not publish an unreadable
+        # empty-manifest version — loud failure, store untouched
+        import pytest as _pytest
+
+        from strava_data_pipeline_spark.sources import versioned as V
+        from strava_data_pipeline_spark.sources.corpus_export import (
+            export_corpus_shards,
+        )
+
+        root = str(tmp_path / "export")
+        empty = spark.createDataFrame(
+            [], "doc_id long, h long, n_tokens long, text string"
+        )
+        with _pytest.raises(ValueError, match="empty corpus export"):
+            export_corpus_shards(empty, root, 100)
+        assert V.committed_versions(spark, root) == []
