@@ -494,9 +494,10 @@ def _decode_gif_frames(payload: bytes) -> list[dict]:
     """ALL frames of a (possibly animated) GIF, in stream order — the
     same real LZW machinery per frame, graphic-control extensions
     skipped between frames, per-frame local color tables honored. Each
-    frame is returned as a full standalone raster (the plants emit
-    full-size frames; sub-rectangle composite frames would need
-    disposal-method state and are not a shape this pipeline plants)."""
+    frame is returned as a full standalone raster; sub-rectangle
+    composite frames (non-zero offsets, or later frames smaller than
+    the logical screen) would need disposal-method state and raise a
+    typed NotImplementedError rather than decode wrong pixels."""
     import struct
 
     if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
@@ -528,8 +529,22 @@ def _decode_gif_frames(payload: bytes) -> list[dict]:
             continue
         if b0 != 0x2C:
             raise ValueError(f"unexpected GIF block 0x{b0:02x}")
-        _left, _top, w, h, ipacked = struct.unpack_from("<HHHHB", payload, i)
+        left, top, w, h, ipacked = struct.unpack_from("<HHHHB", payload, i)
         i += 9
+        # typed-failure contract (like the BMP delta-escape rejection):
+        # sub-rectangle composite frames need disposal-method state this
+        # decoder does not model — refuse loudly instead of silently
+        # decoding a delta frame as a full standalone raster
+        if left != 0 or top != 0:
+            raise NotImplementedError(
+                f"GIF frame with non-zero image offset ({left},{top}) "
+                "requires composite/disposal handling (full-size frames only)"
+            )
+        if frames and (w, h) != (sw, sh):
+            raise NotImplementedError(
+                f"GIF delta frame {w}x{h} differs from logical screen "
+                f"{sw}x{sh}; only full-size frames decode here"
+            )
         pal = global_pal
         if ipacked & 0x80:  # local color table wins for this image
             n = 2 << (ipacked & 0x07)
@@ -882,7 +897,10 @@ class _BitWriter:
                 self.acc = 0
                 self.n = 0
 
-    def flush(self) -> bytes:
+    def align(self) -> None:
+        """Byte-align with 1-bit padding (T.81 B.2.1.2) — the state an
+        RST marker must follow; the padded byte is still entropy data,
+        so 0xFF stuffing applies to it."""
         if self.n:
             self.acc = (self.acc << (8 - self.n)) | ((1 << (8 - self.n)) - 1)
             self.out.append(self.acc)
@@ -890,6 +908,16 @@ class _BitWriter:
                 self.out.append(0x00)
             self.acc = 0
             self.n = 0
+
+    def raw(self, b: bytes) -> None:
+        """Append marker bytes verbatim (markers are NOT byte-stuffed).
+        Caller must :meth:`align` first."""
+        if self.n:
+            raise ValueError("raw marker bytes require a byte-aligned writer")
+        self.out += b
+
+    def flush(self) -> bytes:
+        self.align()
         return bytes(self.out)
 
 
@@ -906,13 +934,18 @@ def _category(v: int) -> int:
 _JPEG_Q = (8,) + (16,) * 63  # natural order; position 0 is DC
 
 
-def encode_jpeg_gray(width: int, height: int, gray: bytes) -> bytes:
+def encode_jpeg_gray(
+    width: int, height: int, gray: bytes, restart_interval: int = 0
+) -> bytes:
     """Real baseline grayscale JPEG writer: true forward DCT per 8x8
     block, quantization, DPCM DC + run-length AC Huffman coding with
     the Annex K luminance tables (embedded via DHT), byte stuffing,
     JFIF/SOF0/SOS markers. Dimensions must be multiples of 8 (a padding
     policy would put encoder-invented pixels inside the planted-oracle
-    hash; real corpora pad upstream)."""
+    hash; real corpora pad upstream). ``restart_interval`` > 0 emits a
+    DRI segment and conformant RSTn markers every that-many MCUs
+    (1-bit byte-align, RST0..RST7 cycling, DC predictor reset) — the
+    positive path :class:`_BitReader`.at_rst must consume."""
     import struct
 
     import numpy as np
@@ -931,8 +964,14 @@ def encode_jpeg_gray(width: int, height: int, gray: bytes) -> bytes:
     ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
     w = _BitWriter()
     prev_dc = 0
+    mcu = 0
     for by in range(height // 8):
         for bx in range(width // 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                w.align()
+                w.raw(bytes((0xFF, 0xD0 + ((mcu // restart_interval - 1) % 8))))
+                prev_dc = 0
+            mcu += 1
             blk = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
             coef = C @ blk @ C.T
             quant = np.rint(coef / q).astype(np.int64)
@@ -973,7 +1012,8 @@ def encode_jpeg_gray(width: int, height: int, gray: bytes) -> bytes:
     )
     sos = seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
     app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    return b"\xff\xd8" + app0 + dqt + sof + dht + sos + data + b"\xff\xd9"
+    dri = seg(0xFFDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    return b"\xff\xd8" + app0 + dqt + sof + dri + dht + sos + data + b"\xff\xd9"
 
 
 class _BitReader:
@@ -1028,8 +1068,14 @@ class _BitReader:
         self.marker = None
 
     def at_rst(self) -> bool:
-        # peek: a pending RST recorded by _fill, or literally next bytes
-        if self.n == 0 and self.pos + 1 < len(self.buf):
+        # The entropy stream is byte-aligned (1-bit padded) before every
+        # RST (T.81 B.2.1.2), so at a restart boundary the reader almost
+        # always holds leftover padding bits — discard them BEFORE
+        # peeking for 0xFFD0-0xFFD7. Destructive on failure is fine: the
+        # caller raises ValueError when no RST is found.
+        self.acc = 0
+        self.n = 0
+        if self.pos + 1 < len(self.buf):
             if self.buf[self.pos] == 0xFF and 0xD0 <= self.buf[self.pos + 1] <= 0xD7:
                 self.pos += 2
                 return True
@@ -1078,6 +1124,13 @@ def _decode_jpeg(payload: bytes) -> dict:
     while i < len(payload):
         if payload[i] != 0xFF:
             raise ValueError(f"expected JPEG marker at offset {i}")
+        # optional 0xFF fill bytes before a marker are legal (T.81
+        # B.1.1.2) — skip runs of 0xFF so the byte after the LAST one
+        # is read as the marker code, not as a segment length
+        while i + 1 < len(payload) and payload[i + 1] == 0xFF:
+            i += 1
+        if i + 1 >= len(payload):
+            raise ValueError("JPEG ended inside marker fill bytes")
         marker = payload[i + 1]
         if marker == 0xD9:
             raise ValueError("JPEG ended before scan data")

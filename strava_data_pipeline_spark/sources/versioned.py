@@ -300,6 +300,16 @@ def commit_snapshot_bulk_partitioned(
                 f"for values that need sanitizing"
             )
         manifest[raw] = f"{seg_rel}/{name}"
+    if not manifest:
+        # an empty input writes no partition dirs: publishing a version
+        # whose manifest is empty (marker created, nothing readable)
+        # would wedge readers with an unresolvable snapshot — refuse,
+        # mirroring export_corpus_shards' empty-corpus guard
+        raise ValueError(
+            f"bulk partitioned commit of an EMPTY DataFrame under {root}: "
+            "no partition directories were produced; refusing to publish "
+            "an empty-manifest version"
+        )
     orphan = _manifest_path(jvm, root, ver)
     if fs.exists(orphan):
         # a crashed earlier attempt's manifest; its data dirs lived

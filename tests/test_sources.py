@@ -696,6 +696,27 @@ class TestCorpusExport:
         with _pytest.raises(ValueError, match="round-trip"):
             V.commit_snapshot_bulk_partitioned(bad, str(tmp_path / "b2"), "shard_id")
 
+    def test_bulk_commit_empty_input_refused(self, spark, tmp_path):
+        # ADVICE r9: an empty DataFrame lays down zero partition dirs;
+        # publishing would create a marker over an empty manifest and
+        # wedge every reader — the public API must refuse (mirroring
+        # export_corpus_shards' empty-corpus guard), and a refused
+        # attempt must not block a later real publish
+        import pytest as _pytest
+
+        from strava_data_pipeline_spark.sources import versioned as V
+
+        root = str(tmp_path / "bulkempty")
+        schema = "doc_id long, shard_id long, text string"
+        empty = spark.createDataFrame([], schema)
+        with _pytest.raises(ValueError, match="EMPTY"):
+            V.commit_snapshot_bulk_partitioned(empty, root, "shard_id")
+        with _pytest.raises(FileNotFoundError):
+            V.read_snapshot(spark, root)
+        df = spark.createDataFrame([(1, 0, "t")], schema)
+        assert V.commit_snapshot_bulk_partitioned(df, root, "shard_id") == 1
+        assert V.read_snapshot(spark, root).count() == 1
+
     def test_empty_export_refused_loudly(self, spark, tmp_path):
         # an all-filtered corpus must not publish an unreadable
         # empty-manifest version — loud failure, store untouched

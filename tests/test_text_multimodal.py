@@ -824,6 +824,47 @@ class TestJpegCodec:
         ok = p[:sos_at] + dri0 + p[sos_at:]
         assert _decode_jpeg(ok)["pixels"] == _decode_jpeg(p)["pixels"]
 
+    def test_restart_markers_positive_roundtrip(self):
+        # a REAL conformant DRI>=1 stream (encoder byte-aligns with
+        # 1-bit padding, emits cycling RST0..RST7, resets the DC
+        # predictor): at_rst must DISCARD the pending padding bits
+        # before peeking for the marker — the r9 reader only consumed
+        # an RST when its bit buffer happened to be empty, so every
+        # non-byte-aligned MCU boundary failed (ADVICE r9, medium)
+        import numpy as np
+
+        from strava_data_pipeline_spark.operators.multimodal import (
+            _decode_jpeg,
+            encode_jpeg_gray,
+        )
+
+        rng = np.random.RandomState(7)
+        img = rng.randint(0, 256, size=(24, 32), dtype=np.uint8)  # 12 MCUs
+        base = _decode_jpeg(encode_jpeg_gray(32, 24, img.tobytes()))
+        for dri in (1, 2, 5):
+            # dri=1 -> 11 restarts, exercising the RSTn modulo-8 wrap
+            d = _decode_jpeg(
+                encode_jpeg_gray(32, 24, img.tobytes(), restart_interval=dri)
+            )
+            assert (d["width"], d["height"]) == (32, 24)
+            # the entropy decode is exact given the same quantized
+            # coefficients, so DRI must not change a single pixel
+            assert d["pixels"] == base["pixels"], f"DRI={dri} diverged"
+
+    def test_marker_fill_bytes_skipped(self):
+        # optional 0xFF fill bytes before a marker are legal (T.81
+        # B.1.1.2); the walk must treat the byte after the LAST 0xFF
+        # as the marker code, not parse a fill byte as a length
+        from strava_data_pipeline_spark.operators.multimodal import (
+            _decode_jpeg,
+            plant_jpeg,
+        )
+
+        p = plant_jpeg(7)
+        sos_at = p.find(b"\xff\xda")
+        filled = p[:sos_at] + b"\xff\xff\xff" + p[sos_at:]
+        assert _decode_jpeg(filled)["pixels"] == _decode_jpeg(p)["pixels"]
+
     def test_rejections(self):
         import pytest as _pytest
 
@@ -1021,6 +1062,41 @@ class TestGifLzwCodec:
         idx = bytes((i * i * 31 + i * 7) % 256 for i in range(150 * 150))
         d = decode_image(encode_gif_lzw(150, 150, idx))
         assert d["pixels"] == b"".join(self._rgb(k) for k in idx)
+
+    def test_sub_rectangle_frames_rejected(self):
+        # ADVICE r9: delta frames (non-zero offset, or a later frame
+        # smaller than the logical screen) need disposal-method
+        # compositing this decoder does not model — the typed-failure
+        # contract demands a loud NotImplementedError, not a silently
+        # wrong full-raster decode
+        import struct
+
+        import pytest as _pytest
+
+        from strava_data_pipeline_spark.operators.multimodal import (
+            _decode_gif_frames,
+            encode_gif_animated,
+        )
+
+        f1 = bytes((i % 256 for i in range(64)))
+        f2 = bytes(((i * 3) % 256 for i in range(64)))
+        p = encode_gif_animated(8, 8, [f1, f2])
+        desc = b"\x2c" + struct.pack("<HHHH", 0, 0, 8, 8)
+        first = p.find(desc)
+        second = p.find(desc, first + 1)
+        assert first != -1 and second != -1
+        # frame 2 with a non-zero left offset
+        off = p[:second + 1] + struct.pack("<H", 2) + p[second + 3 :]
+        with _pytest.raises(NotImplementedError, match="offset"):
+            _decode_gif_frames(off)
+        # frame 2 whose size differs from the logical screen
+        small = (
+            p[: second + 5] + struct.pack("<HH", 4, 4) + p[second + 9 :]
+        )
+        with _pytest.raises(NotImplementedError, match="delta frame"):
+            _decode_gif_frames(small)
+        # untouched stream still decodes both full-size frames
+        assert len(_decode_gif_frames(p)) == 2
 
     def test_kwkwk_uniform_run(self):
         # a uniform raster is the canonical KwKwK generator: the encoder
