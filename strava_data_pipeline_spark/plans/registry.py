@@ -44,191 +44,186 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # Enumeration-order priority: the driver's correctness harness samples a
 # rotating subset of ``queries()`` per round, and dict order is the only
 # lever the engine has over which queries get officially recorded.  The
-# r9 ordering cycles OLDEST-GREEN-FIRST (VERDICT r6 task 7): queries new
-# in r9 lead, then the two r8 REDS (fixed this round — the TIMESTAMPTZ
-# oracle typing and the HUGEINT shard_id leak — and never officially
-# green), then the 11 queries whose latest official hash-match is still
-# round 4, then the r5 / r6 / r7 blocks — so the driver's ~50-query
-# window always re-proves the stalest rows first and no query's
-# official green can age more than a few rounds. Everything r8 just
-# proved falls to registration order at the tail.
+# r10 ordering cycles OLDEST-GREEN-FIRST (VERDICT r9 task 2): after the
+# r9 window every registry row has an official green (histogram
+# r5:20 r6:50 r7:50 r8:48 r9:50 — recomputed from CORRECTNESS_r0*.json),
+# so the head lists the 20 round-5 rows first, then the round-6/7/8
+# blocks; everything r9 just proved falls to registration order at the
+# tail.  With the ~50-query window, r10 re-proves all of r5 + 30 of r6,
+# keeping no official green older than four rounds.
 _ENUMERATE_FIRST: tuple[str, ...] = (
-    # --- new in r9: no official green row yet ---
-    "multimodal_decode_png",
-    "export_pipeline_e2e",
-    "corpus_shard_buckets",
-    "text_normalize",
-    "multimodal_decode_jpeg",
-    "multimodal_decode_wav",
-    "multimodal_frame_sample",
-    # --- red in r8 (driver-vs-replica divergence; fixed this round) ---
-    "corpus_shard_plan",
-    "windowed_counts_audit",
-    # --- latest official green row is round 4 ---
-    "tfidf_top_terms",
-    "token_refresh",
-    "type_streaks",
-    "unigram_logprob",
-    "user_activity_join_salted",
-    "user_erasure",
-    "user_lookup",
-    "user_token_state",
-    "user_upsert",
-    "vocab_oov_rate",
-    "zorder_curve",
     # --- latest official green row is round 5 ---
-    "activities_page",
-    "activity_by_id",
-    "ann_ivf",
-    "ann_lsh",
-    "ann_pq",
-    "ann_recall_eval",
-    "ann_topk",
-    "api_key_validate",
-    "athlete_type_stats",
-    "athlete_weekly_summary",
-    "bigram_logprob",
-    "bpe_pair_counts",
-    "cdc_merge",
-    "classifier_quality_score",
-    "cluster_purity",
-    "copurchase_triangles",
-    "corpus_dedup_keep",
-    "corpus_mixture",
-    "corpus_split_counts",
-    "decontaminate_bloom",
-    "dedup_embedding",
-    "dedup_exact",
-    "dedup_minhash",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "doc_fingerprint",
-    "domain_kl",
-    "dsir_weights",
-    "embedding_outliers",
-    "embedding_power_iteration",
-    "embedding_quantize",
-    "events_profile",
-    "events_profile_approx",
-    "events_running_total",
-    "events_sessionize",
-    "ingest_upsert",
-    "inverted_index",
-    "ivf_balance",
-    "json_flatten",
-    "keys_per_user",
-    "lang_id",
-    "minhash_error_eval",
-    "multimodal_meta",
-    "ngram_novelty",
-    "percentile_stats_approx",
-    "recent_activities",
-    "simhash_error_eval",
-    "skipgram_pmi",
-    "snapshot_diff",
-    "sync_daily_counts",
+    'embedding_quantize',
+    'events_profile',
+    'events_profile_approx',
+    'events_running_total',
+    'events_sessionize',
+    'ingest_upsert',
+    'inverted_index',
+    'ivf_balance',
+    'json_flatten',
+    'keys_per_user',
+    'lang_id',
+    'minhash_error_eval',
+    'multimodal_meta',
+    'ngram_novelty',
+    'percentile_stats_approx',
+    'recent_activities',
+    'simhash_error_eval',
+    'skipgram_pmi',
+    'snapshot_diff',
+    'sync_daily_counts',
     # --- latest official green row is round 6 ---
-    "ab_test_eval",
-    "ann_mrr_ndcg",
-    "attribution_last_touch",
-    "bfs_distance",
-    "bigram_kneser_ney",
-    "bpe_merge_rounds",
-    "chi2_independence",
-    "compaction_plan",
-    "corr_matrix",
-    "customer_rfm",
-    "cusum_changepoint",
-    "data_quality_checks",
-    "dau_mau_stickiness",
-    "decontaminate_span",
-    "dedup_span_rewrite",
-    "degree_histogram",
-    "entropy_score",
-    "event_transitions",
-    "events_cube",
-    "events_ewma",
-    "events_gapfill",
-    "events_grouping_sets",
-    "events_latest_n",
-    "events_rank_suite",
-    "events_rolling_7d",
-    "fuzzy_dict_match",
-    "groupwise_quantiles",
-    "interval_coverage",
-    "join_cardinality_audit",
-    "join_delta_maintenance",
-    "kcore_peel",
-    "mad_outliers",
-    "multimodal_decode",
-    "parts_brand_stats",
-    "range_partition_plan",
-    "selectivity_audit",
-    "skyline_pareto",
-    "split_leakage",
-    "sync_window",
-    "table_stats",
-    "text_quality",
-    "token_count",
-    "token_histogram",
-    "tokenizer_fertility",
-    "trend_fit",
-    "user_activity_join",
-    "view_delta_maintenance",
-    "weighted_sample",
-    "wordpiece_encode",
-    "wordpiece_vocab",
+    'ab_test_eval',
+    'ann_mrr_ndcg',
+    'attribution_last_touch',
+    'bfs_distance',
+    'bigram_kneser_ney',
+    'bpe_merge_rounds',
+    'chi2_independence',
+    'compaction_plan',
+    'corr_matrix',
+    'customer_rfm',
+    'cusum_changepoint',
+    'data_quality_checks',
+    'dau_mau_stickiness',
+    'decontaminate_span',
+    'dedup_span_rewrite',
+    'degree_histogram',
+    'entropy_score',
+    'event_transitions',
+    'events_cube',
+    'events_ewma',
+    'events_gapfill',
+    'events_grouping_sets',
+    'events_latest_n',
+    'events_rank_suite',
+    'events_rolling_7d',
+    'fuzzy_dict_match',
+    'groupwise_quantiles',
+    'interval_coverage',
+    'join_cardinality_audit',
+    'join_delta_maintenance',
+    'kcore_peel',
+    'mad_outliers',
+    'multimodal_decode',
+    'parts_brand_stats',
+    'range_partition_plan',
+    'selectivity_audit',
+    'skyline_pareto',
+    'split_leakage',
+    'sync_window',
+    'table_stats',
+    'text_quality',
+    'token_count',
+    'token_histogram',
+    'tokenizer_fertility',
+    'trend_fit',
+    'user_activity_join',
+    'view_delta_maintenance',
+    'weighted_sample',
+    'wordpiece_encode',
+    'wordpiece_vocab',
     # --- latest official green row is round 7 ---
-    "quarantine_audit",
-    "bm25_topk",
-    "hybrid_rank_fusion",
-    "events_sessionize_bucketed",
-    "source_caps_sampled",
-    "token_coverage_curve",
-    "dedup_rate_by_source",
-    "retrieval_rank_agreement",
-    "rollup_audit",
-    "events_sliding_window",
-    "events_zscore",
-    "heavy_hitters",
-    "heavy_hitters_sampled",
-    "order_priority_count",
-    "pagerank_parts",
-    "parts_bought_together",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_returnflag_priority",
-    "q13_order_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_count",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q1_pricing_summary",
-    "q20_dominant_suppliers",
-    "q21_waiting_suppliers",
-    "q22_dormant_customers",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "q7_nation_trade",
-    "q8_market_share",
-    "q9_product_profit",
-    "scd2_intervals",
-    "sessions_overlap_windows",
-    "top_customers_by_revenue",
-    "user_churn_setops",
-    "weekly_type_trend",
-    "activities_keyset",
-    "ann_filtered",
-    "boilerplate_prune",
-    "bucketed_join",
-    "corpus_chunk",
-    "corpus_dedup_keep_clusters",
-    "corpus_pack_bins",
-    "decontaminate",
+    'activities_keyset',
+    'ann_filtered',
+    'bm25_topk',
+    'boilerplate_prune',
+    'bucketed_join',
+    'corpus_chunk',
+    'corpus_dedup_keep_clusters',
+    'corpus_pack_bins',
+    'decontaminate',
+    'dedup_rate_by_source',
+    'events_sessionize_bucketed',
+    'events_sliding_window',
+    'events_zscore',
+    'heavy_hitters',
+    'heavy_hitters_sampled',
+    'hybrid_rank_fusion',
+    'order_priority_count',
+    'pagerank_parts',
+    'parts_bought_together',
+    'q10_returned_items',
+    'q11_important_parts',
+    'q12_returnflag_priority',
+    'q13_order_distribution',
+    'q14_promo_revenue',
+    'q15_top_supplier',
+    'q16_supplier_count',
+    'q17_small_qty_revenue',
+    'q18_large_orders',
+    'q19_disjunctive_revenue',
+    'q1_pricing_summary',
+    'q20_dominant_suppliers',
+    'q21_waiting_suppliers',
+    'q22_dormant_customers',
+    'q2_min_cost_supplier',
+    'q3_shipping_priority',
+    'q5_local_supplier',
+    'q6_forecast_revenue',
+    'q7_nation_trade',
+    'q8_market_share',
+    'q9_product_profit',
+    'quarantine_audit',
+    'retrieval_rank_agreement',
+    'rollup_audit',
+    'scd2_intervals',
+    'sessions_overlap_windows',
+    'source_caps_sampled',
+    'token_coverage_curve',
+    'top_customers_by_revenue',
+    'user_churn_setops',
+    'weekly_type_trend',
+    # --- latest official green row is round 8 ---
+    'attribution_audit',
+    'attribution_last_touch_bucketed',
+    'cms_heavy_hitters',
+    'cms_merge_audit',
+    'curation_pipeline_e2e',
+    'cusum_changepoint_bucketed',
+    'dedup_clusters',
+    'dedup_containment',
+    'dedup_incremental',
+    'dedup_index_audit',
+    'dedup_simhash64',
+    'dedup_stream_audit',
+    'dedup_substring',
+    'embedding_centroids',
+    'enrich_audit',
+    'events_asof_profile',
+    'events_funnel',
+    'events_in_windows',
+    'events_pivot',
+    'events_rolling_7d_bucketed',
+    'events_rollup',
+    'ewma_audit',
+    'jwt_validate',
+    'key_lifecycle',
+    'key_lookup',
+    'kmeans_lloyd',
+    'lang_confusion',
+    'multimodal_decode_bmp',
+    'multimodal_decode_gif',
+    'multimodal_features',
+    'multimodal_resize',
+    'percentile_stats',
+    'perplexity_buckets',
+    'pii_redact',
+    'quality_calibration',
+    'quality_filter',
+    'repetition_metrics',
+    'retention_cohorts',
+    'scd2_intervals_bucketed',
+    'semdedup',
+    'session_stats',
+    'session_window_audit',
+    'sessions_overlap_bucketed',
+    'source_caps',
+    'stateful_session_audit',
+    'stratified_sample',
+    'sync_audit',
+    'versioned_sink_audit',
 )
 
 
