@@ -637,11 +637,26 @@ def encode_png(width: int, height: int, pixels: bytes) -> bytes:
             f"PNG {width}x{height} needs {3 * width * height} pixel bytes, "
             f"got {len(pixels)}"
         )
-    bpp, stride = 3, 3 * width
+    raw = _png_filter_raw(pixels, height, 3 * width, 3)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_filter_raw(scan: bytes, height: int, stride: int, bpp: int) -> bytes:
+    """Forward-filter ``height`` scanlines of ``stride`` bytes, cycling
+    row % 5 through all five spec filter types so any decoder must
+    reverse every one — shared by the truecolor-8/16 and indexed
+    encoders (filtering always operates on the PACKED scanline bytes,
+    with ``bpp`` the spec's rounded-up bytes-per-pixel)."""
     raw = bytearray()
     prior = bytes(stride)
     for r in range(height):
-        row = pixels[r * stride : (r + 1) * stride]
+        row = scan[r * stride : (r + 1) * stride]
         ftype = r % 5
         raw.append(ftype)
         if ftype == 0:  # None
@@ -673,11 +688,80 @@ def encode_png(width: int, height: int, pixels: bytes) -> bytes:
                 for i in range(stride)
             )
         prior = row
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return bytes(raw)
+
+
+def encode_png16(width: int, height: int, pixels: bytes) -> bytes:
+    """Real 16-bit truecolor PNG writer: same chunk/filter machinery as
+    :func:`encode_png` with 6-byte pixels (big-endian 2-byte samples,
+    as the spec stores them). ``pixels`` is ``6*width*height`` bytes of
+    top-down interleaved RGB."""
+    import struct
+    import zlib
+
+    if len(pixels) != 6 * width * height:
+        raise ValueError(
+            f"16-bit PNG {width}x{height} needs {6 * width * height} pixel "
+            f"bytes, got {len(pixels)}"
+        )
+    raw = _png_filter_raw(pixels, height, 6 * width, 6)
+    ihdr = struct.pack(">IIBBBBB", width, height, 16, 2, 0, 0, 0)
     return (
         b"\x89PNG\r\n\x1a\n"
         + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png_pal(
+    width: int, height: int, indexes: bytes, palette: list[bytes], depth: int
+) -> bytes:
+    """Real indexed-color PNG writer: PLTE chunk + MSB-first bit-packed
+    scanlines at any legal palette depth (1/2/4/8), trailing pad bits
+    zeroed per row, the same row % 5 filter cycling (on the PACKED
+    bytes, bpp=1, per spec). ``indexes`` is ``width*height`` top-down
+    palette indexes, each < ``len(palette)`` and < 2**depth."""
+    import struct
+    import zlib
+
+    if depth not in (1, 2, 4, 8):
+        raise ValueError(f"bad indexed PNG depth {depth}")
+    if not 1 <= len(palette) <= min(256, 1 << depth):
+        raise ValueError(
+            f"palette of {len(palette)} entries does not fit depth {depth}"
+        )
+    if len(indexes) != width * height:
+        raise ValueError(
+            f"indexed PNG {width}x{height} needs {width * height} indexes, "
+            f"got {len(indexes)}"
+        )
+    if max(indexes) >= len(palette):
+        raise ValueError(
+            f"index {max(indexes)} beyond palette of {len(palette)}"
+        )
+    stride = (width * depth + 7) // 8
+    scan = bytearray()
+    for r in range(height):
+        acc = n = 0
+        row = bytearray()
+        for c in range(width):
+            acc = (acc << depth) | indexes[r * width + c]
+            n += depth
+            if n == 8:
+                row.append(acc)
+                acc = n = 0
+        if n:
+            row.append(acc << (8 - n))  # zero pad bits close the row
+        assert len(row) == stride
+        scan += row
+    raw = _png_filter_raw(bytes(scan), height, stride, 1)
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, 3, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", b"".join(palette))
+        + _png_chunk(b"IDAT", zlib.compress(raw))
         + _png_chunk(b"IEND", b"")
     )
 
@@ -686,12 +770,15 @@ def _decode_png(payload: bytes) -> dict:
     """Real PNG decode for the pure-python-feasible profile: chunk walk
     with CRC32 verification, IHDR parse, multi-IDAT reassembly, stdlib
     zlib inflate, and per-scanline reversal of all five filter types
-    (None/Sub/Up/Average/Paeth). 8-bit truecolor RGB, non-interlaced —
-    other color types / bit depths / Adam7 need profile work that adds
-    nothing to the Spark surface and raise the honest
+    (None/Sub/Up/Average/Paeth). Truecolor RGB at 8 AND 16 bits per
+    sample, plus indexed-color (PLTE) at every legal palette depth
+    (1/2/4/8, MSB-first packed scanlines) — the r10 residual shrink.
+    Grayscale/alpha color types and Adam7 stay the honest typed
     NotImplementedError; malformed streams (bad CRC, truncated or
-    oversized raster, missing IDAT) fail loudly with ValueError.
-    Returns the same result shape as the P6/BMP/GIF paths."""
+    oversized raster, missing IDAT/PLTE, index past the palette) fail
+    loudly with ValueError. 16-bit rasters return big-endian 2-byte
+    samples with ``maxval`` 65535; everything else returns the same
+    8-bit shape as the P6/BMP/GIF paths."""
     import struct
     import zlib
 
@@ -699,6 +786,8 @@ def _decode_png(payload: bytes) -> dict:
         raise ValueError("not a PNG stream")
     i = 8
     w = h = None
+    depth = ctype = 0
+    palette: list[bytes] | None = None
     idat = bytearray()
     seen_end = False
     while i < len(payload):
@@ -717,11 +806,17 @@ def _decode_png(payload: bytes) -> dict:
             w, h, depth, ctype, comp, filt, ilace = struct.unpack(
                 ">IIBBBBB", data
             )
-            if depth != 8 or ctype != 2:
+            if ctype == 2:
+                if depth not in (8, 16):
+                    raise ValueError(f"bad truecolor PNG bit depth {depth}")
+            elif ctype == 3:
+                if depth not in (1, 2, 4, 8):
+                    raise ValueError(f"bad indexed PNG bit depth {depth}")
+            else:
                 raise NotImplementedError(
-                    f"only 8-bit truecolor PNG decodes pure-python here "
-                    f"(got depth={depth}, color type={ctype}); swap in PIL "
-                    f"on a real cluster"
+                    f"PNG color type {ctype} (grayscale/alpha) not "
+                    f"supported pure-python here; swap in PIL on a real "
+                    f"cluster"
                 )
             if comp != 0 or filt != 0:
                 raise ValueError(
@@ -733,6 +828,12 @@ def _decode_png(payload: bytes) -> dict:
                 )
             if w <= 0 or h <= 0:
                 raise ValueError(f"bad PNG dimensions {w}x{h}")
+        elif tag == b"PLTE":
+            if length == 0 or length % 3 or length > 768:
+                raise ValueError(f"bad PNG PLTE length {length}")
+            if idat:
+                raise ValueError("PNG PLTE after IDAT")
+            palette = [data[3 * k : 3 * k + 3] for k in range(length // 3)]
         elif tag == b"IDAT":
             idat += data
         elif tag == b"IEND":
@@ -745,11 +846,19 @@ def _decode_png(payload: bytes) -> dict:
         raise ValueError("PNG missing IDAT")
     if not seen_end:
         raise ValueError("PNG data ended without IEND")
+    if ctype == 3 and palette is None:
+        raise ValueError("indexed PNG missing PLTE")
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as ex:
         raise ValueError(f"PNG IDAT inflate failed: {ex}") from None
-    bpp, stride = 3, 3 * w
+    if ctype == 2:
+        # filter unit = one full pixel (3 or 6 bytes)
+        bpp, stride = 3 * depth // 8, w * 3 * depth // 8
+    else:
+        # depth < 8 packs multiple indexes per byte; the spec filters
+        # on BYTES with bpp rounded up to 1
+        bpp, stride = 1, (w * depth + 7) // 8
     if len(raw) != h * (1 + stride):
         raise ValueError(
             f"PNG raster decoded to {len(raw)} bytes "
@@ -782,12 +891,39 @@ def _decode_png(payload: bytes) -> dict:
             raise ValueError(f"bad PNG filter type {ftype} on row {r}")
         out += cur
         prior = bytes(cur)
+    if ctype == 2:
+        return {
+            "format": "png",
+            "width": w,
+            "height": h,
+            "maxval": 255 if depth == 8 else 65535,
+            "pixels": bytes(out),
+        }
+    # indexed color: unpack MSB-first per SCANLINE (trailing pad bits
+    # in the last byte of each row are discarded), then map via PLTE
+    mask = (1 << depth) - 1
+    per_byte = 8 // depth
+    pixels = bytearray()
+    for r in range(h):
+        row = out[r * stride : (r + 1) * stride]
+        taken = 0
+        for b in row:
+            for s in range(per_byte):
+                if taken == w:
+                    break
+                idx = (b >> (8 - depth * (s + 1))) & mask
+                if idx >= len(palette):
+                    raise ValueError(
+                        f"PNG index {idx} beyond palette of {len(palette)}"
+                    )
+                pixels += palette[idx]
+                taken += 1
     return {
         "format": "png",
         "width": w,
         "height": h,
         "maxval": 255,
-        "pixels": bytes(out),
+        "pixels": bytes(pixels),
     }
 
 
@@ -1284,6 +1420,11 @@ def resize_image(payload: bytes, width: int, height: int) -> bytes:
     if width <= 0 or height <= 0:
         raise ValueError(f"bad resize target {width}x{height}")
     d = decode_image(payload)
+    if d["maxval"] > 255:
+        raise NotImplementedError(
+            "resize of deep (16-bit) rasters is not supported: the P6 "
+            "interchange re-encode is 1-byte-per-sample"
+        )
     w_in, h_in, px = d["width"], d["height"], d["pixels"]
     out = bytearray()
     for r in range(height):
@@ -1458,6 +1599,45 @@ def plant_png(x: int) -> bytes:
     return encode_png(w, h, bytes(px))
 
 
+def plant_png_deep(x: int) -> bytes:
+    """Deterministic planted PNG for the r10 profile widening: variant
+    v = x % 5 — v==4 plants a 16-BIT truecolor raster (channel values
+    ((base + 11r + c//3) % 256 * M + A) % 65536 with per-channel
+    M=(4021,4423,4621), A=(17,29,43) so high and low bytes carry
+    independent information — a decoder reading only one byte cannot
+    hash-match); v<4 plants an INDEXED-color raster at depth
+    d=(1,2,4,8)[v]: palette entry j carries the PNG affine channels of
+    kk=(base + 37j) % 256, and the index at raster position p is
+    p % 2**d (a fine checkerboard at depth 1 — worst case for the
+    byte-level filters). Same dims as plant_png (w=8+x%25,
+    h=8+(x//7)%17, height ≥ 8 guarantees every filter type appears),
+    and both variants' channel sums close-form in DuckDB."""
+    w = 8 + x % 25
+    h = 8 + (x // 7) % 17
+    base = x % 251
+    v = x % 5
+    if v == 4:
+        px = bytearray()
+        for r in range(h):
+            for c in range(w):
+                k = (base + 11 * r + c // 3) % 256
+                for m, a in ((4021, 17), (4423, 29), (4621, 43)):
+                    px += ((k * m + a) % 65536).to_bytes(2, "big")
+        return encode_png16(w, h, bytes(px))
+    d = (1, 2, 4, 8)[v]
+    n = 1 << d
+    pal = []
+    for j in range(n):
+        kk = (base + 37 * j) % 256
+        pal.append(
+            bytes(
+                ((kk * 19 + 3) % 256, (kk * 23 + 9) % 256, (kk * 29 + 13) % 256)
+            )
+        )
+    idx = bytes(p % n for p in range(w * h))
+    return encode_png_pal(w, h, idx, pal, d)
+
+
 def attach_ppm_payload(docs_with_seed: DataFrame, planter=None) -> DataFrame:
     """mapInPandas plant stage: (doc_id, x) → (doc_id, payload binary).
     A separate Python stage from the decoder on purpose: the payload
@@ -1495,7 +1675,10 @@ def extract_image_stats(media: DataFrame) -> DataFrame:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 d = decode_image(payload)
-                px = np.frombuffer(d["pixels"], dtype=np.uint8)
+                # 16-bit rasters (deep PNG) carry big-endian 2-byte
+                # samples; everything else is 1 byte per sample
+                dt = np.dtype(">u2") if d["maxval"] > 255 else np.uint8
+                px = np.frombuffer(d["pixels"], dtype=dt)
                 sums = px.reshape(-1, 3).astype(np.int64).sum(axis=0)
                 n_pix = d["width"] * d["height"]
                 rows.append(

@@ -1094,6 +1094,104 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 219. multimodal_decode_png_deep — indexed-color (PLTE) + 16-bit PNG
+# --------------------------------------------------------------------------
+# The r10 profile widening of the PNG codec (VERDICT r9 task 5): the
+# per-seed variant plants either an indexed-color raster at every legal
+# palette depth (1/2/4/8 — MSB-first packed scanlines, PLTE chunk,
+# byte-level filters with bpp=1) or a 16-bit truecolor raster (6-byte
+# pixels, big-endian samples, filters over a 6-byte unit). Both decode
+# through the SAME decode_image dispatch and the SAME extract_image_stats
+# reducer (now sample-width aware); the oracle recomputes the palette
+# case from index-occurrence counts ((w*h - j + n - 1) // n pixels carry
+# palette entry j when the index is raster-position % n) and the 16-bit
+# case from the channel affine mod 65536 — so the bit unpacking, PLTE
+# mapping, deep-sample reassembly, and all five filters sit in the hash.
+_MM_PNG_DEEP_ORACLE = """
+WITH h AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(text), 1, 8))::UBIGINT AS BIGINT) AS x
+    FROM documents
+), dims AS (
+    SELECT doc_id,
+           CAST(8 + x % 25 AS INT) AS width,
+           CAST(8 + (x // 7) % 17 AS INT) AS height,
+           x % 251 AS base,
+           x % 5 AS v,
+           CASE x % 5 WHEN 0 THEN 2 WHEN 1 THEN 4 WHEN 2 THEN 16
+                ELSE 256 END AS n
+    FROM h
+), px AS (
+    SELECT doc_id, width, height,
+           CAST(width * height AS BIGINT) AS n_pixels,
+           CASE WHEN v = 4 THEN
+               CAST(list_sum([
+                   ((base + 11*(p // width) + (p % width) // 3) % 256
+                    * 4021 + 17) % 65536
+                   FOR p IN range(0, width*height)]) AS BIGINT)
+           ELSE
+               CAST(list_sum([
+                   ((width*height - j + n - 1) // n)
+                   * (((base + 37*j) % 256 * 19 + 3) % 256)
+                   FOR j IN range(0, n)]) AS BIGINT)
+           END AS sum_r,
+           CASE WHEN v = 4 THEN
+               CAST(list_sum([
+                   ((base + 11*(p // width) + (p % width) // 3) % 256
+                    * 4423 + 29) % 65536
+                   FOR p IN range(0, width*height)]) AS BIGINT)
+           ELSE
+               CAST(list_sum([
+                   ((width*height - j + n - 1) // n)
+                   * (((base + 37*j) % 256 * 23 + 9) % 256)
+                   FOR j IN range(0, n)]) AS BIGINT)
+           END AS sum_g,
+           CASE WHEN v = 4 THEN
+               CAST(list_sum([
+                   ((base + 11*(p // width) + (p % width) // 3) % 256
+                    * 4621 + 43) % 65536
+                   FOR p IN range(0, width*height)]) AS BIGINT)
+           ELSE
+               CAST(list_sum([
+                   ((width*height - j + n - 1) // n)
+                   * (((base + 37*j) % 256 * 29 + 13) % 256)
+                   FOR j IN range(0, n)]) AS BIGINT)
+           END AS sum_b
+    FROM dims
+)
+SELECT doc_id, width, height, n_pixels,
+       sum_r, sum_g, sum_b,
+       CAST(sum_r * 10000 // n_pixels AS BIGINT) AS mean_r_q4,
+       CAST(sum_g * 10000 // n_pixels AS BIGINT) AS mean_g_q4,
+       CAST(sum_b * 10000 // n_pixels AS BIGINT) AS mean_b_q4
+FROM px
+"""
+
+
+@register(
+    "multimodal_decode_png_deep",
+    oracle=_MM_PNG_DEEP_ORACLE,
+    tags=("llm", "multimodal"),
+)
+def multimodal_decode_png_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indexed-color and 16-bit PNG decode end to end: plant PLTE
+    payloads at depths 1/2/4/8 plus 16-bit truecolor (operators/
+    multimodal.plant_png_deep — real encoders through the shared
+    filter machinery), decode with the widened pure-python chunk walk
+    (_decode_png), reduce through the sample-width-aware
+    extract_image_stats. Same two-stage mapInPandas shape and 100 TB
+    layout notes as multimodal_decode; the profile residual shrinks to
+    grayscale/alpha color types and Adam7."""
+    from strava_data_pipeline_spark.operators import multimodal as M
+
+    docs = _docs(spark, sf_dir)
+    seeded = docs.select("doc_id", md5_u32(F.col("text")).alias("x"))
+    return M.extract_image_stats(
+        M.attach_ppm_payload(seeded, planter=M.plant_png_deep)
+    )
+
+
+# --------------------------------------------------------------------------
 # 216. multimodal_decode_jpeg — real baseline JPEG decode end to end
 # --------------------------------------------------------------------------
 # The FINAL codec de-stub: grayscale baseline JPEG, real in both

@@ -52,6 +52,8 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # tail.  With the ~50-query window, r10 re-proves all of r5 + 30 of r6,
 # keeping no official green older than four rounds.
 _ENUMERATE_FIRST: tuple[str, ...] = (
+    # --- new in r10: no official green row yet ---
+    "multimodal_decode_png_deep",
     # --- latest official green row is round 5 ---
     'embedding_quantize',
     'events_profile',

@@ -927,6 +927,94 @@ class TestPngCodec:
             )
             assert d["pixels"] == exp
 
+    def test_palette_depths_round_trip(self):
+        # r10 profile widening: indexed color at every legal depth —
+        # the MSB-first unpack, per-row pad-bit discard, and PLTE map
+        # all sit between encode and this equality
+        from strava_data_pipeline_spark.operators.multimodal import (
+            decode_image,
+            encode_png_pal,
+        )
+
+        w, h = 13, 10  # odd width forces pad bits at depths 1/2/4
+        for depth in (1, 2, 4, 8):
+            n = 1 << depth
+            pal = [self._rgb(j * 7 + 1) for j in range(n)]
+            idx = bytes((p * 3 + p // w) % n for p in range(w * h))
+            d = decode_image(encode_png_pal(w, h, idx, pal, depth))
+            assert (d["width"], d["height"], d["maxval"]) == (w, h, 255)
+            assert d["pixels"] == b"".join(pal[k] for k in idx), depth
+
+    def test_16bit_round_trip(self):
+        # big-endian 2-byte samples, 6-byte filter unit; high and low
+        # bytes carry independent data so a one-byte reader cannot pass
+        import numpy as np
+
+        from strava_data_pipeline_spark.operators.multimodal import (
+            decode_image,
+            encode_png16,
+        )
+
+        rng = np.random.RandomState(3)
+        w, h = 9, 10
+        vals = rng.randint(0, 65536, size=(h * w * 3,), dtype=np.int64)
+        px = b"".join(int(v).to_bytes(2, "big") for v in vals)
+        d = decode_image(encode_png16(w, h, px))
+        assert (d["width"], d["height"], d["maxval"]) == (w, h, 65535)
+        got = np.frombuffer(d["pixels"], dtype=">u2").astype(np.int64)
+        assert (got == vals).all()
+
+    def test_palette_and_deep_rejections(self):
+        import struct
+        import zlib
+
+        import pytest as _pytest
+
+        from strava_data_pipeline_spark.operators.multimodal import (
+            _decode_png,
+            _png_chunk,
+            encode_png_pal,
+            plant_png_deep,
+            resize_image,
+        )
+
+        pal = [self._rgb(j) for j in range(4)]
+        ok = encode_png_pal(4, 4, bytes(p % 4 for p in range(16)), pal, 2)
+        # indexed stream stripped of its PLTE must fail loudly
+        plte_at = ok.find(b"PLTE") - 4
+        plte_len = 12 + 3 * 4
+        no_plte = ok[:plte_at] + ok[plte_at + plte_len :]
+        with _pytest.raises(ValueError, match="missing PLTE"):
+            _decode_png(no_plte)
+        # an index past the palette is ValueError, not IndexError: a
+        # 2-entry PLTE with depth-2 indexes reaching 3
+        short = (
+            ok[:plte_at]
+            + _png_chunk(b"PLTE", pal[0] + pal[1])
+            + ok[plte_at + plte_len :]
+        )
+        with _pytest.raises(ValueError, match="beyond palette"):
+            _decode_png(short)
+        # grayscale color type stays the honest typed residual
+        ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+        gray = (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(4 * (1 + 4))))
+            + _png_chunk(b"IEND", b"")
+        )
+        with _pytest.raises(NotImplementedError, match="color type"):
+            _decode_png(gray)
+        # deep rasters refuse the 1-byte-per-sample P6 resize
+        deep = plant_png_deep(4)  # v == 4 -> 16-bit variant
+        with _pytest.raises(NotImplementedError, match="16-bit"):
+            resize_image(deep, 4, 4)
+        # palette rasters resize fine through the same path
+        assert resize_image(ok, 2, 2)[:2] == b"P6"
+        # encoder-side contract checks
+        with _pytest.raises(ValueError, match="palette"):
+            encode_png_pal(4, 4, bytes(16), pal, 1)  # 4 entries > 2**1
+
     def test_every_filter_type_reverses(self):
         # encode/decode a noisy raster tall enough that rows hit all
         # five filters (h=10 -> types 0,1,2,3,4 twice); a wrong
@@ -1003,7 +1091,7 @@ class TestPngCodec:
         # grayscale (color type 0) -> honest NotImplementedError
         ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
         p = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
-        with _pytest.raises(NotImplementedError, match="truecolor"):
+        with _pytest.raises(NotImplementedError, match="color type"):
             _decode_png(p)
         # raster length mismatch (IHDR lies about dims)
         w, h = 3, 3
