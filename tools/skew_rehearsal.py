@@ -56,6 +56,16 @@ SKEW_QUERIES = [
     "dedup_minhash",
 ]
 
+# --shape degree (VERDICT r9 task 1): the graph tier under Zipf-DEGREE
+# skew — the one scale axis the rehearsal discipline never measured.
+DEGREE_QUERIES = [
+    "pagerank_parts",
+    "kcore_peel",
+    "copurchase_triangles",
+    "bfs_distance",
+    "degree_histogram",
+]
+
 _BOILERPLATE = (
     "this website uses cookies to improve your experience by continuing "
     "to browse the site you agree to our use of cookies all rights "
@@ -119,6 +129,93 @@ def build_skewed(spark, src: str, out: str) -> dict[str, int]:
             "overwrite"
         ).parquet(f"{out}/{dim}.parquet")
     return counts
+
+
+def build_skewed_degree(spark, src: str, out: str) -> dict[str, int]:
+    """Zipf-DEGREE skew for the co-purchase graph tier: ~6% of lineitem
+    LINES (keyed on xxhash64 of orderkey+linenumber, so base and scaled
+    corpora skew identically) rewrite l_partkey to the one celebrity
+    part 1 — with ~4 lines per order that puts the celebrity in
+    ~1-0.94^4 ≈ 22% of baskets, concentrating pagerank's dst-keyed
+    rank flow, kcore's degree recount, the triangle wedge fan-out, and
+    BFS frontier expansion on a single hot node. A line-level rule
+    (not "first line of a hot order") needs no window and survives any
+    replication scheme the scaled corpus used. Only the tables the
+    graph tier reads are written (lineitem transformed, part verbatim
+    for the BFS seed set)."""
+    from pyspark.sql import functions as F
+
+    from strava_data_pipeline_spark.sources.catalog import load_table
+
+    counts: dict[str, int] = {}
+    li = load_table(spark, src, "lineitem")
+    hot_line = (
+        F.pmod(
+            F.xxhash64(
+                F.col("l_orderkey") * F.lit(7919) + F.col("l_linenumber")
+            ),
+            F.lit(100),
+        )
+        < 6
+    )
+    skew_li = li.withColumn(
+        "l_partkey",
+        F.when(hot_line, F.lit(1)).otherwise(F.col("l_partkey")),
+    )
+    skew_li.repartition(32).write.mode("overwrite").parquet(
+        f"{out}/lineitem.parquet"
+    )
+    counts["lineitem"] = skew_li.count()
+    spark.read.parquet(f"{src}/part.parquet").write.mode("overwrite").parquet(
+        f"{out}/part.parquet"
+    )
+    return counts
+
+
+def hot_degree_probe(spark, sf_dir: str) -> dict:
+    """The measured hot-node number the r9 verdict asked for: degree of
+    the celebrity part vs the graph's p50/max over ordinary nodes, and
+    the basket-hit rate, on the SKEWED corpus."""
+    from pyspark.sql import functions as F
+
+    from strava_data_pipeline_spark.sources.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    hit = baskets.select(
+        F.count("*").alias("n"),
+        F.sum(F.array_contains("ps", 1).cast("int")).alias("hot"),
+    ).first()
+    edges = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> flatten("
+                    " transform(slice(ps, i + 2, size(ps)), y ->"
+                    " array(named_struct('src', x, 'dst', y),"
+                    "       named_struct('src', y, 'dst', x))))))"
+                )
+            ).alias("e")
+        )
+        .select(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("c"))
+    hot_deg = deg.where(F.col("src") == 1).select("c").first()
+    stats = deg.where(F.col("src") != 1).agg(
+        F.expr("percentile_approx(c, 0.5)").alias("p50"),
+        F.max("c").alias("mx"),
+    ).first()
+    spark.catalog.clearCache()
+    return {
+        "n_baskets": int(hit["n"]),
+        "hot_basket_share": round(int(hit["hot"]) / int(hit["n"]), 4),
+        "hot_degree": int(hot_deg["c"]) if hot_deg else 0,
+        "p50_degree_others": int(stats["p50"]),
+        "max_degree_others": int(stats["mx"]),
+    }
 
 
 def cap_engagement_probe(spark, sf_dir: str) -> dict:
@@ -202,19 +299,27 @@ def main() -> int:
         action="store_true",
         help="skip the minhash cap-engagement probe (already recorded)",
     )
+    ap.add_argument(
+        "--shape",
+        choices=("user", "degree"),
+        default="user",
+        help="user = the r7 hot-user/source/shingle transforms; degree = "
+        "the r10 celebrity-part co-purchase graph",
+    )
     args = ap.parse_args()
     skew_queries = (
         [n for n in args.queries.split(",") if n]
         if args.queries
-        else SKEW_QUERIES
+        else (DEGREE_QUERIES if args.shape == "degree" else SKEW_QUERIES)
     )
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     uniform_scaled = args.uniform_scaled or os.path.join(
         repo, ".scratch", f"sfx{args.mult}"
     )
-    skew_base = os.path.join(repo, ".scratch", "skew_base")
-    skew_scaled = os.path.join(repo, ".scratch", f"skew{args.mult}")
+    tag = "skewdeg" if args.shape == "degree" else "skew"
+    skew_base = os.path.join(repo, ".scratch", f"{tag}_base")
+    skew_scaled = os.path.join(repo, ".scratch", f"{tag}{args.mult}")
 
     from scale_rehearsal import time_queries
 
@@ -225,16 +330,24 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     queries = registry.all_queries()
 
-    report: dict = {"mult": args.mult, "queries": {}}
+    report: dict = {"mult": args.mult, "shape": args.shape, "queries": {}}
+    builder = build_skewed_degree if args.shape == "degree" else build_skewed
     if not args.skip_build:
-        report["skew_base_rows"] = build_skewed(spark, args.base, skew_base)
-        report["skew_scaled_rows"] = build_skewed(
+        report["skew_base_rows"] = builder(spark, args.base, skew_base)
+        report["skew_scaled_rows"] = builder(
             spark, uniform_scaled, skew_scaled
         )
 
-    # cap-engagement evidence at base scale (uncapped at mult=100 IS
-    # the quadratic; never run it there)
-    if not args.skip_probe:
+    if args.shape == "degree":
+        # the hot-node numbers (degree vs p50/max, basket share) at
+        # BASE scale; the scaled corpus skews identically by key
+        if not args.skip_probe:
+            report["hot_degree_probe_base"] = hot_degree_probe(
+                spark, skew_base
+            )
+    elif not args.skip_probe:
+        # cap-engagement evidence at base scale (uncapped at mult=100
+        # IS the quadratic; never run it there)
         report["minhash_cap_probe_base"] = cap_engagement_probe(
             spark, skew_base
         )
