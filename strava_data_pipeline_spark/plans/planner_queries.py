@@ -22,6 +22,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from strava_data_pipeline_spark.functions.hashing import md5_u32
 from strava_data_pipeline_spark.plans.registry import register
 from strava_data_pipeline_spark.sources.catalog import load_table
 from strava_data_pipeline_spark.streaming.tuning import stream_tuned
@@ -931,4 +932,142 @@ def attribution_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lead_id").cast("bigint").alias("lead_id"),
         "lead_type",
         "lead_ts",
+    )
+
+
+# --------------------------------------------------------------------------
+# 220. bloom_semi_join — runtime Bloom-filter join reduction (fact-fact)
+# --------------------------------------------------------------------------
+# The classic 100 TB join trick the surface did not yet demonstrate
+# (VERDICT r9 task 9): when the selective side of a fact-fact join is
+# too big to broadcast, build a BLOOM FILTER over its join keys — a
+# constant-size bitmap however many keys — and pre-filter the huge
+# probe side BEFORE its shuffle, so only rows that can possibly match
+# pay exchange bytes. The filter is semantically TRANSPARENT (false
+# positives are removed by the real join that follows), which is what
+# makes it safe to size adaptively: m scales with the measured key
+# count (one bounded count job on the already-filtered build side,
+# the documented driver-collect allowlist shape) WITHOUT the oracle
+# depending on m, k, or the FPR. The same bitmap-as-one-row machinery
+# as decontaminate_bloom (m/64 BIGINT words, k=3 md5_u32 probes,
+# getbit tests inside whole-stage codegen); the join is pinned
+# SHUFFLE_HASH because the 100 TB shape this demonstrates is exactly
+# the one where broadcast is off the table — locally a broadcast
+# would win, and the docstring says so.
+_BSJ_PRICE = 400000.0
+
+
+_BSJ_ORACLE = f"""
+WITH sel AS (
+    SELECT o_orderkey FROM orders
+    WHERE o_orderpriority = '1-URGENT' AND o_totalprice >= {_BSJ_PRICE}
+)
+SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+       CAST(month(l_shipdate) AS INT) AS ship_month,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+FROM lineitem JOIN sel ON l_orderkey = o_orderkey
+GROUP BY 1, 2
+"""
+
+
+@register("bloom_semi_join", oracle=_BSJ_ORACLE, tags=("planner", "bench"))
+def bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue of lineitems belonging to urgent high-value
+    orders, executed as a Bloom-reduced shuffle join: the ~4%-selective
+    orders side folds its keys into one m-bit bitmap row (k=3 md5_u32
+    probes; m = max(2^16, 16 bits/key rounded up to a power of two,
+    capped 2^26 = 8 MB), broadcast onto lineitem where a forall/getbit
+    test drops non-candidate rows inside codegen BEFORE the join
+    exchange — at 16 bits/key and k=3 the FPR is ~2%, so the shuffle
+    carries ~matching rows + 2% noise instead of the full fact table.
+    The SHUFFLE_HASH hint pins the at-scale plan (dim past broadcast
+    threshold); revenue is exact BIGINT cents per row before the sum
+    (q10 discipline). Correctness never depends on the filter: the
+    equi-join removes every false positive, so the oracle is the plain
+    two-table join."""
+    import math
+
+    o = load_table(spark, sf_dir, "orders")
+    sel = o.where(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") >= _BSJ_PRICE)
+    ).select("o_orderkey")
+    n_sel = sel.count()
+    m = min(1 << 26, max(1 << 16, 1 << math.ceil(math.log2(16 * max(n_sel, 1)))))
+
+    def probes(key):
+        return F.array(
+            *[
+                md5_u32(F.concat(F.lit(f"bsj{j}#"), key.cast("string"))) % m
+                for j in range(3)
+            ]
+        )
+
+    words = (
+        sel.select(F.explode(probes(F.col("o_orderkey"))).alias("pos"))
+        .select(
+            (F.col("pos") / 64).cast("int").alias("w"),
+            (F.col("pos") % 64).cast("int").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or(F.expr("shiftleft(1L, b)")).alias("mask"))
+    )
+    bitmap = (
+        words.groupBy()
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("w", "mask"))
+            ).alias("m")
+        )
+        .select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m // 64 - 1)),
+                lambda w: F.coalesce(
+                    F.try_element_at("m", w), F.lit(0).cast("bigint")
+                ),
+            ).alias("bitmap")
+        )
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    li_pre = (
+        li.select("l_orderkey", "l_shipdate", "l_extendedprice", "l_discount")
+        .crossJoin(F.broadcast(bitmap))
+        .where(
+            F.forall(
+                probes(F.col("l_orderkey")),
+                lambda p: F.getbit(
+                    F.element_at(
+                        "bitmap", (p / F.lit(64)).cast("int") + F.lit(1)
+                    ),
+                    (p % 64).cast("int"),
+                )
+                == 1,
+            )
+        )
+        .drop("bitmap")
+    )
+    return (
+        li_pre.join(
+            sel.hint("shuffle_hash"),
+            li_pre["l_orderkey"] == sel["o_orderkey"],
+        )
+        .groupBy(
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+            F.month("l_shipdate").cast("int").alias("ship_month"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            (
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                        * 100
+                        + F.lit(0.5)
+                    ).cast("bigint")
+                ).cast("double")
+                / 100.0
+            ).alias("revenue"),
+        )
     )

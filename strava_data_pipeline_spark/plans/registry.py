@@ -54,6 +54,7 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 _ENUMERATE_FIRST: tuple[str, ...] = (
     # --- new in r10: no official green row yet ---
     "multimodal_decode_png_deep",
+    "bloom_semi_join",
     # --- latest official green row is round 5 ---
     'embedding_quantize',
     'events_profile',
