@@ -196,6 +196,18 @@ BENCH_QUERIES = [
     "multimodal_decode_jpeg",
     "multimodal_decode_wav",
     "multimodal_frame_sample",
+    # round-10 additions: the new rows (deep-PNG profiles, bloom join
+    # reduction) AND — reversing the faces-stay-tier2 stance on the r9
+    # verdict's explicit ask — the four most expensive disk/streaming
+    # faces, so the sf0.1 2x gate can finally see them regress at the
+    # scale it benches (they were previously visible only to the
+    # sf0.01 tier2 floors)
+    "multimodal_decode_png_deep",
+    "bloom_semi_join",
+    "export_pipeline_e2e",
+    "attribution_audit",
+    "dedup_index_audit",
+    "versioned_sink_audit",
 ]
 
 

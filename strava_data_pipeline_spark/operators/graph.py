@@ -210,6 +210,18 @@ def triangle_participation(
     adj_v = adj.select(F.col("u").alias("v"), F.col("hs").alias("hs_v"))
     if n_edges <= broadcast_adj_max:
         adj_u, adj_v = F.broadcast(adj_u), F.broadcast(adj_v)
+    else:
+        # past the broadcast gate the two adjacency joins MUST be
+        # shuffle-HASH, not sort-merge: SMJ sorts its join input, and
+        # after the first join every edge row carries its O(√m) hs_u
+        # array — sorting that fat intermediate by v spills O(m·deg)
+        # bytes (measured r10: the uniform mult=100 graph died with
+        # SPILL_OUT_OF_MEMORY / no-space-left after tens of GB of
+        # UnsafeExternalSorter spill). Hashing builds on the adjacency
+        # side (one array row per node, Σ|out| = m cells total) and
+        # STREAMS the fat edge rows through the probe — nothing fat is
+        # ever sorted or buffered.
+        adj_u, adj_v = adj_u.hint("shuffle_hash"), adj_v.hint("shuffle_hash")
     tri = (
         oriented.join(adj_u, "u")
         .join(adj_v, "v")

@@ -73,6 +73,11 @@ class TestTriangleParticipation:
             plan_big = big._jdf.queryExecution().executedPlan().toString()
             assert "BroadcastHashJoin" not in plan_big
             assert "BroadcastNestedLoopJoin" not in plan_big
+            # r10: the two ADJACENCY joins must be shuffle-HASH, never
+            # sort-merge — SMJ sorts the fat edge+array intermediate
+            # and spilled O(m·deg) bytes to death at the uniform
+            # mult=100 rehearsal (SPILL_OUT_OF_MEMORY)
+            assert plan_big.count("ShuffledHashJoin") >= 2
             # the partitioned-join mode computes the same answer
             want = {0: 3, 1: 3, 2: 3, 3: 3}
             assert {r["node"]: r["n_triangles"] for r in big.collect()} == want

@@ -306,6 +306,17 @@ def main() -> int:
         help="user = the r7 hot-user/source/shingle transforms; degree = "
         "the r10 celebrity-part co-purchase graph",
     )
+    ap.add_argument(
+        "--fresh-sessions",
+        action="store_true",
+        help="time each query in its own subprocess/JVM (tools/"
+        "time_isolated.py): REQUIRED for the graph tier at mult=100 — "
+        "caller-owned localCheckpoint/persist blocks accumulate across "
+        "back-to-back big-graph queries in one 8g session and the third "
+        "query dies of UNABLE_TO_ACQUIRE_MEMORY even though each passes "
+        "standalone (found by this probe in r10); also matches the bench "
+        "floors' fresh-process methodology",
+    )
     args = ap.parse_args()
     skew_queries = (
         [n for n in args.queries.split(",") if n]
@@ -352,22 +363,47 @@ def main() -> int:
             spark, skew_base
         )
 
-    # warm codegen off the measurements
-    queries[skew_queries[0]](spark, skew_base).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    spark.catalog.clearCache()
+    if args.fresh_sessions:
+        from time_isolated import time_queries_isolated
 
-    t_base = time_queries(spark, queries, skew_queries, skew_base, args.repeats)
-    t_skew = time_queries(
-        spark, queries, skew_queries, skew_scaled, args.repeats
-    )
-    t_unif = time_queries(
-        spark, queries, skew_queries, uniform_scaled, args.repeats
-    )
+        t_base = time_queries_isolated(skew_queries, skew_base, args.repeats)
+        t_skew = time_queries_isolated(
+            skew_queries, skew_scaled, args.repeats
+        )
+        t_unif = time_queries_isolated(
+            skew_queries, uniform_scaled, args.repeats
+        )
+        report["timing_methodology"] = "fresh-session-per-query"
+    else:
+        # warm codegen off the measurements
+        queries[skew_queries[0]](spark, skew_base).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        spark.catalog.clearCache()
+
+        t_base = time_queries(
+            spark, queries, skew_queries, skew_base, args.repeats
+        )
+        t_skew = time_queries(
+            spark, queries, skew_queries, skew_scaled, args.repeats
+        )
+        t_unif = time_queries(
+            spark, queries, skew_queries, uniform_scaled, args.repeats
+        )
 
     worst = 0.0
     for n in skew_queries:
+        if not all(
+            isinstance(t[n], (int, float)) for t in (t_base, t_skew, t_unif)
+        ):
+            report["queries"][n] = {
+                "error": {
+                    "base": t_base[n],
+                    "skew": t_skew[n],
+                    "uniform": t_unif[n],
+                }
+            }
+            continue
         ratio = t_skew[n] / t_base[n] if t_base[n] > 0 else float("inf")
         exponent = round(math.log(ratio) / math.log(args.mult), 3)
         worst = max(worst, exponent)
