@@ -812,18 +812,45 @@ def attribution_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     event time (the range conjunct is what lets Spark expire buffered
     rows — joins.py's contract); the audit adds one scan of the
     committed output. Store root is deterministic per sf_dir and
-    rebuilt per call, exactly like the other two streaming faces."""
+    rebuilt per call, exactly like the other two streaming faces.
+
+    HOT-KEY rationale (r10 skew rehearsal): on the 25%-hot-user
+    mult=100 corpus this face's symmetric hash join grinds one state
+    partition quadratically (per input row it iterates ALL buffered
+    same-key rows; killed after 56 CPU-minutes vs ~250s uniform). The
+    remedy is the compound-(key, time-bucket) join —
+    attribution_inner_audit below, exactly row-equal for the INNER
+    feed. The LEFT-OUTER feed keeps the plain key on purpose: an
+    unmatched follow is a per-key global fact no single bucket copy
+    can decide, so a bucketed outer join would need a second stateful
+    repair stage; the production hot-key shape is the bucketed inner
+    join for attribution plus a batch anti-join for the unmatched
+    tail (SCALING_SKEW_R10.json records both measurements)."""
+    from strava_data_pipeline_spark.streaming.joins import (
+        attribute_with_unmatched,
+    )
+
+    return _attr_face_impl(
+        spark, sf_dir, attribute_with_unmatched, "_attraudit_"
+    )
+
+
+def _attr_face_impl(
+    spark: SparkSession, sf_dir: str, joiner, root_prefix: str
+) -> DataFrame:
+    """Shared choreography of the two attribution faces (time-sliced
+    mtime-staged landing, sentinel flushes, one availableNow run,
+    size-adaptive store width, committed-parquet read-back) — one
+    spelling so the audits differ ONLY in the join operator under
+    test."""
     import hashlib
     import os
     import shutil
 
-    from strava_data_pipeline_spark.streaming.joins import (
-        attribute_with_unmatched,
-    )
     from strava_data_pipeline_spark.streaming.sync import EVENT_SCHEMA
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
-    root = f"spark-warehouse/_attraudit_{tag}"
+    root = f"spark-warehouse/{root_prefix}{tag}"
     shutil.rmtree(root, ignore_errors=True)
     landing = os.path.join(root, "landing")
     target = os.path.join(root, "target")
@@ -873,7 +900,7 @@ def attribution_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         views = stream.where(F.col("event_id") % 3 != 0)
         purchases = stream.where(F.col("event_id") % 3 == 0)
-        joined = attribute_with_unmatched(
+        joined = joiner(
             views, purchases, max_delay="30 minutes", watermark="1 hour"
         )
         (
@@ -932,6 +959,64 @@ def attribution_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lead_id").cast("bigint").alias("lead_id"),
         "lead_type",
         "lead_ts",
+    )
+
+
+# --------------------------------------------------------------------------
+# 221. attribution_inner_audit — hot-key-immune bucketed stream join
+# --------------------------------------------------------------------------
+# The same-oracle remedy the r10 hot-user rehearsal demanded: the
+# symmetric hash join's per-key state iteration is quadratic in the
+# hot key's rows (attribution_audit's docstring records the killed
+# 56-CPU-minute grind at 25%-hot mult=100). This face runs the SAME
+# landing/flush choreography through streaming/joins.py::
+# attribute_to_prior_event_bucketed — equality key widened to
+# (user_id, time_bucket) with bucket = max_delay, follow side
+# duplicated into its two admissible slots, every true pair matching
+# exactly one copy — and hashes the committed rows against the plain
+# batch INNER join (the bucketing is invisible to the oracle, which is
+# the whole point).
+_ATTR_INNER_ORACLE = """
+WITH v AS (
+    SELECT user_id, ts AS lead_ts, event_id AS lead_id,
+           event_type AS lead_type
+    FROM events WHERE event_id % 3 <> 0
+), p AS (
+    SELECT user_id, event_id AS follow_id, event_type AS follow_type,
+           ts AS follow_ts, value AS follow_value
+    FROM events WHERE event_id % 3 = 0
+)
+SELECT p.user_id, p.follow_id, p.follow_type, p.follow_ts,
+       p.follow_value, v.lead_id, v.lead_type, v.lead_ts
+FROM p JOIN v
+  ON v.user_id = p.user_id
+ AND v.lead_ts <= p.follow_ts
+ AND v.lead_ts >= p.follow_ts - INTERVAL 30 MINUTE
+"""
+
+
+@register(
+    "attribution_inner_audit",
+    oracle=_ATTR_INNER_ORACLE,
+    tags=("streaming", "ops"),
+)
+def attribution_inner_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Committed-artifact audit of the BUCKETED inner attribution join
+    (streaming/joins.py::attribute_to_prior_event_bucketed): identical
+    time-sliced landing, sentinel flushes, and single availableNow run
+    as attribution_audit (_attr_face_impl — the faces differ only in
+    the join operator), hashed against the equivalent batch INNER
+    join. The compound (user_id, time_bucket) equality key fragments a
+    hot user's state across buckets, so per-row state iteration is
+    bounded by two buckets of that user instead of its whole history —
+    the measured remedy for the quadratic hot-key grind
+    (SCALING_SKEW_R10.json)."""
+    from strava_data_pipeline_spark.streaming.joins import (
+        attribute_to_prior_event_bucketed,
+    )
+
+    return _attr_face_impl(
+        spark, sf_dir, attribute_to_prior_event_bucketed, "_attrinner_"
     )
 
 

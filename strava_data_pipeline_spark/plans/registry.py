@@ -55,6 +55,7 @@ _ENUMERATE_FIRST: tuple[str, ...] = (
     # --- new in r10: no official green row yet ---
     "multimodal_decode_png_deep",
     "bloom_semi_join",
+    "attribution_inner_audit",
     # --- latest official green row is round 5 ---
     'embedding_quantize',
     'events_profile',

@@ -1438,3 +1438,63 @@ def test_cms_sink_prefix_validity(spark, dirs):
     )
     start_cms_sink(stream, target, ckpt).awaitTermination(120)
     assert counters_now() == batch_sketch(b1 + b2)
+
+
+def test_bucketed_attribution_matches_plain_inner(spark, dirs):
+    # r10 hot-key remedy: the compound (key, time_bucket) join must be
+    # row-for-row equal to the plain inner join — boundary cases
+    # planted on bucket edges: a lead exactly max_delay before its
+    # follow (other bucket), a same-instant pair (same bucket), a
+    # follow one second past the window (no match), and a pair whose
+    # bucket difference is 1 with a tiny time gap (bucket-edge
+    # straddle). Each true pair must appear EXACTLY once (the two
+    # follow copies never both match).
+    from strava_data_pipeline_spark.streaming.joins import (
+        attribute_to_prior_event_bucketed,
+    )
+
+    landing, target, ckpt = dirs
+    _write_batch(
+        spark,
+        landing,
+        [
+            # exact 30-min edge: lead in the PREVIOUS bucket, matches
+            (1, datetime(2024, 1, 1, 10, 0, 0), 7, "view", 0.0),
+            (2, datetime(2024, 1, 1, 10, 30, 0), 7, "purchase", 9.99),
+            # 30 min + 1 s: outside the window, no match
+            (3, datetime(2024, 1, 1, 11, 0, 0), 7, "view", 0.0),
+            (4, datetime(2024, 1, 1, 11, 30, 1), 7, "purchase", 5.0),
+            # same instant: same bucket, matches
+            (5, datetime(2024, 1, 1, 12, 0, 0), 8, "view", 0.0),
+            (6, datetime(2024, 1, 1, 12, 0, 0), 8, "purchase", 1.0),
+            # bucket-edge straddle: 12:29:59 view, 12:30:01 purchase —
+            # 2 s apart but in DIFFERENT buckets (width 1800 s)
+            (7, datetime(2024, 1, 1, 12, 29, 59), 9, "view", 0.0),
+            (8, datetime(2024, 1, 1, 12, 30, 1), 9, "purchase", 3.0),
+            # two qualifying leads for one follow: both emit, once each
+            (9, datetime(2024, 1, 1, 14, 0, 0), 11, "view", 0.0),
+            (10, datetime(2024, 1, 1, 14, 20, 0), 11, "view", 0.0),
+            (11, datetime(2024, 1, 1, 14, 25, 0), 11, "purchase", 2.0),
+        ],
+    )
+    stream = read_event_stream(spark, landing)
+    views = stream.where(stream["event_type"] == "view")
+    purchases = stream.where(stream["event_type"] == "purchase")
+    joined = attribute_to_prior_event_bucketed(
+        views, purchases, max_delay="30 minutes"
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", target)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = sorted(
+        (r["follow_id"], r["lead_id"])
+        for r in spark.read.parquet(target).collect()
+    )
+    # exactly these pairs, each exactly once (sorted list, not set, so
+    # a double-emitted pair from both follow copies would fail)
+    assert rows == [(2, 1), (6, 5), (8, 7), (11, 9), (11, 10)]
