@@ -1787,13 +1787,135 @@ def encode_wav(sample_rate: int, samples) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+# IMA/DVI ADPCM tables (public spec: IMA Digital Audio Pack, the
+# "DVI4"/WAV format-0x11 codec): 89-entry step-size table and the
+# 4-bit code -> index-adjust table. Integer-only — both engines (and
+# the DuckDB oracle's list_reduce replay) compute them identically.
+_IMA_STEP = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_step_state(pred: int, idx: int, nibble: int) -> tuple[int, int]:
+    """One IMA-ADPCM state transition: decode ``nibble`` against
+    (pred, idx), returning the clamped new state. The ENCODER uses the
+    identical transition for its reconstruction feedback, so encoder
+    and decoder state can never drift — the property the round-trip
+    test pins exactly."""
+    step = _IMA_STEP[idx]
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    pred = pred - diff if nibble & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + _IMA_INDEX[nibble]))
+    return pred, idx
+
+
+def _ima_container(
+    sample_rate: int, block: bytes, n_samples: int
+) -> bytes:
+    """RIFF wrapper for one mono IMA-ADPCM block: fmt chunk with the
+    2-byte cbSize extension (samples per block) and a fact chunk
+    (total frames — the authority for trailing-pad trimming)."""
+    import struct
+
+    block_align = len(block)
+    spb = 1 + 2 * (block_align - 4)
+    byte_rate = (sample_rate * block_align + spb - 1) // spb
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, sample_rate, byte_rate, block_align, 4, 2, spb
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", 20) + fmt
+        + b"fact" + struct.pack("<II", 4, n_samples)
+        + b"data" + struct.pack("<I", block_align) + block
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_wav_ima(sample_rate: int, samples) -> bytes:
+    """REAL IMA-ADPCM (WAV format 0x11) mono encoder: sample 0 becomes
+    the block-header predictor verbatim, every later sample quantizes
+    to a 4-bit code against the evolving (predictor, step-index) state
+    with RECONSTRUCTION feedback (the encoder advances its state with
+    the decoder's own transition, so quantization error never
+    accumulates beyond one step). Single block; an odd trailing nibble
+    pads with code 0 and the fact chunk records the true count."""
+    import struct
+
+    sl = [int(s) for s in samples]
+    if not sl:
+        raise ValueError("IMA ADPCM needs at least one sample")
+    if any(not -32768 <= s <= 32767 for s in sl):
+        raise ValueError("IMA ADPCM samples must fit int16")
+    pred, idx = sl[0], 0
+    nibbles = []
+    for s in sl[1:]:
+        step = _IMA_STEP[idx]
+        diff = s - pred
+        code = 8 if diff < 0 else 0
+        d = -diff if diff < 0 else diff
+        if d >= step:
+            code |= 4
+            d -= step
+        if d >= step >> 1:
+            code |= 2
+            d -= step >> 1
+        if d >= step >> 2:
+            code |= 1
+        pred, idx = _ima_step_state(pred, idx, code)
+        nibbles.append(code)
+    return encode_wav_ima_nibbles(sample_rate, sl[0], 0, nibbles)
+
+
+def encode_wav_ima_nibbles(
+    sample_rate: int, pred0: int, idx0: int, nibbles
+) -> bytes:
+    """Container writer from explicit initial state + 4-bit codes (the
+    oracle plants codes in closed form and replays the decode
+    recurrence; :func:`encode_wav_ima` is the PCM front-end). Low
+    nibble holds the earlier sample, per spec."""
+    import struct
+
+    nl = [int(n) for n in nibbles]
+    if any(not 0 <= n <= 15 for n in nl):
+        raise ValueError("ADPCM codes are 4-bit")
+    if not -32768 <= pred0 <= 32767 or not 0 <= idx0 <= 88:
+        raise ValueError("bad initial ADPCM state")
+    n_samples = 1 + len(nl)
+    if len(nl) % 2:
+        nl = nl + [0]  # pad nibble; fact chunk trims it on decode
+    packed = bytes(
+        (nl[i] & 0x0F) | ((nl[i + 1] & 0x0F) << 4) for i in range(0, len(nl), 2)
+    )
+    block = struct.pack("<hBB", pred0, idx0, 0) + packed
+    return _ima_container(sample_rate, block, n_samples)
+
+
 def decode_audio(payload: bytes) -> dict:
-    """Real audio decode for RIFF/WAVE 16-bit PCM mono: chunk walk
-    (unknown chunks skipped with odd-size padding per the RIFF spec),
-    fmt validation, sample extraction. Other profiles — compressed
-    formats (audio_format != 1), multi-channel, non-16-bit — raise
-    typed NotImplementedError; malformed streams raise ValueError.
-    Returns {format, sample_rate, n_samples, samples(int16 list)}."""
+    """Real audio decode for RIFF/WAVE mono: 16-bit PCM (format 1) and
+    IMA ADPCM (format 0x11 — per-block header state, low-nibble-first
+    4-bit codes through the step/index tables, fact-chunk trimming of
+    the pad nibble) through one chunk walk (unknown chunks skipped
+    with odd-size padding per the RIFF spec). Other profiles —
+    other compressed formats, multi-channel, unexpected bit widths —
+    raise typed NotImplementedError; malformed streams raise
+    ValueError. Returns {format, sample_rate, n_samples,
+    samples(int16 list)}."""
     import struct
 
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -1803,7 +1925,10 @@ def decode_audio(payload: bytes) -> dict:
         raise ValueError("truncated RIFF container")
     i = 12
     rate = None
+    afmt = None
+    align = 0
     data = None
+    fact_samples = None
     while i + 8 <= riff_len + 8:
         tag = payload[i : i + 4]
         (ln,) = struct.unpack_from("<I", payload, i + 4)
@@ -1811,19 +1936,30 @@ def decode_audio(payload: bytes) -> dict:
         if len(body) != ln:
             raise ValueError(f"truncated WAV chunk {tag!r}")
         if tag == b"fmt ":
-            afmt, nch, rate, _brate, _align, bits = struct.unpack_from(
+            afmt, nch, rate, _brate, align, bits = struct.unpack_from(
                 "<HHIIHH", body, 0
             )
-            if afmt != 1:
+            if afmt == 1:
+                if nch != 1 or bits != 16:
+                    raise NotImplementedError(
+                        f"only 16-bit mono PCM decodes here (got {nch} ch / "
+                        f"{bits}-bit)"
+                    )
+            elif afmt == 0x11:
+                if nch != 1 or bits != 4:
+                    raise NotImplementedError(
+                        f"only 4-bit mono IMA ADPCM decodes here (got "
+                        f"{nch} ch / {bits}-bit)"
+                    )
+                if align < 5:
+                    raise ValueError(f"bad IMA ADPCM block align {align}")
+            else:
                 raise NotImplementedError(
                     f"compressed WAV (format {afmt}) needs a native codec; "
-                    f"only PCM decodes pure-python here"
+                    f"PCM and IMA ADPCM decode pure-python here"
                 )
-            if nch != 1 or bits != 16:
-                raise NotImplementedError(
-                    f"only 16-bit mono PCM decodes here (got {nch} ch / "
-                    f"{bits}-bit)"
-                )
+        elif tag == b"fact":
+            (fact_samples,) = struct.unpack_from("<I", body, 0)
         elif tag == b"data":
             data = body
         i += 8 + ln + (ln & 1)  # odd chunk sizes pad one byte
@@ -1831,6 +1967,36 @@ def decode_audio(payload: bytes) -> dict:
         raise ValueError("WAV missing fmt chunk")
     if data is None:
         raise ValueError("WAV missing data chunk")
+    if afmt == 0x11:
+        if len(data) % align:
+            raise ValueError(
+                f"IMA ADPCM data of {len(data)} bytes is not whole "
+                f"{align}-byte blocks"
+            )
+        samples = []
+        for b0 in range(0, len(data), align):
+            block = data[b0 : b0 + align]
+            pred, idx, _res = struct.unpack_from("<hBB", block, 0)
+            if idx > 88:
+                raise ValueError(f"IMA ADPCM block step index {idx} > 88")
+            samples.append(pred)
+            for byte in block[4:]:
+                for nib in (byte & 0x0F, byte >> 4):  # low nibble first
+                    pred, idx = _ima_step_state(pred, idx, nib)
+                    samples.append(pred)
+        if fact_samples is not None:
+            if not 0 <= len(samples) - fact_samples <= 1:
+                raise ValueError(
+                    f"IMA ADPCM fact count {fact_samples} disagrees with "
+                    f"{len(samples)} decoded samples"
+                )
+            samples = samples[:fact_samples]
+        return {
+            "format": "wav-ima",
+            "sample_rate": int(rate),
+            "n_samples": len(samples),
+            "samples": samples,
+        }
     if len(data) % 2:
         raise ValueError("WAV PCM data not 16-bit aligned")
     n = len(data) // 2
@@ -1856,6 +2022,26 @@ def plant_wav(x: int) -> bytes:
     return encode_wav(
         rate, ((base * 31 + 7 * i * i + 13 * i) % 4001 - 2000 for i in range(n))
     )
+
+
+def plant_wav_ima(x: int) -> bytes:
+    """Deterministic planted IMA-ADPCM WAV for hash seed ``x``: sample
+    rate 8000 + (x%5)*2000, initial predictor (x*23) % 2048 - 1024,
+    initial step index x % 89, then 64 + 2*(x % 97) four-bit codes
+    with code_j = (base + 7j + j²) % 16, base = x % 251 — a quadratic
+    code pattern that walks the step table up and down. The decoded
+    samples are a pure integer recurrence over (predictor, index)
+    state, which the DuckDB oracle replays exactly with a
+    list_reduce over the same step/index tables — so the container
+    walk, the nibble order, the clamps, and the table arithmetic all
+    sit inside the hash."""
+    rate = 8000 + (x % 5) * 2000
+    pred0 = (x * 23) % 2048 - 1024
+    idx0 = x % 89
+    base = x % 251
+    n_codes = 64 + 2 * (x % 97)
+    codes = [(base + 7 * j + j * j) % 16 for j in range(n_codes)]
+    return encode_wav_ima_nibbles(rate, pred0, idx0, codes)
 
 
 def extract_audio_stats(media: DataFrame) -> DataFrame:

@@ -56,6 +56,7 @@ _ENUMERATE_FIRST: tuple[str, ...] = (
     "multimodal_decode_png_deep",
     "bloom_semi_join",
     "attribution_inner_audit",
+    "multimodal_decode_wav_ima",
     # --- latest official green row is round 5 ---
     'embedding_quantize',
     'events_profile',

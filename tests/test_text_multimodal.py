@@ -1293,3 +1293,118 @@ class TestGifLzwCodec:
             _decode_gif_lzw(
                 self._manual_gif(2, 1, b"\x01\x05", ipacked=0x80, pal=lpal)
             )
+
+
+class TestImaAdpcmCodec:
+    """Pure-python IMA/DVI ADPCM (operators/multimodal.py, r10): the
+    compressed-audio residual shrink. The encoder advances its state
+    with the decoder's own transition (reconstruction feedback), so
+    encoder-internal reconstruction and decoder output must agree
+    EXACTLY — the property that makes the lossy codec testable without
+    tolerance fudge; tracking error on gentle signals and typed
+    rejections pin the rest."""
+
+    def test_encoder_reconstruction_equals_decoder(self):
+        import random
+
+        from strava_data_pipeline_spark.operators.multimodal import (
+            _IMA_STEP,
+            _ima_step_state,
+            decode_audio,
+            encode_wav_ima,
+        )
+
+        rng = random.Random(5)
+        src = [rng.randint(-32768, 32767) for _ in range(501)]
+        d = decode_audio(encode_wav_ima(11025, src))
+        assert (d["format"], d["sample_rate"], d["n_samples"]) == (
+            "wav-ima", 11025, 501,
+        )
+        pred, idx = src[0], 0
+        recon = [pred]
+        for s in src[1:]:
+            step = _IMA_STEP[idx]
+            diff = s - pred
+            c = 8 if diff < 0 else 0
+            dd = abs(diff)
+            if dd >= step:
+                c |= 4
+                dd -= step
+            if dd >= step >> 1:
+                c |= 2
+                dd -= step >> 1
+            if dd >= step >> 2:
+                c |= 1
+            pred, idx = _ima_step_state(pred, idx, c)
+            recon.append(pred)
+        assert d["samples"] == recon
+
+    def test_tracks_gentle_signal(self):
+        from strava_data_pipeline_spark.operators.multimodal import (
+            decode_audio,
+            encode_wav_ima,
+        )
+
+        tri, v, d = [], 0, 100
+        for _ in range(600):
+            tri.append(v)
+            v += d
+            if abs(v) >= 5000:
+                d = -d
+        got = decode_audio(encode_wav_ima(8000, tri))["samples"]
+        errs = [abs(a - b) for a, b in zip(got, tri)]
+        assert max(errs) < 500 and sum(errs) / len(errs) < 40
+
+    def test_plant_and_fact_trimming(self):
+        from strava_data_pipeline_spark.operators.multimodal import (
+            decode_audio,
+            encode_wav_ima_nibbles,
+            plant_wav_ima,
+        )
+
+        for x in (0, 1, 7, 88, 99, 123456, 2**31 - 1):
+            d = decode_audio(plant_wav_ima(x))
+            assert d["n_samples"] == 1 + 64 + 2 * (x % 97)
+            assert d["sample_rate"] == 8000 + (x % 5) * 2000
+            assert all(-32768 <= s <= 32767 for s in d["samples"])
+        # odd code count: pad nibble written, fact chunk trims it back
+        d = decode_audio(encode_wav_ima_nibbles(8000, 100, 3, [5, 9, 12]))
+        assert d["n_samples"] == 4
+
+    def test_rejections(self):
+        import struct
+
+        import pytest as _pytest
+
+        from strava_data_pipeline_spark.operators.multimodal import (
+            decode_audio,
+            encode_wav_ima_nibbles,
+            plant_wav_ima,
+        )
+
+        ok = plant_wav_ima(42)
+        # block step index past the table is ValueError, not IndexError
+        at = ok.find(b"data") + 8
+        bad_idx = ok[: at + 2] + bytes((200,)) + ok[at + 3 :]
+        with _pytest.raises(ValueError, match="step index"):
+            decode_audio(bad_idx)
+        # data not whole blocks
+        (dlen,) = struct.unpack_from("<I", ok, at - 4)
+        trunc = (
+            ok[: at - 4]
+            + struct.pack("<I", dlen - 1)
+            + ok[at : at + dlen - 1]
+        )
+        trunc = trunc[:4] + struct.pack("<I", len(trunc) - 8) + trunc[8:]
+        with _pytest.raises(ValueError, match="whole"):
+            decode_audio(trunc)
+        # other compressed formats stay the typed residual
+        pcm_hdr = ok.find(b"fmt ") + 8
+        alaw = ok[:pcm_hdr] + struct.pack("<H", 6) + ok[pcm_hdr + 2 :]
+        with _pytest.raises(NotImplementedError, match="format 6"):
+            decode_audio(alaw)
+        # encoder-side contracts
+        with _pytest.raises(ValueError, match="4-bit"):
+            encode_wav_ima_nibbles(8000, 0, 0, [16])
+        with _pytest.raises(ValueError, match="initial"):
+            encode_wav_ima_nibbles(8000, 0, 89, [1])
