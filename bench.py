@@ -208,6 +208,8 @@ BENCH_QUERIES = [
     "attribution_audit",
     "dedup_index_audit",
     "versioned_sink_audit",
+    "attribution_inner_audit",
+    "multimodal_decode_wav_ima",
 ]
 
 

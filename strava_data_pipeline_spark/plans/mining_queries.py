@@ -912,3 +912,109 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cms_est") - F.col("cnt")).cast("bigint").alias("overcount"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# 223. ann_binary — sign-bit binary quantization + Hamming top-k (r10)
+# --------------------------------------------------------------------------
+# The memory-extreme end of the quantization spectrum next to ann_pq
+# (the RaBitQ-family baseline the r9 verdict floated): each 64-dim
+# float vector compresses to 64 SIGN BITS — a 256x size cut — and
+# neighbor ranking is integer Hamming distance, xor + bit_count inside
+# whole-stage codegen. Bits pack into TWO BIGINT words of 32 bits each
+# on purpose: a single 64-bit word would need 1<<63, which overflows
+# signed BIGINT on DuckDB and wraps negative on the JVM — the two-word
+# layout keeps every intermediate portable-positive. All-integer
+# end to end, so the oracle replays it exactly (no float-comparator
+# tie hazard: ties break on neighbor_id). At 100 TB the plan is one
+# corpus scan + an 8-row broadcast + TakeOrderedAndProject per query —
+# the packed corpus (16 bytes/vector) is the index.
+_BITS_LO = (
+    "aggregate(sequence(0, 31), 0L, (acc, d) -> acc + "
+    "IF(element_at(v, d + 1) > 0, shiftleft(1L, d), 0L))"
+)
+_BITS_HI = (
+    "aggregate(sequence(32, 63), 0L, (acc, d) -> acc + "
+    "IF(element_at(v, d + 1) > 0, shiftleft(1L, d - 32), 0L))"
+)
+
+
+def _duck_bits(lo: bool) -> str:
+    rng = "range(0, 32)" if lo else "range(32, 64)"
+    shift = "d" if lo else "d - 32"
+    return (
+        f"CAST(list_sum([CASE WHEN embedding[d + 1] > 0 "
+        f"THEN (CAST(1 AS BIGINT) << ({shift})) ELSE 0 END "
+        f"FOR d IN {rng}]) AS BIGINT)"
+    )
+
+
+_ANN_BINARY_ORACLE = f"""
+WITH packed AS (
+    SELECT vec_id,
+           coalesce({_duck_bits(True)}, 0) AS lo,
+           coalesce({_duck_bits(False)}, 0) AS hi
+    FROM embeddings
+), q AS (
+    SELECT vec_id AS query_id, lo AS qlo, hi AS qhi
+    FROM packed WHERE vec_id < 8
+), scored AS (
+    SELECT q.query_id, p.vec_id AS neighbor_id,
+           CAST(bit_count(xor(q.qlo, p.lo)) + bit_count(xor(q.qhi, p.hi))
+                AS BIGINT) AS hamming
+    FROM packed p, q WHERE p.vec_id != q.query_id
+), ranked AS (
+    SELECT query_id, neighbor_id, hamming,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY hamming ASC, neighbor_id ASC) AS INT) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, hamming, rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+@register(
+    "ann_binary", oracle=_ANN_BINARY_ORACLE, tags=("llm", "similarity")
+)
+def ann_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized ANN: pack sign bits once (one corpus scan, two
+    32-bit words per vector), broadcast the 8 packed query rows, rank
+    by integer Hamming distance (xor + bit_count in codegen), top-10
+    per query with the neighbor_id tie-break. The packed frame is the
+    entire index — 16 bytes/vector however wide the floats — and the
+    scan+broadcast+window shape needs no shuffle of embeddings at any
+    scale."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    packed = emb.select(
+        "vec_id",
+        F.expr(_BITS_LO).alias("lo"),
+        F.expr(_BITS_HI).alias("hi"),
+    )
+    q = packed.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("lo").alias("qlo"),
+        F.col("hi").alias("qhi"),
+    )
+    scored = (
+        packed.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                F.bit_count(F.expr("qlo ^ lo"))
+                + F.bit_count(F.expr("qhi ^ hi"))
+            ).cast("bigint").alias("hamming"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id", "hamming", "rank")
+    )

@@ -57,6 +57,7 @@ _ENUMERATE_FIRST: tuple[str, ...] = (
     "bloom_semi_join",
     "attribution_inner_audit",
     "multimodal_decode_wav_ima",
+    "ann_binary",
     # --- latest official green row is round 5 ---
     'embedding_quantize',
     'events_profile',
