@@ -65,6 +65,8 @@ _BNLJ_OK = {
     "ann_mrr_ndcg",  # composes ann_topk/ann_ivf (bounded query-set sides)
     "join_cardinality_audit",  # 1-row stats-frame broadcasts per join spec
     "selectivity_audit",  # 1-row (N, ndv) broadcast onto the probe set
+    "bloom_semi_join",  # 1-row bloom-bitmap broadcast (r10, decontaminate_bloom idiom)
+    "ann_binary",  # bounded 8-row packed-query broadcast, like ann_topk
 }
 
 # plan-string caches; one build per query per pytest session. A failed
@@ -149,6 +151,8 @@ def test_no_python_row_eval_in_query_path(spark, name):
         "multimodal_decode_wav",
         "multimodal_frame_sample",
         "multimodal_resize",
+        "multimodal_decode_png_deep",
+        "multimodal_decode_wav_ima",
     ):
         assert "MapInPandas" in plan
     else:
