@@ -44,67 +44,18 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # Enumeration-order priority: the driver's correctness harness samples a
 # rotating subset of ``queries()`` per round, and dict order is the only
 # lever the engine has over which queries get officially recorded.  The
-# r10 ordering cycles OLDEST-GREEN-FIRST (VERDICT r9 task 2): after the
-# r9 window every registry row has an official green (histogram
-# r5:20 r6:50 r7:50 r8:48 r9:50 — recomputed from CORRECTNESS_r0*.json),
-# so the head lists the 20 round-5 rows first, then the round-6/7/8
-# blocks; everything r9 just proved falls to registration order at the
-# tail.  With the ~50-query window, r10 re-proves all of r5 + 30 of r6,
-# keeping no official green older than four rounds.
+# r11 ordering cycles OLDEST-GREEN-FIRST (VERDICT r10 task 5): the r10
+# window re-proved the r5 block, leaving histogram r6:25 r7:50 r8:48
+# r9:50 r10:50, so the head lists the 25 round-6 rows first, then the
+# round-7/8 blocks; everything r9+ falls to registration order at the
+# tail.  With the ~50-query window, r11 re-proves all of r6 + ~25 of r7
+# (minus any new-in-r11 rows prepended above), keeping no official green
+# older than round 7.
 _ENUMERATE_FIRST: tuple[str, ...] = (
-    # --- new in r10: no official green row yet ---
-    "multimodal_decode_png_deep",
-    "bloom_semi_join",
-    "attribution_inner_audit",
-    "multimodal_decode_wav_ima",
-    "ann_binary",
-    # --- latest official green row is round 5 ---
-    'embedding_quantize',
-    'events_profile',
-    'events_profile_approx',
-    'events_running_total',
-    'events_sessionize',
-    'ingest_upsert',
-    'inverted_index',
-    'ivf_balance',
-    'json_flatten',
-    'keys_per_user',
-    'lang_id',
-    'minhash_error_eval',
-    'multimodal_meta',
-    'ngram_novelty',
-    'percentile_stats_approx',
-    'recent_activities',
-    'simhash_error_eval',
-    'skipgram_pmi',
-    'snapshot_diff',
-    'sync_daily_counts',
-    # --- latest official green row is round 6 ---
-    'ab_test_eval',
-    'ann_mrr_ndcg',
-    'attribution_last_touch',
-    'bfs_distance',
-    'bigram_kneser_ney',
-    'bpe_merge_rounds',
-    'chi2_independence',
-    'compaction_plan',
-    'corr_matrix',
-    'customer_rfm',
-    'cusum_changepoint',
-    'data_quality_checks',
-    'dau_mau_stickiness',
-    'decontaminate_span',
-    'dedup_span_rewrite',
-    'degree_histogram',
-    'entropy_score',
-    'event_transitions',
-    'events_cube',
-    'events_ewma',
-    'events_gapfill',
-    'events_grouping_sets',
-    'events_latest_n',
-    'events_rank_suite',
-    'events_rolling_7d',
+    # --- new in r11: no official green row yet (prepend as registered) ---
+    # --- latest official green row is round 6 (post-r10 histogram:
+    #     r6:25 r7:50 r8:48 r9:50 r10:50, recomputed from
+    #     CORRECTNESS_r0*.json) ---
     'fuzzy_dict_match',
     'groupwise_quantiles',
     'interval_coverage',
