@@ -1057,21 +1057,13 @@ GROUP BY 1, 2
 """
 
 
-@register("bloom_semi_join", oracle=_BSJ_ORACLE, tags=("planner", "bench"))
-def bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Monthly revenue of lineitems belonging to urgent high-value
-    orders, executed as a Bloom-reduced shuffle join: the ~4%-selective
-    orders side folds its keys into one m-bit bitmap row (k=3 md5_u32
-    probes; m = max(2^16, 16 bits/key rounded up to a power of two,
-    capped 2^26 = 8 MB), broadcast onto lineitem where a forall/getbit
-    test drops non-candidate rows inside codegen BEFORE the join
-    exchange — at 16 bits/key and k=3 the FPR is ~2%, so the shuffle
-    carries ~matching rows + 2% noise instead of the full fact table.
-    The SHUFFLE_HASH hint pins the at-scale plan (dim past broadcast
-    threshold); revenue is exact BIGINT cents per row before the sum
-    (q10 discipline). Correctness never depends on the filter: the
-    equi-join removes every false positive, so the oracle is the plain
-    two-table join."""
+def _bsj_prefilter(spark: SparkSession, sf_dir: str):
+    """Build the Bloom pre-filter halves of bloom_semi_join: returns
+    ``(li_pre, sel)`` — the lineitem frame already reduced by the
+    broadcast bitmap's forall/getbit test, and the selective orders
+    side. Split out so tests can COUNT the surviving probe rows and
+    pin the actual reduction (matches + FPR noise), not just the plan
+    strings (r10 ADVICE)."""
     import math
 
     o = load_table(spark, sf_dir, "orders")
@@ -1133,6 +1125,25 @@ def bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("bitmap")
     )
+    return li_pre, sel
+
+
+@register("bloom_semi_join", oracle=_BSJ_ORACLE, tags=("planner", "bench"))
+def bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue of lineitems belonging to urgent high-value
+    orders, executed as a Bloom-reduced shuffle join: the ~4%-selective
+    orders side folds its keys into one m-bit bitmap row (k=3 md5_u32
+    probes; m = max(2^16, 16 bits/key rounded up to a power of two,
+    capped 2^26 = 8 MB), broadcast onto lineitem where a forall/getbit
+    test drops non-candidate rows inside codegen BEFORE the join
+    exchange — at 16 bits/key and k=3 the FPR is ~2%, so the shuffle
+    carries ~matching rows + 2% noise instead of the full fact table.
+    The SHUFFLE_HASH hint pins the at-scale plan (dim past broadcast
+    threshold); revenue is exact BIGINT cents per row before the sum
+    (q10 discipline). Correctness never depends on the filter: the
+    equi-join removes every false positive, so the oracle is the plain
+    two-table join."""
+    li_pre, sel = _bsj_prefilter(spark, sf_dir)
     return (
         li_pre.join(
             sel.hint("shuffle_hash"),

@@ -331,3 +331,70 @@ class TestCmsHeavyHitters:
         # W=256 >> distinct users at sf0.001, so most keys collide in
         # no row of the sketch and estimate exactly; at least SOME must
         assert any(r["overcount"] == 0 for r in rows)
+
+
+class TestAnnBinary:
+    """r10 VERDICT task 4: ann_binary shipped without its test tier —
+    numpy brute-force sign-bit/Hamming cross-check (the TestAnnPq
+    pattern) plus plan pins for the claims the SURVEY row makes:
+    map-side Partial WindowGroupLimit and the 8-row query broadcast."""
+
+    @pytest.fixture(scope="class")
+    def bin_rows(self, spark):
+        return M.ann_binary(spark, SF).collect()
+
+    def test_shape_and_rank_contract(self, bin_rows):
+        by_q = {}
+        for r in bin_rows:
+            by_q.setdefault(r["query_id"], []).append(r)
+        assert set(by_q) == set(range(8))
+        for qid, rows in by_q.items():
+            rows.sort(key=lambda r: r["rank"])
+            assert [r["rank"] for r in rows] == list(range(1, 11))
+            # ranks follow (hamming, neighbor_id) lexicographically
+            keys = [(r["hamming"], r["neighbor_id"]) for r in rows]
+            assert keys == sorted(keys)
+            assert all(r["neighbor_id"] != qid for r in rows)
+
+    def test_vs_numpy_bruteforce(self, spark, bin_rows):
+        import numpy as np
+
+        from strava_data_pipeline_spark.sources.catalog import load_table
+
+        emb = {
+            r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in load_table(spark, SF, "embeddings").collect()
+        }
+        # replicate the operator's quantization exactly: bit d set
+        # iff component d > 0 (zeros and negatives clear)
+        bits = {k: (v > 0) for k, v in emb.items()}
+        got = {}
+        for r in bin_rows:
+            got.setdefault(r["query_id"], []).append(
+                (r["rank"], r["neighbor_id"], r["hamming"])
+            )
+        for qid in range(8):
+            ham = sorted(
+                (int((bits[qid] ^ b).sum()), nid)
+                for nid, b in bits.items()
+                if nid != qid
+            )
+            want = [
+                (rank, nid, h)
+                for rank, (h, nid) in enumerate(ham[:10], start=1)
+            ]
+            assert sorted(got[qid]) == want, f"query {qid}"
+
+    def test_plan_pins_window_group_limit_and_broadcast(self, spark):
+        df = M.ann_binary(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # rank<=10 must push map-side: Partial mode before the window
+        # exchange, Final after — WindowGroupLimit caps each task's
+        # output at 10 rows/query so only ~10*8 rows per task shuffle,
+        # never the scored corpus
+        assert "WindowGroupLimit" in plan
+        assert "Partial" in plan and "Final" in plan
+        # the 8 packed query rows broadcast; the corpus never shuffles
+        # for the join
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "SortMergeJoin" not in plan

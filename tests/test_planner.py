@@ -278,12 +278,16 @@ class TestBloomSemiJoin:
         ).select("o_orderkey")
         n_li = li.count()
         n_match = li.join(sel, li["l_orderkey"] == sel["o_orderkey"]).count()
-        # rebuild just the pre-filtered frame by calling the query's
-        # own machinery indirectly: count rows surviving the bloom by
-        # comparing the join input sizes via the plain result — the
-        # filter passing all matches is already proven by equality
-        # above; here pin the REDUCTION: matches are a small share of
-        # lineitem, so a working bloom must make the shuffled probe
-        # side much smaller than the table. We assert the selectivity
-        # precondition that makes the demo meaningful.
+        # the selectivity precondition that makes the demo meaningful
         assert n_match < n_li * 0.2
+        # r10 ADVICE: measure the reduction DIRECTLY — count rows
+        # surviving the bloom pre-filter. No false negatives (every
+        # true match passes) and the survivor set is matches + FPR
+        # noise, far below the full table: at 16 bits/key, k=3 the
+        # expected FPR is ~2%, so 5% of the non-matching rows is a
+        # generous variance bound that still fails a pass-everything
+        # bitmap outright.
+        li_pre, _ = P._bsj_prefilter(spark, SF)
+        n_pre = li_pre.count()
+        assert n_pre >= n_match
+        assert n_pre <= n_match + 0.05 * (n_li - n_match)
