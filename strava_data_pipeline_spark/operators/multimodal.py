@@ -540,9 +540,13 @@ def _decode_gif_frames(payload: bytes) -> list[dict]:
                 f"GIF frame with non-zero image offset ({left},{top}) "
                 "requires composite/disposal handling (full-size frames only)"
             )
-        if frames and (w, h) != (sw, sh):
+        if (w, h) != (sw, sh):
+            # applies to frame 0 as well (r10 ADVICE): a FIRST frame
+            # smaller than the logical screen is a sub-rectangle over
+            # background per spec — same composite/disposal state this
+            # decoder refuses for later frames
             raise NotImplementedError(
-                f"GIF delta frame {w}x{h} differs from logical screen "
+                f"GIF frame {w}x{h} differs from logical screen "
                 f"{sw}x{sh}; only full-size frames decode here"
             )
         pal = global_pal
@@ -727,6 +731,10 @@ def encode_png_pal(
 
     if depth not in (1, 2, 4, 8):
         raise ValueError(f"bad indexed PNG depth {depth}")
+    if width <= 0 or height <= 0:
+        # up-front typed rejection (r10 ADVICE): zero-area input would
+        # otherwise surface as an opaque max()-of-empty error below
+        raise ValueError(f"indexed PNG dimensions must be positive, got {width}x{height}")
     if not 1 <= len(palette) <= min(256, 1 << depth):
         raise ValueError(
             f"palette of {len(palette)} entries does not fit depth {depth}"
@@ -753,7 +761,10 @@ def encode_png_pal(
                 acc = n = 0
         if n:
             row.append(acc << (8 - n))  # zero pad bits close the row
-        assert len(row) == stride
+        if len(row) != stride:  # contract survives python -O (r10 ADVICE)
+            raise ValueError(
+                f"packed row of {len(row)} bytes != stride {stride}"
+            )
         scan += row
     raw = _png_filter_raw(bytes(scan), height, stride, 1)
     ihdr = struct.pack(">IIBBBBB", width, height, depth, 3, 0, 0, 0)

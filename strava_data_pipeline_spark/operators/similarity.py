@@ -16,6 +16,7 @@ from strava_data_pipeline_spark.functions.hashing import MINHASH_PRIME
 from strava_data_pipeline_spark.functions import vectors as V
 from strava_data_pipeline_spark.operators.skew import (
     cap_hot_buckets,
+    cap_hot_buckets_broadcast,
     spread_small_scan,
 )
 
@@ -124,7 +125,12 @@ def ann_topk_lsh(
         .withColumn("bucket", _bucket_expr("cv"))
         .withColumn("cn", V.norm(F.col("cv")))
     )
-    c = cap_hot_buckets(c, ["bucket"], max_bucket, "ann_lsh_skew")
+    # broadcast variant: the candidate join below is against a
+    # broadcast query side, so the window variant's full-corpus
+    # exchange (64-double arrays sorted on bucket) would be pure
+    # overhead — the narrow-count + broadcast-anti shape keeps the
+    # corpus scan shuffle-free (r11 adjudication fix)
+    c = cap_hot_buckets_broadcast(c, ["bucket"], max_bucket, "ann_lsh_skew")
     scored = (
         c.join(F.broadcast(q), "bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))

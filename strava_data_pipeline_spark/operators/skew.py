@@ -126,3 +126,44 @@ def cap_hot_buckets(
             ),
         )
     return sized.where(F.col("_bucket_size") <= cap).drop("_bucket_size")
+
+
+def cap_hot_buckets_broadcast(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    cap: int,
+    metric: str | None = None,
+) -> DataFrame:
+    """``cap_hot_buckets`` for consumers whose downstream join does NOT
+    shuffle on ``key_cols`` — e.g. the broadcast-query ANN probes.
+
+    The window variant counts via ``count() OVER (PARTITION BY key)``,
+    which exchanges + sorts the FULL carrier frame (embedding arrays
+    included) on the bucket key. That exchange is amortized when the
+    following pair join shuffles on the same key anyway (the minhash/
+    simhash band joins), but for ann_lsh the candidate join is against
+    a broadcast 8-row query side — the corpus never needs to move, and
+    the window's fat-array exchange was the query's dominant cost.
+
+    Here bucket sizes come from a NARROW aggregation (Catalyst prunes
+    the scan to just the key expressions; only ``(key, count)`` rows
+    shuffle) and the over-cap keys — near-empty by construction on a
+    healthy corpus — join back as a broadcast left join. Two scans of
+    the source beat one fat exchange at every scale: the second scan
+    re-reads pruned parquet columns, while the exchange would write +
+    read + sort the whole decoded corpus.
+    """
+    hot = (
+        df.groupBy(*[F.col(c) for c in key_cols])
+        .agg(F.count(F.lit(1)).alias("_bucket_size"))
+        .where(F.col("_bucket_size") > cap)
+    )
+    sized = df.join(F.broadcast(hot), list(key_cols), "left")
+    if metric is not None:
+        sized = sized.observe(
+            metric,
+            F.sum(
+                F.when(F.col("_bucket_size").isNotNull(), 1).otherwise(0)
+            ).alias("rows_in_dropped_buckets"),
+        )
+    return sized.where(F.col("_bucket_size").isNull()).drop("_bucket_size")

@@ -443,37 +443,52 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     differ only in formatting."""
     docs = _docs(spark, sf_dir)
     norm = F.lower(F.trim(F.regexp_replace(F.col("text"), "\\s+", " ")))
-    # narrow frame FIRST: bodies normalize once, then only 16-byte
-    # hashes and BIGINTs move. The distinct counts deliberately avoid
-    # countDistinct: two distincts in one agg rewrite through Spark's
-    # EXPAND (2x rows) and concentrate the hot source's merge on one
-    # reducer (measured 2.6x hot-domain tax at the skew rehearsal);
-    # the (source, hash)-keyed pre-aggregates below are map-side
-    # combinable at BOTH levels and spread on the hash no matter how
-    # skewed the source mix is.
-    n = docs.select(
-        "source",
-        F.md5("text").alias("raw_h"),
-        F.md5(norm).alias("norm_h"),
-        md5_u32(norm).alias("norm_u32"),
-    ).persist()
-    totals = n.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum("norm_u32").cast("bigint").alias("norm_hash_sum"),
+    # narrow pre-aggregate FIRST: bodies normalize once into a
+    # (source, raw_h, norm_h, norm_u32, c) frame — map-side
+    # combinable, only 16-byte hashes and BIGINTs shuffle, and
+    # everything downstream derives from it. The distinct counts
+    # deliberately avoid countDistinct: two distincts in one agg
+    # rewrite through Spark's EXPAND (2x rows) and concentrate the
+    # hot source's merge on one reducer (measured 2.6x hot-domain tax
+    # at the skew rehearsal); the hash-keyed pre-aggregates spread on
+    # the hash no matter how skewed the source mix is. norm_u32 is
+    # functionally determined by norm_h (both digest the same bytes),
+    # so min() recovers it exactly per group and sum(c * u32) equals
+    # the per-document sum — that folds the old separate totals
+    # consumer into the norm-distinct one (three cache-read jobs →
+    # two; r11 adjudication).
+    pre = (
+        docs.select(
+            "source",
+            F.md5("text").alias("raw_h"),
+            F.md5(norm).alias("norm_h"),
+            md5_u32(norm).alias("norm_u32"),
+        )
+        .groupBy("source", "raw_h", "norm_h")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("c"),
+            F.min("norm_u32").alias("norm_u32"),
+        )
+        .persist()
+    )
+    by_norm = pre.groupBy("source", "norm_h").agg(
+        F.sum("c").cast("bigint").alias("cn"),
+        F.min("norm_u32").alias("u32"),
+    )
+    norm_agg = by_norm.groupBy("source").agg(
+        F.sum("cn").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_norm_distinct"),
+        F.sum(F.col("cn") * F.col("u32")).cast("bigint").alias(
+            "norm_hash_sum"
+        ),
     )
     raw_d = (
-        n.groupBy("source", "raw_h")
+        pre.groupBy("source", "raw_h")
         .agg(F.lit(1))
         .groupBy("source")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_raw_distinct"))
     )
-    norm_d = (
-        n.groupBy("source", "norm_h")
-        .agg(F.lit(1))
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_norm_distinct"))
-    )
-    return totals.join(raw_d, "source").join(norm_d, "source").select(
+    return norm_agg.join(raw_d, "source").select(
         "source", "n_docs", "n_raw_distinct", "n_norm_distinct",
         "norm_hash_sum",
     )

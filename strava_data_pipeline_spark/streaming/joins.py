@@ -162,6 +162,13 @@ def attribute_to_prior_event_bucketed(
     lead's bucket — no dedup step exists or is needed. The range
     conjunct stays in full-µs precision; buckets only route.
 
+    Event times must be post-epoch — not a bucket-math caveat but an
+    engine fact: Spark seeds the stream watermark at epoch 0, so any
+    watermarked stateful operator late-drops pre-1970 rows on arrival.
+    The bucket index still uses ``unix_timestamp`` (floorDiv) rather
+    than a trunc-toward-zero cast so the floor stays exact for any
+    input the engine admits (r10 ADVICE).
+
     The LEFT-OUTER variant deliberately has no bucketed twin: an
     unmatched follow is a per-key GLOBAL fact (no copy may match),
     which a compound-key join cannot express without a second
@@ -177,7 +184,12 @@ def attribute_to_prior_event_bucketed(
             F.col("ts").alias("lead_ts"),
             F.col("event_id").alias("lead_id"),
             F.col("event_type").alias("lead_type"),
-            F.floor(F.col("ts").cast("long") / B).alias("l_bkt"),
+            # unix_timestamp floorDivs micros -> seconds, so the bucket
+            # index is a TRUE floor for pre-epoch timestamps too; a bare
+            # cast('long') truncates toward zero below 1970 and would
+            # break the two-slot invariant (a qualifying pair landing
+            # outside both follow copies) — r10 ADVICE
+            F.floor(F.unix_timestamp(F.col("ts")) / B).alias("l_bkt"),
         )
     )
     f_base = (
@@ -188,7 +200,7 @@ def attribute_to_prior_event_bucketed(
             F.col("event_id").alias("follow_id"),
             F.col("event_type").alias("follow_type"),
             F.col("value").alias("follow_value"),
-            F.floor(F.col("ts").cast("long") / B).alias("_fb"),
+            F.floor(F.unix_timestamp(F.col("ts")) / B).alias("_fb"),
         )
     )
     f = f_base.select(

@@ -1475,6 +1475,18 @@ def test_bucketed_attribution_matches_plain_inner(spark, dirs):
             (9, datetime(2024, 1, 1, 14, 0, 0), 11, "view", 0.0),
             (10, datetime(2024, 1, 1, 14, 20, 0), 11, "view", 0.0),
             (11, datetime(2024, 1, 1, 14, 25, 0), 11, "purchase", 2.0),
+            # r10 ADVICE follow-up: PRE-EPOCH event times can never
+            # reach a watermarked stream-stream join — Spark seeds the
+            # watermark at epoch 0, so 1969 rows are late-dropped by
+            # the ENGINE before any bucket math runs (verified: they
+            # produce no output). The bucket expression still uses
+            # unix_timestamp (a true floorDiv) rather than a bare
+            # trunc-toward-zero cast, and this pair pins the
+            # FRACTIONAL-second straddle the floor must get right:
+            # lead at 00:59:59.7 (bucket 1) vs follow at 01:00:00.2
+            # (bucket 2) — 0.5 s apart across a bucket edge
+            (12, datetime(1970, 1, 1, 0, 59, 59, 700000), 12, "view", 0.0),
+            (13, datetime(1970, 1, 1, 1, 0, 0, 200000), 12, "purchase", 4.0),
         ],
     )
     stream = read_event_stream(spark, landing)
@@ -1497,4 +1509,6 @@ def test_bucketed_attribution_matches_plain_inner(spark, dirs):
     )
     # exactly these pairs, each exactly once (sorted list, not set, so
     # a double-emitted pair from both follow copies would fail)
-    assert rows == [(2, 1), (6, 5), (8, 7), (11, 9), (11, 10)]
+    assert rows == [
+        (2, 1), (6, 5), (8, 7), (11, 9), (11, 10), (13, 12),
+    ]

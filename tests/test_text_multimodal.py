@@ -1014,6 +1014,12 @@ class TestPngCodec:
         # encoder-side contract checks
         with _pytest.raises(ValueError, match="palette"):
             encode_png_pal(4, 4, bytes(16), pal, 1)  # 4 entries > 2**1
+        # r10 ADVICE: zero-area dims are a typed rejection up front,
+        # not an opaque max()-of-empty crash
+        with _pytest.raises(ValueError, match="positive"):
+            encode_png_pal(0, 4, b"", pal, 2)
+        with _pytest.raises(ValueError, match="positive"):
+            encode_png_pal(4, 0, b"", pal, 2)
 
     def test_every_filter_type_reverses(self):
         # encode/decode a noisy raster tall enough that rows hit all
@@ -1181,8 +1187,20 @@ class TestGifLzwCodec:
         small = (
             p[: second + 5] + struct.pack("<HH", 4, 4) + p[second + 9 :]
         )
-        with _pytest.raises(NotImplementedError, match="delta frame"):
+        with _pytest.raises(
+            NotImplementedError, match="differs from logical screen"
+        ):
             _decode_gif_frames(small)
+        # r10 ADVICE: a FIRST frame smaller than the logical screen is
+        # also a sub-rectangle over background — same typed refusal,
+        # not a silent standalone w x h decode
+        small0 = (
+            p[: first + 5] + struct.pack("<HH", 4, 4) + p[first + 9 :]
+        )
+        with _pytest.raises(
+            NotImplementedError, match="differs from logical screen"
+        ):
+            _decode_gif_frames(small0)
         # untouched stream still decodes both full-size frames
         assert len(_decode_gif_frames(p)) == 2
 
