@@ -1021,6 +1021,77 @@ def attribution_inner_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 224. attribution_unmatched_audit — hot-key LEFT OUTER as inner + anti (r11)
+# --------------------------------------------------------------------------
+# Closes the one streaming scale hazard the r10 verdict left answered
+# only in prose: the LEFT-OUTER attribution result on a hot-key corpus
+# where the plain-key outer join is unrunnable (SCALING_SKEW_R10:
+# killed at >1500s on the 25%-hot-user mult=100 feed). An unmatched
+# follow is a per-key GLOBAL fact no single bucket copy can decide, so
+# the outer join itself cannot bucket — but the COMPOSITION can: run
+# the hot-key-immune bucketed INNER stream join (output-linear under
+# skew, measured), then recover the unmatched-follow tail with a batch
+# LEFT ANTI join of the landed follows against the COMMITTED inner
+# output's follow_ids. The anti join is a plain equi-shuffle on
+# follow_id — no per-key state iteration, no quadratic grind — and the
+# union is row-for-row the plain batch LEFT JOIN, which is exactly the
+# oracle (shared with attribution_audit).
+@register(
+    "attribution_unmatched_audit",
+    oracle=_ATTR_AUDIT_ORACLE,
+    tags=("streaming", "ops"),
+)
+def attribution_unmatched_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production LEFT-OUTER attribution for hot-key corpora: the
+    bucketed inner stream join (attribute_to_prior_event_bucketed,
+    same _attr_face_impl choreography as the other two faces) UNION
+    the unmatched-follow tail, recovered by batch LEFT ANTI join of
+    the landed follow feed against the committed inner rows' distinct
+    follow_ids. Both legs read committed artifacts — the stream sink
+    parquet and the landing files the stream actually consumed — so a
+    pair dropped by the stream join or a follow wrongly claimed as
+    matched is a hash mismatch against the batch LEFT JOIN oracle,
+    not just a pytest assertion. Scale: the stream leg is the measured
+    output-linear hot-key remedy; the anti leg shuffles only
+    (follow_id) pairs on a high-cardinality key, skew-free by
+    construction."""
+    import hashlib
+
+    from strava_data_pipeline_spark.streaming.joins import (
+        attribute_to_prior_event_bucketed,
+    )
+
+    inner = _attr_face_impl(
+        spark, sf_dir, attribute_to_prior_event_bucketed, "_attrunm_"
+    )
+    # the landing dir _attr_face_impl used (deterministic per sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
+    landing = f"spark-warehouse/_attrunm_{tag}/landing"
+    landed = spark.read.parquet(landing)
+    follows = landed.where(
+        (F.col("event_id") >= 0) & (F.col("event_id") % 3 == 0)
+    ).select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("event_id").cast("bigint").alias("follow_id"),
+        F.col("event_type").alias("follow_type"),
+        F.col("ts").alias("follow_ts"),
+        F.col("value").cast("double").alias("follow_value"),
+    )
+    matched = inner.select("follow_id").distinct()
+    unmatched = follows.join(matched, "follow_id", "left_anti").select(
+        "user_id",
+        "follow_id",
+        "follow_type",
+        "follow_ts",
+        "follow_value",
+        F.lit(None).cast("bigint").alias("lead_id"),
+        F.lit(None).cast("string").alias("lead_type"),
+        F.lit(None).cast("timestamp").alias("lead_ts"),
+    )
+    return inner.unionByName(unmatched)
+
+
+# --------------------------------------------------------------------------
 # 220. bloom_semi_join — runtime Bloom-filter join reduction (fact-fact)
 # --------------------------------------------------------------------------
 # The classic 100 TB join trick the surface did not yet demonstrate

@@ -53,6 +53,7 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # older than round 7.
 _ENUMERATE_FIRST: tuple[str, ...] = (
     # --- new in r11: no official green row yet (prepend as registered) ---
+    "attribution_unmatched_audit",
     # --- latest official green row is round 6 (post-r10 histogram:
     #     r6:25 r7:50 r8:48 r9:50 r10:50, recomputed from
     #     CORRECTNESS_r0*.json) ---
