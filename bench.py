@@ -210,6 +210,12 @@ BENCH_QUERIES = [
     "versioned_sink_audit",
     "attribution_inner_audit",
     "multimodal_decode_wav_ima",
+    # r11: the two r10 rows that shipped without headline floors, plus
+    # the new hot-key LEFT-OUTER composition face (expensive streaming
+    # artifact — gets a floor from its landing round, closing the
+    # pattern VERDICT r10 task 2 flagged)
+    "ann_binary",
+    "attribution_unmatched_audit",
 ]
 
 

@@ -477,6 +477,64 @@ def encode_gif_animated(
     return bytes(out)
 
 
+def encode_gif_animated_composite(
+    width: int,
+    height: int,
+    images: list[dict],
+    bg: int = 0,
+) -> bytes:
+    """Real ANIMATED GIF89a writer with full composition controls —
+    the encoder half of the delta-frame compositing the decoder now
+    models (r10 VERDICT task 7). Each element of ``images`` is a dict:
+    ``left``/``top`` (default 0), ``w``/``h`` (default: full screen),
+    ``indexes`` (``w*h`` palette indexes for the sub-rectangle),
+    ``disposal`` (0/1 keep, 2 restore-to-background, 3
+    restore-to-previous) and ``transparent`` (palette index drawn as
+    see-through, or None). ``bg`` is the logical screen's background
+    color index (what disposal 2 restores). Every image gets its own
+    graphic-control extension + image descriptor + independently
+    LZW-compressed raster over the shared 256-entry global table."""
+    import struct
+
+    if not images:
+        raise ValueError("animated GIF needs at least one image")
+    screen = struct.pack("<HHBBB", width, height, 0xF7, bg, 0)
+    palette = b"".join(_gif_palette_entry(i) for i in range(256))
+    out = bytearray(b"GIF89a" + screen + palette)
+    for im in images:
+        left = im.get("left", 0)
+        top = im.get("top", 0)
+        w = im.get("w", width)
+        h = im.get("h", height)
+        idx = im["indexes"]
+        disposal = im.get("disposal", 0)
+        transparent = im.get("transparent")
+        if w <= 0 or h <= 0 or left + w > width or top + h > height:
+            raise ValueError(
+                f"GIF image rect {w}x{h}+{left}+{top} exceeds the "
+                f"{width}x{height} logical screen"
+            )
+        if len(idx) != w * h:
+            raise ValueError(
+                f"GIF image needs {w * h} index bytes, got {len(idx)}"
+            )
+        if disposal not in (0, 1, 2, 3):
+            raise ValueError(f"bad GIF disposal method {disposal}")
+        gpacked = (disposal << 2) | (1 if transparent is not None else 0)
+        out += b"\x21\xf9\x04" + bytes(
+            (gpacked, 0, 0, transparent or 0, 0)
+        )
+        out += b"\x2c" + struct.pack("<HHHHB", left, top, w, h, 0)
+        lzw = _lzw_compress(idx, 8)
+        out += b"\x08"
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out += bytes((len(chunk),)) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
 def _decode_gif_lzw(payload: bytes) -> dict:
     """Real GIF decode: logical screen descriptor, global/local color
     tables, extension-block skipping, sub-block reassembly, full LZW
@@ -491,24 +549,43 @@ def _decode_gif_lzw(payload: bytes) -> dict:
 
 
 def _decode_gif_frames(payload: bytes) -> list[dict]:
-    """ALL frames of a (possibly animated) GIF, in stream order — the
-    same real LZW machinery per frame, graphic-control extensions
-    skipped between frames, per-frame local color tables honored. Each
-    frame is returned as a full standalone raster; sub-rectangle
-    composite frames (non-zero offsets, or later frames smaller than
-    the logical screen) would need disposal-method state and raise a
-    typed NotImplementedError rather than decode wrong pixels."""
+    """ALL displayed frames of a (possibly animated) GIF, in stream
+    order — the same real LZW machinery per image, with FULL GIF89a
+    animation semantics (the r10 residual shrink; most animated GIFs
+    in the wild use delta frames): sub-rectangle images composite onto
+    a logical-screen canvas at their (left, top) offset, the
+    graphic-control extension's transparency index leaves underlying
+    canvas pixels showing through, and its disposal method decides
+    what the NEXT frame draws over — none/keep (1,0) leave the
+    composite, restore-to-background (2) clears the image's rect to
+    the screen descriptor's background color, restore-to-previous (3)
+    reverts the canvas to its pre-draw state. Every returned frame is
+    the full sw x sh canvas AS DISPLAYED after that image (snapshot
+    before disposal), so downstream stats/resize/frame-sample see what
+    a viewer sees. Per-frame local color tables honored; malformed
+    streams still fail loudly (typed ValueError, never wrong pixels).
+    """
     import struct
 
     if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
-    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    sw, sh, packed, bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
     i = 13
     global_pal = None
     if packed & 0x80:
         n = 2 << (packed & 0x07)
         global_pal = [payload[i + 3 * k : i + 3 * k + 3] for k in range(n)]
         i += 3 * n
+    bg_rgb = (
+        global_pal[bg]
+        if global_pal is not None and bg < len(global_pal)
+        else b"\x00\x00\x00"
+    )
+    canvas = bytearray(bg_rgb * (sw * sh))
+    # graphic-control state for the NEXT image (one GCE governs one
+    # image, then resets per spec)
+    disposal = 0
+    transparent: int | None = None
     frames: list[dict] = []
     while True:
         if i >= len(payload):
@@ -519,8 +596,22 @@ def _decode_gif_frames(payload: bytes) -> list[dict]:
             if frames:
                 return frames
             raise ValueError("GIF trailer before any image descriptor")
-        if b0 == 0x21:  # extension: label + sub-blocks, skip
+        if b0 == 0x21:  # extension: label + sub-blocks
+            if i >= len(payload):
+                raise ValueError("truncated GIF extension block")
+            label = payload[i]
             i += 1
+            if label == 0xF9:  # graphic control: disposal + transparency
+                if i + 1 + payload[i] > len(payload) or payload[i] < 4:
+                    raise ValueError("malformed GIF graphic control block")
+                gpacked = payload[i + 1]
+                disposal = (gpacked >> 2) & 0x07
+                transparent = payload[i + 4] if gpacked & 0x01 else None
+                if disposal > 3:
+                    raise ValueError(
+                        f"reserved GIF disposal method {disposal}"
+                    )
+            # skip the sub-blocks (GCE included — fields already read)
             while i < len(payload) and payload[i] != 0:
                 i += 1 + payload[i]
             if i >= len(payload):
@@ -531,23 +622,10 @@ def _decode_gif_frames(payload: bytes) -> list[dict]:
             raise ValueError(f"unexpected GIF block 0x{b0:02x}")
         left, top, w, h, ipacked = struct.unpack_from("<HHHHB", payload, i)
         i += 9
-        # typed-failure contract (like the BMP delta-escape rejection):
-        # sub-rectangle composite frames need disposal-method state this
-        # decoder does not model — refuse loudly instead of silently
-        # decoding a delta frame as a full standalone raster
-        if left != 0 or top != 0:
-            raise NotImplementedError(
-                f"GIF frame with non-zero image offset ({left},{top}) "
-                "requires composite/disposal handling (full-size frames only)"
-            )
-        if (w, h) != (sw, sh):
-            # applies to frame 0 as well (r10 ADVICE): a FIRST frame
-            # smaller than the logical screen is a sub-rectangle over
-            # background per spec — same composite/disposal state this
-            # decoder refuses for later frames
-            raise NotImplementedError(
-                f"GIF frame {w}x{h} differs from logical screen "
-                f"{sw}x{sh}; only full-size frames decode here"
+        if w == 0 or h == 0 or left + w > sw or top + h > sh:
+            raise ValueError(
+                f"GIF image rect {w}x{h}+{left}+{top} exceeds the "
+                f"{sw}x{sh} logical screen"
             )
         pal = global_pal
         if ipacked & 0x80:  # local color table wins for this image
@@ -582,23 +660,42 @@ def _decode_gif_frames(payload: bytes) -> list[dict]:
             for stored, actual in enumerate(order):
                 rows[actual] = idx[stored * w : (stored + 1) * w]
             idx = b"".join(rows)
-        # keep the typed-failure contract: a decoded index past the
-        # color table (legal streams can use 2/4/16-entry tables) must
-        # be ValueError, not an uncontrolled IndexError at pal[k]
-        if max(idx) >= len(pal):
+        # keep the typed-failure contract: a decoded OPAQUE index past
+        # the color table (legal streams can use 2/4/16-entry tables)
+        # must be ValueError, not an uncontrolled IndexError at pal[k]
+        # — transparent pixels never read the palette
+        bad = max(
+            (k for k in idx if k != transparent), default=-1
+        )
+        if bad >= len(pal):
             raise ValueError(
-                f"GIF index {max(idx)} beyond color table of {len(pal)}"
+                f"GIF index {bad} beyond color table of {len(pal)}"
             )
-        pixels = b"".join(pal[k] for k in idx)
+        before = bytes(canvas) if disposal == 3 else None
+        for r in range(h):
+            base = ((top + r) * sw + left) * 3
+            for c in range(w):
+                k = idx[r * w + c]
+                if k == transparent:
+                    continue
+                canvas[base + 3 * c : base + 3 * c + 3] = pal[k]
         frames.append(
             {
                 "format": "gif",
-                "width": w,
-                "height": h,
+                "width": sw,
+                "height": sh,
                 "maxval": 255,
-                "pixels": pixels,
+                "pixels": bytes(canvas),
             }
         )
+        if disposal == 2:  # restore the image's rect to background
+            for r in range(h):
+                base = ((top + r) * sw + left) * 3
+                canvas[base : base + 3 * w] = bg_rgb * w
+        elif disposal == 3:  # restore to the pre-draw canvas
+            canvas = bytearray(before)
+        disposal = 0
+        transparent = None
 
 
 def _png_chunk(tag: bytes, data: bytes) -> bytes:
@@ -1647,6 +1744,122 @@ def plant_png_deep(x: int) -> bytes:
         )
     idx = bytes(p % n for p in range(w * h))
     return encode_png_pal(w, h, idx, pal, d)
+
+
+def plant_gif_anim(x: int) -> bytes:
+    """Deterministic ANIMATED GIF with delta frames for hash seed
+    ``x`` — the planted exercise of the r11 compositing decoder. Three
+    images: a full-screen base raster ib(r,c) = (b0 + 7r + 3c) % 256,
+    then TWO sub-rectangle patches at seed-derived offsets/sizes, the
+    first carrying a seed-chosen disposal method (none / restore-to-
+    background / restore-to-previous) and optionally transparent index
+    7, the second optionally transparent index 11 — so the LAST
+    displayed frame depends on every piece of composition state:
+    where the patches landed, which of their pixels were transparent,
+    and what disposal did to patch 1 before patch 2 drew. Background
+    color index = x % 256 (what disposal 2 restores). All parameters
+    are affine in x, so the DuckDB oracle replays the final canvas
+    arithmetically, pixel by pixel."""
+    sw = 8 + x % 17
+    sh = 8 + (x // 7) % 13
+    bg = x % 256
+    b0 = x % 251
+    base = bytes(
+        (b0 + 7 * r + 3 * c) % 256 for r in range(sh) for c in range(sw)
+    )
+    left1 = x % (sw // 2)
+    top1 = (x // 3) % (sh // 2)
+    w1 = 1 + (x // 11) % (sw - left1)
+    h1 = 1 + (x // 13) % (sh - top1)
+    b1 = (x // 17) % 251
+    p1 = bytes(
+        (b1 + 5 * r + 2 * c) % 256 for r in range(h1) for c in range(w1)
+    )
+    d = (0, 2, 3)[(x // 19) % 3]
+    t1 = 7 if (x // 23) % 2 == 0 else None
+    left2 = (x // 29) % (sw // 2)
+    top2 = (x // 31) % (sh // 2)
+    w2 = 1 + (x // 37) % (sw - left2)
+    h2 = 1 + (x // 41) % (sh - top2)
+    b2 = (x // 43) % 251
+    p2 = bytes(
+        (b2 + 3 * r + 5 * c) % 256 for r in range(h2) for c in range(w2)
+    )
+    t2 = 11 if (x // 47) % 2 == 0 else None
+    return encode_gif_animated_composite(
+        sw,
+        sh,
+        [
+            dict(indexes=base),
+            dict(
+                left=left1, top=top1, w=w1, h=h1, indexes=p1,
+                disposal=d, transparent=t1,
+            ),
+            dict(
+                left=left2, top=top2, w=w2, h=h2, indexes=p2,
+                transparent=t2,
+            ),
+        ],
+        bg=bg,
+    )
+
+
+def extract_gif_anim_stats(media: DataFrame) -> DataFrame:
+    """Arrow-batched decode of EVERY displayed frame (the compositing
+    path — _decode_gif_frames), reducing the LAST displayed canvas to
+    the same channel stats as extract_image_stats plus the displayed
+    frame count. The last frame is the one that observed all
+    composition state (offsets, transparency, disposal), so a bug
+    anywhere in the compositor moves its hash."""
+    import numpy as np
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("n_frames", IntegerType()),
+            StructField("n_pixels", LongType()),
+            StructField("sum_r", LongType()),
+            StructField("sum_g", LongType()),
+            StructField("sum_b", LongType()),
+            StructField("mean_r_q4", LongType()),
+            StructField("mean_g_q4", LongType()),
+            StructField("mean_b_q4", LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = _decode_gif_frames(bytes(payload))
+                last = frames[-1]
+                arr = (
+                    np.frombuffer(last["pixels"], dtype=np.uint8)
+                    .reshape(-1, 3)
+                    .astype(np.int64)
+                )
+                sums = arr.sum(axis=0)
+                n = last["width"] * last["height"]
+                rows.append(
+                    (
+                        int(doc_id),
+                        last["width"],
+                        last["height"],
+                        len(frames),
+                        n,
+                        int(sums[0]),
+                        int(sums[1]),
+                        int(sums[2]),
+                        int(sums[0]) * 10000 // n,
+                        int(sums[1]) * 10000 // n,
+                        int(sums[2]) * 10000 // n,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=schema.fieldNames())
+
+    return media.mapInPandas(batches, schema)
 
 
 def attach_ppm_payload(docs_with_seed: DataFrame, planter=None) -> DataFrame:

@@ -1025,6 +1025,114 @@ def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 225. multimodal_decode_gif_anim — delta-frame compositing (r11)
+# --------------------------------------------------------------------------
+# The residual shrink VERDICT r10 task 7 asked for: most animated GIFs
+# in the wild use sub-rectangle delta frames, which the decoder used to
+# refuse with a typed NotImplementedError. Now _decode_gif_frames
+# models full GIF89a animation state — per-image graphic-control
+# extensions (disposal method + transparency index), sub-rectangle
+# composition onto the logical-screen canvas, restore-to-background /
+# restore-to-previous disposal — and this face proves it end to end:
+# plant a 3-image animation (full base + two seed-placed patches, one
+# carrying a seed-chosen disposal and optional transparent index),
+# decode ALL displayed frames through Arrow, and hash channel sums of
+# the LAST composited canvas, which observed every piece of state. The
+# oracle replays the final canvas arithmetically (every branch of the
+# compositor is a CASE arm over affine index patterns).
+_MM_GIF_ANIM_ORACLE = """
+WITH h AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(text), 1, 8))::UBIGINT AS BIGINT) AS x
+    FROM documents
+), dims AS (
+    SELECT doc_id, x,
+           CAST(8 + x % 17 AS INT) AS sw,
+           CAST(8 + (x // 7) % 13 AS INT) AS sh,
+           x % 256 AS bg, x % 251 AS b0,
+           (x // 17) % 251 AS b1,
+           (x // 43) % 251 AS b2,
+           CASE (x // 19) % 3 WHEN 0 THEN 0 WHEN 1 THEN 2 ELSE 3 END AS d,
+           (x // 23) % 2 = 0 AS t1f,
+           (x // 47) % 2 = 0 AS t2f
+    FROM h
+), pos AS (
+    SELECT *,
+           x % (sw // 2) AS left1, (x // 3) % (sh // 2) AS top1,
+           (x // 29) % (sw // 2) AS left2, (x // 31) % (sh // 2) AS top2
+    FROM dims
+), rects AS (
+    SELECT *,
+           1 + (x // 11) % (sw - left1) AS w1,
+           1 + (x // 13) % (sh - top1) AS h1,
+           1 + (x // 37) % (sw - left2) AS w2,
+           1 + (x // 41) % (sh - top2) AS h2
+    FROM pos
+), px AS (
+    SELECT doc_id, sw AS width, sh AS height,
+           CAST(sw * sh AS BIGINT) AS n_pixels,
+           [CASE
+              WHEN (p // sw) >= top2 AND (p // sw) < top2 + h2
+               AND (p % sw) >= left2 AND (p % sw) < left2 + w2
+               AND (NOT t2f OR
+                    (b2 + 3*((p // sw) - top2) + 5*((p % sw) - left2))
+                    % 256 <> 11)
+              THEN (b2 + 3*((p // sw) - top2) + 5*((p % sw) - left2)) % 256
+              WHEN d IN (0, 1)
+               AND (p // sw) >= top1 AND (p // sw) < top1 + h1
+               AND (p % sw) >= left1 AND (p % sw) < left1 + w1
+               AND (NOT t1f OR
+                    (b1 + 5*((p // sw) - top1) + 2*((p % sw) - left1))
+                    % 256 <> 7)
+              THEN (b1 + 5*((p // sw) - top1) + 2*((p % sw) - left1)) % 256
+              WHEN d = 2
+               AND (p // sw) >= top1 AND (p // sw) < top1 + h1
+               AND (p % sw) >= left1 AND (p % sw) < left1 + w1
+              THEN bg
+              ELSE (b0 + 7*(p // sw) + 3*(p % sw)) % 256
+            END FOR p IN range(0, sw * sh)] AS fi
+    FROM rects
+)
+SELECT doc_id, width, height, CAST(3 AS INT) AS n_frames, n_pixels,
+       CAST(list_sum([(k * 11 + 5) % 256 FOR k IN fi]) AS BIGINT) AS sum_r,
+       CAST(list_sum([(k * 13 + 7) % 256 FOR k IN fi]) AS BIGINT) AS sum_g,
+       CAST(list_sum([(k * 17 + 11) % 256 FOR k IN fi]) AS BIGINT) AS sum_b,
+       CAST(list_sum([(k * 11 + 5) % 256 FOR k IN fi]) * 10000
+            // n_pixels AS BIGINT) AS mean_r_q4,
+       CAST(list_sum([(k * 13 + 7) % 256 FOR k IN fi]) * 10000
+            // n_pixels AS BIGINT) AS mean_g_q4,
+       CAST(list_sum([(k * 17 + 11) % 256 FOR k IN fi]) * 10000
+            // n_pixels AS BIGINT) AS mean_b_q4
+FROM px
+"""
+
+
+@register(
+    "multimodal_decode_gif_anim",
+    oracle=_MM_GIF_ANIM_ORACLE,
+    tags=("llm", "multimodal"),
+)
+def multimodal_decode_gif_anim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated-GIF delta-frame compositing through the Arrow path:
+    plant 3-image GIF89a animations (operators/multimodal.
+    plant_gif_anim — full base raster + two sub-rectangle patches with
+    seed-derived offsets, disposal methods and transparency), decode
+    every displayed frame with the compositing decoder
+    (_decode_gif_frames: GCE parse, canvas composition, disposal
+    state), and reduce the LAST displayed canvas to channel sums
+    (extract_gif_anim_stats). Same two-stage mapInPandas shape and
+    100 TB layout notes as the other multimodal faces — payloads
+    stream through Arrow batches, rows map 1:1, nothing shuffles."""
+    from strava_data_pipeline_spark.operators import multimodal as M
+
+    docs = _docs(spark, sf_dir)
+    seeded = docs.select("doc_id", md5_u32(F.col("text")).alias("x"))
+    return M.extract_gif_anim_stats(
+        M.attach_ppm_payload(seeded, planter=M.plant_gif_anim)
+    )
+
+
+# --------------------------------------------------------------------------
 # 212. multimodal_decode_png — real zlib/filter decode (PNG) end to end
 # --------------------------------------------------------------------------
 # Fourth real codec, and the first with a DEFLATE stream: the Spark

@@ -153,6 +153,7 @@ def test_no_python_row_eval_in_query_path(spark, name):
         "multimodal_resize",
         "multimodal_decode_png_deep",
         "multimodal_decode_wav_ima",
+        "multimodal_decode_gif_anim",
     ):
         assert "MapInPandas" in plan
     else:

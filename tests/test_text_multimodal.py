@@ -1157,52 +1157,80 @@ class TestGifLzwCodec:
         d = decode_image(encode_gif_lzw(150, 150, idx))
         assert d["pixels"] == b"".join(self._rgb(k) for k in idx)
 
-    def test_sub_rectangle_frames_rejected(self):
-        # ADVICE r9: delta frames (non-zero offset, or a later frame
-        # smaller than the logical screen) need disposal-method
-        # compositing this decoder does not model — the typed-failure
-        # contract demands a loud NotImplementedError, not a silently
-        # wrong full-raster decode
+    def test_delta_frames_composite(self):
+        # r11 (VERDICT r10 task 7): delta frames COMPOSITE now — the
+        # r9-era typed rejection is gone. Patch a full-frame animation
+        # into sub-rectangle form and check the canvas math directly.
         import struct
 
         import pytest as _pytest
 
         from strava_data_pipeline_spark.operators.multimodal import (
             _decode_gif_frames,
+            _gif_palette_entry,
             encode_gif_animated,
+            encode_gif_animated_composite,
         )
 
-        f1 = bytes((i % 256 for i in range(64)))
-        f2 = bytes(((i * 3) % 256 for i in range(64)))
-        p = encode_gif_animated(8, 8, [f1, f2])
+        pal = [_gif_palette_entry(i) for i in range(256)]
+        base = bytes(i % 256 for i in range(64))
+        patch = bytes((i * 3) % 256 for i in range(6))
+        p = encode_gif_animated_composite(
+            8,
+            8,
+            [
+                dict(indexes=base),
+                dict(left=2, top=5, w=3, h=2, indexes=patch,
+                     transparent=3),
+            ],
+            bg=9,
+        )
+        frames = _decode_gif_frames(p)
+        assert len(frames) == 2
+        # frame 0 = the base raster, full screen
+        assert frames[0]["pixels"] == b"".join(pal[k] for k in base)
+        # frame 1 = base with the patch composited at (2,5), index 3
+        # transparent (shows base through)
+        canvas = [pal[k] for k in base]
+        for r in range(2):
+            for c in range(3):
+                k = patch[r * 3 + c]
+                if k != 3:
+                    canvas[(5 + r) * 8 + 2 + c] = pal[k]
+        assert frames[1]["pixels"] == b"".join(canvas)
+        assert (frames[1]["width"], frames[1]["height"]) == (8, 8)
+        # disposal methods: 2 clears the rect to background before the
+        # next frame; 3 restores the pre-draw canvas
+        for disp, want_under in ((2, pal[9]), (3, None)):
+            p2 = encode_gif_animated_composite(
+                8,
+                8,
+                [
+                    dict(indexes=base),
+                    dict(left=0, top=0, w=2, h=2, indexes=bytes(4),
+                         disposal=disp),
+                    dict(left=6, top=6, w=2, h=2, indexes=bytes(4)),
+                ],
+                bg=9,
+            )
+            fr = _decode_gif_frames(p2)
+            probe = fr[2]["pixels"][:3]  # pixel (0,0) after disposal
+            if disp == 2:
+                assert probe == pal[9]  # background restored
+            else:
+                assert probe == pal[base[0]]  # previous restored
+        # a rect past the logical screen is still a typed failure
+        f1 = bytes(i % 256 for i in range(64))
+        full = encode_gif_animated(8, 8, [f1, f1])
         desc = b"\x2c" + struct.pack("<HHHH", 0, 0, 8, 8)
-        first = p.find(desc)
-        second = p.find(desc, first + 1)
-        assert first != -1 and second != -1
-        # frame 2 with a non-zero left offset
-        off = p[:second + 1] + struct.pack("<H", 2) + p[second + 3 :]
-        with _pytest.raises(NotImplementedError, match="offset"):
+        second = full.find(desc, full.find(desc) + 1)
+        off = (
+            full[: second + 1]
+            + struct.pack("<H", 7)
+            + full[second + 3 :]
+        )
+        with _pytest.raises(ValueError, match="exceeds"):
             _decode_gif_frames(off)
-        # frame 2 whose size differs from the logical screen
-        small = (
-            p[: second + 5] + struct.pack("<HH", 4, 4) + p[second + 9 :]
-        )
-        with _pytest.raises(
-            NotImplementedError, match="differs from logical screen"
-        ):
-            _decode_gif_frames(small)
-        # r10 ADVICE: a FIRST frame smaller than the logical screen is
-        # also a sub-rectangle over background — same typed refusal,
-        # not a silent standalone w x h decode
-        small0 = (
-            p[: first + 5] + struct.pack("<HH", 4, 4) + p[first + 9 :]
-        )
-        with _pytest.raises(
-            NotImplementedError, match="differs from logical screen"
-        ):
-            _decode_gif_frames(small0)
-        # untouched stream still decodes both full-size frames
-        assert len(_decode_gif_frames(p)) == 2
 
     def test_kwkwk_uniform_run(self):
         # a uniform raster is the canonical KwKwK generator: the encoder
