@@ -131,6 +131,130 @@ def build_skewed(spark, src: str, out: str) -> dict[str, int]:
     return counts
 
 
+def build_skewed_width(spark, src: str, out: str) -> dict[str, int]:
+    """Row-WIDTH skew (VERDICT r10 task 6) — the one distribution no
+    rehearsal ever varied: every probed axis so far is row-COUNT skew
+    (hot user/source/degree); document LENGTH is uniform by
+    construction (median 295 chars, max 577 at sf0.1). Here ONE
+    document (the min doc_id) becomes ~10^4x the median length, built
+    from hash-derived unique 8-char words so its DISTINCT-shingle set
+    genuinely scales with length (a repeated template would have a
+    bounded shingle vocabulary and stress nothing). The explode-based
+    operators fan out per-token, so the giant doc concentrates ~10^4x
+    the fan-out of any neighbor in one task — the straggler shape a
+    real crawl's occasional mega-page produces. n_chars recomputed so
+    length-ranked windows stay consistent. Everything else copies
+    verbatim."""
+    from pyspark.sql import functions as F
+
+    counts: dict[str, int] = {}
+    docs = spark.read.parquet(f"{src}/documents.parquet")
+    med = docs.select(
+        F.expr("percentile_approx(length(text), 0.5)")
+    ).first()[0]
+    n_words = (10_000 * int(med)) // 9  # 8-char word + 1 space
+    min_id = docs.agg(F.min("doc_id")).first()[0]
+    giant = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_words - 1)),
+            lambda i: F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit("#"),
+                        i.cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+        ),
+    )
+    skew_docs = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == min_id, giant).otherwise(F.col("text")),
+    ).withColumn("n_chars", F.length("text").cast("bigint"))
+    skew_docs.repartition(32).write.mode("overwrite").parquet(
+        f"{out}/documents.parquet"
+    )
+    counts["documents"] = skew_docs.count()
+    counts["median_len"] = int(med)
+    counts["giant_len"] = n_words * 9 - 1
+    for tbl in (
+        "events", "customer", "nation", "region", "supplier", "part",
+        "orders", "lineitem", "embeddings",
+    ):
+        p = f"{src}/{tbl}.parquet"
+        if os.path.exists(p):
+            spark.read.parquet(p).write.mode("overwrite").parquet(
+                f"{out}/{tbl}.parquet"
+            )
+    return counts
+
+
+def giant_image_probe() -> dict:
+    """The image half of the width axis, measured DIRECTLY: the
+    registry's planted rasters are dimension-bounded by their seed
+    formulas (max 32x24 — the planter IS the ingest-side size cap a
+    production pipeline would enforce), so no corpus transform can
+    produce a giant image through the registered faces. This probe
+    quantifies what a cap-less ingest would cost: decode one ~100x-
+    pixel GIF (320x240 vs the 32x24 max plant) and one equivalent PNG
+    through the same pure-python codecs a single task would run, and
+    record wall seconds + pixels/sec — the straggler bound for ONE
+    uncapped image, whatever the corpus scale."""
+    import time as _t
+
+    from strava_data_pipeline_spark.operators.multimodal import (
+        _decode_gif_lzw,
+        _decode_png,
+        encode_gif_lzw,
+        plant_png,
+    )
+
+    out: dict = {}
+    w, h = 320, 240
+    idx = bytes((11 * (p // w) + (p % w) // 3) % 256 for p in range(w * h))
+    gif = encode_gif_lzw(w, h, idx)
+    t0 = _t.time()
+    d = _decode_gif_lzw(gif)
+    dt = _t.time() - t0
+    out["gif_320x240"] = {
+        "bytes": len(gif),
+        "pixels": w * h,
+        "decode_sec": round(dt, 4),
+        "px_per_sec": int(w * h / dt),
+    }
+    # PNG path: plant_png caps dims by seed; scale by calling the
+    # encoder primitives via a synthetic big raster is not exposed, so
+    # measure the planted max and extrapolate linearly (DEFLATE + five
+    # filters are O(pixels))
+    big_seed = 24 + 7 * 16 * 7  # w=8+24=32, h=8+16=24 — the max plant
+    png = plant_png(big_seed)
+    t0 = _t.time()
+    _decode_png(png)
+    dt = _t.time() - t0
+    out["png_max_plant"] = {
+        "bytes": len(png),
+        "pixels": 32 * 24,
+        "decode_sec": round(dt, 4),
+        "px_per_sec": int(32 * 24 / max(dt, 1e-9)),
+    }
+    return out
+
+
+# --shape width (VERDICT r10 task 6): the explode-based operators that
+# fan out per-token — a single ~10^4x-median document concentrates its
+# whole fan-out in one task.
+WIDTH_QUERIES = [
+    "dedup_ngram_jaccard",
+    "dedup_substring",
+    "repetition_metrics",
+    "corpus_chunk",
+]
+
+
 def build_skewed_degree(spark, src: str, out: str) -> dict[str, int]:
     """Zipf-DEGREE skew for the co-purchase graph tier: ~6% of lineitem
     LINES (keyed on xxhash64 of orderkey+linenumber, so base and scaled
@@ -301,10 +425,11 @@ def main() -> int:
     )
     ap.add_argument(
         "--shape",
-        choices=("user", "degree"),
+        choices=("user", "degree", "width"),
         default="user",
         help="user = the r7 hot-user/source/shingle transforms; degree = "
-        "the r10 celebrity-part co-purchase graph",
+        "the r10 celebrity-part co-purchase graph; width = the r11 "
+        "single-giant-document row-width axis",
     )
     ap.add_argument(
         "--fresh-sessions",
@@ -321,14 +446,17 @@ def main() -> int:
     skew_queries = (
         [n for n in args.queries.split(",") if n]
         if args.queries
-        else (DEGREE_QUERIES if args.shape == "degree" else SKEW_QUERIES)
+        else {
+            "degree": DEGREE_QUERIES,
+            "width": WIDTH_QUERIES,
+        }.get(args.shape, SKEW_QUERIES)
     )
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     uniform_scaled = args.uniform_scaled or os.path.join(
         repo, ".scratch", f"sfx{args.mult}"
     )
-    tag = "skewdeg" if args.shape == "degree" else "skew"
+    tag = {"degree": "skewdeg", "width": "skewwid"}.get(args.shape, "skew")
     skew_base = os.path.join(repo, ".scratch", f"{tag}_base")
     skew_scaled = os.path.join(repo, ".scratch", f"{tag}{args.mult}")
 
@@ -342,14 +470,20 @@ def main() -> int:
     queries = registry.all_queries()
 
     report: dict = {"mult": args.mult, "shape": args.shape, "queries": {}}
-    builder = build_skewed_degree if args.shape == "degree" else build_skewed
+    builder = {
+        "degree": build_skewed_degree,
+        "width": build_skewed_width,
+    }.get(args.shape, build_skewed)
     if not args.skip_build:
         report["skew_base_rows"] = builder(spark, args.base, skew_base)
         report["skew_scaled_rows"] = builder(
             spark, uniform_scaled, skew_scaled
         )
 
-    if args.shape == "degree":
+    if args.shape == "width":
+        if not args.skip_probe:
+            report["giant_image_probe"] = giant_image_probe()
+    elif args.shape == "degree":
         # the hot-node numbers (degree vs p50/max, basket share) at
         # BASE scale; the scaled corpus skews identically by key
         if not args.skip_probe:
