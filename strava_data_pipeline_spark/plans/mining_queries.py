@@ -1018,3 +1018,136 @@ def ann_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 10)
         .select("query_id", "neighbor_id", "hamming", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# 226. ann_binary_rerank — asymmetric float-query re-rank over Hamming (r11)
+# --------------------------------------------------------------------------
+# The RaBitQ-estimator second stage the r10 verdict floated (task 8):
+# symmetric Hamming distance throws away the query's float precision,
+# so stage 1 (integer Hamming over the 16-byte packed corpus — the
+# ann_binary shape with a deeper top-100) only SHORTLISTS, and stage 2
+# re-ranks the shortlist by the asymmetric estimator <q, sign(x)> =
+# sum_d q_d * (bit_d ? +1 : -1) — the query in exact BIGINT micro-units
+# (the ann_pq quantization discipline), the corpus STILL only its two
+# packed words (2*getbit - 1 recovers the sign; the index never grows
+# past 16 bytes/vector, which is the whole point). All-integer end to
+# end, ties break on neighbor_id — the oracle replays both stages
+# exactly. Scale: stage 1 is the proven scan+broadcast+WindowGroupLimit
+# shape; stage 2 touches 100 rows/query.
+_ANN_RERANK_ORACLE = f"""
+WITH packed AS (
+    SELECT vec_id,
+           coalesce({_duck_bits(True)}, 0) AS lo,
+           coalesce({_duck_bits(False)}, 0) AS hi
+    FROM embeddings
+), q AS (
+    SELECT vec_id AS query_id, lo AS qlo, hi AS qhi
+    FROM packed WHERE vec_id < 8
+), qv AS (
+    SELECT vec_id AS query_id,
+           [CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5)
+                 AS BIGINT) FOR i IN range(1, 65)] AS qm
+    FROM embeddings WHERE vec_id < 8
+), scored AS (
+    SELECT q.query_id, p.vec_id AS neighbor_id, p.lo, p.hi,
+           CAST(bit_count(xor(q.qlo, p.lo)) + bit_count(xor(q.qhi, p.hi))
+                AS BIGINT) AS hamming
+    FROM packed p, q WHERE p.vec_id != q.query_id
+), cand AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY hamming ASC, neighbor_id ASC) AS rk
+    FROM scored
+), est AS (
+    SELECT c.query_id, c.neighbor_id, c.hamming,
+           CAST(list_sum([qv.qm[d + 1] *
+                (CASE WHEN d < 32
+                      THEN CASE WHEN (c.lo >> d) & 1 = 1 THEN 1 ELSE -1 END
+                      ELSE CASE WHEN (c.hi >> (d - 32)) & 1 = 1
+                                THEN 1 ELSE -1 END END)
+                FOR d IN range(0, 64)]) AS BIGINT) AS est_score
+    FROM cand c JOIN qv ON qv.query_id = c.query_id
+    WHERE c.rk <= 100
+), ranked AS (
+    SELECT query_id, neighbor_id, hamming, est_score,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY est_score DESC, neighbor_id ASC) AS INT) AS rank
+    FROM est
+)
+SELECT query_id, neighbor_id, hamming, est_score, rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+@register(
+    "ann_binary_rerank",
+    oracle=_ANN_RERANK_ORACLE,
+    tags=("llm", "similarity"),
+)
+def ann_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage binary ANN: Hamming top-100 shortlist (the ann_binary
+    scan + 8-row broadcast + WindowGroupLimit shape, deeper k), then
+    asymmetric re-rank by the integer estimator
+    ``sum_d q_micro[d] * (2*getbit(word, d) - 1)`` — float query
+    precision recovered against the UNCHANGED 16-byte packed corpus.
+    Top-10 per query by estimated score, neighbor_id tie-break."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    packed = emb.select(
+        "vec_id",
+        F.expr(_BITS_LO).alias("lo"),
+        F.expr(_BITS_HI).alias("hi"),
+    )
+    q = packed.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("lo").alias("qlo"),
+        F.col("hi").alias("qhi"),
+    )
+    qm = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.transform(
+            V.as_double(F.col("v")),
+            lambda x: F.floor(x * F.lit(1000000.0) + F.lit(0.5)).cast(
+                "bigint"
+            ),
+        ).alias("qm"),
+    )
+    scored = (
+        packed.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "lo",
+            "hi",
+            (
+                F.bit_count(F.expr("qlo ^ lo"))
+                + F.bit_count(F.expr("qhi ^ hi"))
+            ).cast("bigint").alias("hamming"),
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id").asc()
+    )
+    cand = scored.withColumn("rk", F.row_number().over(w1)).where(
+        F.col("rk") <= 100
+    )
+    est = cand.join(F.broadcast(qm), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        "hamming",
+        F.expr(
+            "aggregate(sequence(0, 63), 0L, (acc, d) -> acc + "
+            "element_at(qm, d + 1) * (2 * CAST(IF(d < 32, "
+            "getbit(lo, d), getbit(hi, d - 32)) AS BIGINT) - 1L))"
+        ).cast("bigint").alias("est_score"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("est_score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        est.withColumn("rank", F.row_number().over(w2).cast("int"))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id", "hamming", "est_score", "rank")
+    )

@@ -55,6 +55,7 @@ _ENUMERATE_FIRST: tuple[str, ...] = (
     # --- new in r11: no official green row yet (prepend as registered) ---
     "attribution_unmatched_audit",
     "multimodal_decode_gif_anim",
+    "ann_binary_rerank",
     # --- latest official green row is round 6 (post-r10 histogram:
     #     r6:25 r7:50 r8:48 r9:50 r10:50, recomputed from
     #     CORRECTNESS_r0*.json) ---

@@ -398,3 +398,86 @@ class TestAnnBinary:
         # for the join
         assert "BroadcastNestedLoopJoin" in plan
         assert "SortMergeJoin" not in plan
+
+
+class TestAnnBinaryRerank:
+    """Two-stage contract: stage 1 must shortlist exactly the Hamming
+    top-100 (ann_binary's order), stage 2 must re-rank by the integer
+    asymmetric estimator — both replayed in numpy."""
+
+    @pytest.fixture(scope="class")
+    def rr_rows(self, spark):
+        return M.ann_binary_rerank(spark, SF).collect()
+
+    def test_vs_numpy_two_stage(self, spark, rr_rows):
+        import numpy as np
+
+        from strava_data_pipeline_spark.sources.catalog import load_table
+
+        emb = {
+            r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in load_table(spark, SF, "embeddings").collect()
+        }
+        bits = {k: (v > 0) for k, v in emb.items()}
+        qm = {
+            k: np.floor(v * 1e6 + 0.5).astype(np.int64)
+            for k, v in emb.items()
+            if k < 8
+        }
+        got = {}
+        for r in rr_rows:
+            got.setdefault(r["query_id"], []).append(
+                (r["rank"], r["neighbor_id"], r["hamming"], r["est_score"])
+            )
+        for qid in range(8):
+            ham = sorted(
+                (int((bits[qid] ^ b).sum()), nid)
+                for nid, b in bits.items()
+                if nid != qid
+            )
+            short = ham[:100]
+            est = sorted(
+                (
+                    -int((qm[qid] * np.where(bits[nid], 1, -1)).sum()),
+                    nid,
+                    h,
+                )
+                for h, nid in short
+            )
+            want = [
+                (rank, nid, h, -neg)
+                for rank, (neg, nid, h) in enumerate(est[:10], start=1)
+            ]
+            assert sorted(got[qid]) == want, f"query {qid}"
+
+    def test_estimator_tracks_true_cosine_better_than_hamming(
+        self, spark, rr_rows
+    ):
+        # sanity on the WHY: within the shortlist, the asymmetric
+        # score's top-10 true-dot-product sum should be >= the plain
+        # Hamming top-10's (it refines, never coarsens, on average
+        # across queries)
+        import numpy as np
+
+        from strava_data_pipeline_spark.sources.catalog import load_table
+
+        emb = {
+            r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in load_table(spark, SF, "embeddings").collect()
+        }
+        bits = {k: (v > 0) for k, v in emb.items()}
+        total_rr = total_ham = 0.0
+        by_q = {}
+        for r in rr_rows:
+            by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+        for qid, nids in by_q.items():
+            ham = sorted(
+                (int((bits[qid] ^ b).sum()), nid)
+                for nid, b in bits.items()
+                if nid != qid
+            )
+            total_ham += sum(
+                float(emb[qid] @ emb[nid]) for _, nid in ham[:10]
+            )
+            total_rr += sum(float(emb[qid] @ emb[nid]) for nid in nids)
+        assert total_rr >= total_ham - 1e-9

@@ -67,6 +67,7 @@ _BNLJ_OK = {
     "selectivity_audit",  # 1-row (N, ndv) broadcast onto the probe set
     "bloom_semi_join",  # 1-row bloom-bitmap broadcast (r10, decontaminate_bloom idiom)
     "ann_binary",  # bounded 8-row packed-query broadcast, like ann_topk
+    "ann_binary_rerank",  # same 8-row broadcast, two-stage (r11)
 }
 
 # plan-string caches; one build per query per pytest session. A failed
