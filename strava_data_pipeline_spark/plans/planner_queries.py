@@ -1162,19 +1162,28 @@ def _bsj_prefilter(spark: SparkSession, sf_dir: str):
         .groupBy("w")
         .agg(F.bit_or(F.expr("shiftleft(1L, b)")).alias("mask"))
     )
+    # Dense-array assembly WITHOUT a map: the previous shape
+    # (map_from_entries + per-position try_element_at) hid an O(W x E)
+    # wall — Spark's ArrayBasedMapData looks keys up by LINEAR scan,
+    # so at mult=100 (~260k word positions x ~600k set-bit entries)
+    # the single assembly task ground for hours (this is what stalled
+    # the r10 SCALING_M100_R10_new probe). Instead: a positions frame
+    # left-joins the sparse words (distributed, hash join), and ONE
+    # sorted collect builds the dense array — O(m log m) total, a few
+    # MB at the 2^26 cap. element_at on an ARRAY is O(1), so the probe
+    # side is unchanged.
+    positions = (
+        spark.range(m // 64).select(F.col("id").cast("int").alias("w"))
+    )
+    dense = positions.join(F.broadcast(words), "w", "left").select(
+        "w", F.coalesce("mask", F.lit(0).cast("bigint")).alias("mask")
+    )
     bitmap = (
-        words.groupBy()
+        dense.groupBy()
         .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("w", "mask"))
-            ).alias("m")
-        )
-        .select(
             F.transform(
-                F.sequence(F.lit(0), F.lit(m // 64 - 1)),
-                lambda w: F.coalesce(
-                    F.try_element_at("m", w), F.lit(0).cast("bigint")
-                ),
+                F.array_sort(F.collect_list(F.struct("w", "mask"))),
+                lambda s: s["mask"],
             ).alias("bitmap")
         )
     )
