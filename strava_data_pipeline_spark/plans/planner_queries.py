@@ -552,12 +552,18 @@ def quarantine_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("value")),
     )
     cols = [f.name for f in EVENT_SCHEMA.fields]
-    for k in range(4):
-        # one part-file per batch_key: coalesce(1) + append lands one
-        # file, and maxFilesPerTrigger=1 makes each file one micro-batch
-        feed.where(bk == k).select(*cols).coalesce(1).write.mode(
-            "append"
-        ).parquet(landing)
+    from strava_data_pipeline_spark.plans.streaming_faces import _land_many
+
+    # one part-file per batch_key (maxFilesPerTrigger=1 makes each file
+    # one micro-batch); the gate's fold is order-insensitive, so the
+    # pinned mtimes only make the batch split deterministic
+    _land_many(
+        landing,
+        [
+            (feed.where(bk == k).select(*cols), 1_000_000 + k)
+            for k in range(4)
+        ],
+    )
 
     stream = (
         spark.readStream.schema(EVENT_SCHEMA)
@@ -717,10 +723,15 @@ def rollup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     cols = [f.name for f in EVENT_SCHEMA.fields]
-    for k in range(4):
-        ev.where(F.col("event_id") % 4 == k).select(*cols).coalesce(
-            1
-        ).write.mode("append").parquet(landing)
+    from strava_data_pipeline_spark.plans.streaming_faces import _land_many
+
+    _land_many(
+        landing,
+        [
+            (ev.where(F.col("event_id") % 4 == k).select(*cols), 1_000_000 + k)
+            for k in range(4)
+        ],
+    )
 
     stream = (
         spark.readStream.schema(EVENT_SCHEMA)
@@ -857,26 +868,18 @@ def _attr_face_impl(
     ckpt = os.path.join(root, "ckpt")
     os.makedirs(landing)
 
+    from strava_data_pipeline_spark.plans.streaming_faces import _land_many
+
     ev = load_table(spark, sf_dir, "events")
     cols = [f.name for f in EVENT_SCHEMA.fields]
-    lo, hi = ev.agg(
-        F.min(F.col("ts").cast("long")), F.max(F.col("ts").cast("long"))
+    # one job resolves the slice bounds AND the feed size the store-
+    # width branch needs below (was two separate scans)
+    lo, hi, n_events = ev.agg(
+        F.min(F.col("ts").cast("long")),
+        F.max(F.col("ts").cast("long")),
+        F.count(F.lit(1)),
     ).first()
     step = (hi - lo) // 4 + 1
-
-    def land(df: DataFrame, mtime: int) -> None:
-        before = set(os.listdir(landing))
-        df.select(*cols).coalesce(1).write.mode("append").parquet(landing)
-        for f in set(os.listdir(landing)) - before:
-            if f.endswith(".parquet"):
-                os.utime(os.path.join(landing, f), (mtime, mtime))
-
-    for k in range(4):
-        sl = ev.where(
-            (F.col("ts").cast("long") >= lo + k * step)
-            & (F.col("ts").cast("long") < lo + (k + 1) * step)
-        )
-        land(sl, 1_000_000 + k)
 
     def flush_batch(n: int) -> DataFrame:
         # one row per SIDE (ids -1 -> lead branch, -3 -> follow
@@ -926,11 +929,10 @@ def _attr_face_impl(
         scoped_stream_shuffle,
     )
 
-    n_events = ev.count()
     # None = analytics width. Mirror stream_tuned's precedence: the env
     # override ALWAYS wins (tuning.py's documented contract), so a
     # cluster-wide stream re-size reaches this face's small-feed branch
-    # too (r8 ADVICE).
+    # too (r8 ADVICE). n_events comes from the fused bounds+count job.
     width = (
         4
         if n_events <= 1_000_000 and _ENV_KEY not in os.environ
@@ -943,10 +945,28 @@ def _attr_face_impl(
     # shape paid for (checkpoint + state-store reload, the dominant
     # cost of the mult=100 probe) bought nothing the in-run batch
     # boundary doesn't provide. Same committed rows, same oracle hash,
-    # verified at sf0.01 and mult=100.
+    # verified at sf0.01 and mult=100. All six slices land concurrently
+    # (_land_many — batch order is carried by the pinned mtimes alone);
+    # the landing writes are plain batch jobs, independent of the
+    # stream-scoped shuffle width.
+    _land_many(
+        landing,
+        [
+            (
+                ev.where(
+                    (F.col("ts").cast("long") >= lo + k * step)
+                    & (F.col("ts").cast("long") < lo + (k + 1) * step)
+                ).select(*cols),
+                1_000_000 + k,
+            )
+            for k in range(4)
+        ]
+        + [
+            (flush_batch(1).select(*cols), 1_000_010),
+            (flush_batch(2).select(*cols), 1_000_020),
+        ],
+    )
     with scoped_stream_shuffle(spark, width) if width else _noop_ctx():
-        land(flush_batch(1), 1_000_010)
-        land(flush_batch(2), 1_000_020)
         run_once()
 
     out = spark.read.parquet(target).where(F.col("follow_id") >= 0)

@@ -68,6 +68,43 @@ def _land(landing: str, df: DataFrame, mtime: int) -> None:
             os.utime(os.path.join(landing, f), (mtime, mtime))
 
 
+def _land_many(landing: str, staged: list[tuple[DataFrame, int]]) -> None:
+    """Land every (df, mtime) slice CONCURRENTLY — same one-file-per-
+    batch, pinned-mtime contract as :func:`_land`.
+
+    Each slice write is a single-task job (``coalesce(1)`` collapses
+    the slice's scan+filter into one task), so landing k slices
+    serially pays k full job latencies while 31 cores idle. The slices
+    are independent, so a small thread pool submits them together
+    (optimization guide §2.6 — concurrent jobs back-fill the idle
+    executors); each job writes to a private staging dir and the files
+    MOVE into ``landing`` afterward, so the mtime pinning never races
+    another writer's listdir diff. Batch ORDER is carried entirely by
+    the pinned mtimes, not by write completion order."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def write_one(item: tuple[int, tuple[DataFrame, int]]) -> None:
+        i, (df, mtime) = item
+        tmp = os.path.join(landing, f"_stage_{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        moved = 0
+        for f in os.listdir(tmp):
+            if f.endswith(".parquet"):
+                dst = os.path.join(landing, f)
+                os.replace(os.path.join(tmp, f), dst)
+                os.utime(dst, (mtime, mtime))
+                moved += 1
+        shutil.rmtree(tmp, ignore_errors=True)
+        if moved != 1:
+            raise RuntimeError(
+                f"slice {i}: expected exactly one parquet file, got {moved}"
+            )
+
+    with ThreadPoolExecutor(max_workers=min(8, len(staged))) as pool:
+        # list() re-raises the first worker exception
+        list(pool.map(write_one, enumerate(staged)))
+
+
 def _stream(spark: SparkSession, landing: str) -> DataFrame:
     from strava_data_pipeline_spark.streaming.sync import EVENT_SCHEMA
 
@@ -168,9 +205,6 @@ def sync_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(root, "ckpt")
 
     ev = load_table(spark, sf_dir, "events")
-    for k in range(4):
-        _land(landing, _event_cols(ev.where(F.col("event_id") % 4 == k)),
-              1_000_000 + k)
     day_end = F.to_timestamp(F.to_date("ts")) + F.expr(
         "INTERVAL 86399 SECONDS"
     )
@@ -182,7 +216,14 @@ def sync_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ts", day_end)
         .withColumn("value", F.col("value") + F.lit(1000.0))
     )
-    _land(landing, _event_cols(corrections), 1_000_004)
+    _land_many(
+        landing,
+        [
+            (_event_cols(ev.where(F.col("event_id") % 4 == k)), 1_000_000 + k)
+            for k in range(4)
+        ]
+        + [(_event_cols(corrections), 1_000_004)],
+    )
 
     start_incremental_sync(
         _stream(spark, landing), target, ckpt
@@ -243,8 +284,6 @@ def windowed_counts_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     slices, hi = _time_slices(ev)
-    for k, sl in enumerate(slices):
-        _land(landing, _event_cols(sl), 1_000_000 + k)
 
     def run_once() -> None:
         (
@@ -264,8 +303,14 @@ def windowed_counts_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # window — the second run the old shape paid for (checkpoint +
     # state-store reload) bought nothing the in-run batch boundary
     # doesn't provide. Same committed rows, same oracle hash.
-    _land(landing, _flush_row(spark, hi + 864_000), 1_000_010)
-    _land(landing, _flush_row(spark, hi + 1_728_000), 1_000_020)
+    _land_many(
+        landing,
+        [(_event_cols(sl), 1_000_000 + k) for k, sl in enumerate(slices)]
+        + [
+            (_flush_row(spark, hi + 864_000), 1_000_010),
+            (_flush_row(spark, hi + 1_728_000), 1_000_020),
+        ],
+    )
     run_once()
 
     # Window bounds go out as epoch-second BIGINTs on BOTH sides: DuckDB's
@@ -320,10 +365,34 @@ def dedup_stream_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(root, "ckpt")
 
     ev = load_table(spark, sf_dir, "events")
-    slices, _hi = _time_slices(ev)
-    bounds = [
-        sl.agg(F.max(F.col("ts").cast("long"))).first()[0] for sl in slices
+    lo, _hi = ev.agg(
+        F.min(F.col("ts").cast("long")), F.max(F.col("ts").cast("long"))
+    ).first()
+    step = (_hi - lo) // 4 + 1
+    slices = [
+        ev.where(
+            (F.col("ts").cast("long") >= lo + i * step)
+            & (F.col("ts").cast("long") < lo + (i + 1) * step)
+        )
+        for i in range(4)
     ]
+    # all four per-slice maxima in ONE aggregation job (conditional
+    # maxes over the shared scan) instead of one .first() job per slice
+    bounds = list(
+        ev.agg(
+            *[
+                F.max(
+                    F.when(
+                        (F.col("ts").cast("long") >= lo + i * step)
+                        & (F.col("ts").cast("long") < lo + (i + 1) * step),
+                        F.col("ts").cast("long"),
+                    )
+                )
+                for i in range(4)
+            ]
+        ).first()
+    )
+    staged = []
     for k, sl in enumerate(slices):
         batch = _event_cols(sl)
         dups = _event_cols(sl.where(F.col("event_id") % 7 == 0))
@@ -332,7 +401,8 @@ def dedup_stream_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("ts").cast("long") > bounds[k - 1] - 1800
             )
             dups = dups.unionByName(_event_cols(tail))
-        _land(landing, batch.unionByName(dups), 1_000_000 + k)
+        staged.append((batch.unionByName(dups), 1_000_000 + k))
+    _land_many(landing, staged)
 
     (
         dedup_stream(_stream(spark, landing))
@@ -422,8 +492,6 @@ def session_window_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     slices, hi = _time_slices(ev)
-    for k, sl in enumerate(slices):
-        _land(landing, _event_cols(sl), 1_000_000 + k)
 
     def run_once() -> None:
         (
@@ -439,8 +507,14 @@ def session_window_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single availableNow run, both flushes mtime-staged — see
     # windowed_counts_audit's note (maxFilesPerTrigger=1 gives flush 2
     # a batch with flush 1's advanced watermark in-run)
-    _land(landing, _flush_row(spark, hi + 864_000), 1_000_010)
-    _land(landing, _flush_row(spark, hi + 1_728_000), 1_000_020)
+    _land_many(
+        landing,
+        [(_event_cols(sl), 1_000_000 + k) for k, sl in enumerate(slices)]
+        + [
+            (_flush_row(spark, hi + 864_000), 1_000_010),
+            (_flush_row(spark, hi + 1_728_000), 1_000_020),
+        ],
+    )
     run_once()
 
     return spark.read.parquet(target).where(F.col("user_id") >= 0).select(
@@ -486,9 +560,13 @@ def enrich_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(root, "ckpt")
 
     ev = load_table(spark, sf_dir, "events")
-    for k in range(4):
-        _land(landing, _event_cols(ev.where(F.col("event_id") % 4 == k)),
-              1_000_000 + k)
+    _land_many(
+        landing,
+        [
+            (_event_cols(ev.where(F.col("event_id") % 4 == k)), 1_000_000 + k)
+            for k in range(4)
+        ],
+    )
 
     users = load_table(spark, sf_dir, "customer")
     (
@@ -547,8 +625,10 @@ def ewma_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     slices, _hi = _time_slices(ev)
-    for k, sl in enumerate(slices):
-        _land(landing, _event_cols(sl), 1_000_000 + k)
+    _land_many(
+        landing,
+        [(_event_cols(sl), 1_000_000 + k) for k, sl in enumerate(slices)],
+    )
 
     start_ewma_sink(
         _stream(spark, landing), target, ckpt
@@ -618,9 +698,6 @@ def versioned_sink_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(root, "ckpt")
 
     ev = load_table(spark, sf_dir, "events")
-    for k in range(4):
-        _land(landing, _event_cols(ev.where(F.col("event_id") % 4 == k)),
-              1_000_000 + k)
     day_end = F.to_timestamp(F.to_date("ts")) + F.expr(
         "INTERVAL 86399 SECONDS"
     )
@@ -632,7 +709,14 @@ def versioned_sink_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ts", day_end)
         .withColumn("value", F.col("value") + F.lit(1000.0))
     )
-    _land(landing, _event_cols(corrections), 1_000_004)
+    _land_many(
+        landing,
+        [
+            (_event_cols(ev.where(F.col("event_id") % 4 == k)), 1_000_000 + k)
+            for k in range(4)
+        ]
+        + [(_event_cols(corrections), 1_000_004)],
+    )
 
     def run_once(checkpoint: str) -> None:
         start_versioned_sink(
@@ -798,8 +882,13 @@ def dedup_index_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(root, "ckpt")
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    for k in range(4):
-        _land(landing, docs.where(F.col("doc_id") % 4 == k), 1_000_000 + k)
+    _land_many(
+        landing,
+        [
+            (docs.where(F.col("doc_id") % 4 == k), 1_000_000 + k)
+            for k in range(4)
+        ],
+    )
 
     start_minhash_dedup_sink(
         read_doc_stream(spark, landing), index_root, kept_dir, ckpt
@@ -874,8 +963,6 @@ def stateful_session_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     slices, hi = _time_slices(ev)
-    for k, sl in enumerate(slices):
-        _land(landing, _event_cols(sl), 1_000_000 + k)
 
     def run_once() -> None:
         (
@@ -893,8 +980,14 @@ def stateful_session_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single availableNow run, both flushes mtime-staged — see
     # windowed_counts_audit's note (flush 2's batch fires the event-time
     # timeouts under flush 1's advanced watermark in-run)
-    _land(landing, _flush_row(spark, hi + 864_000), 1_000_010)
-    _land(landing, _flush_row(spark, hi + 1_728_000), 1_000_020)
+    _land_many(
+        landing,
+        [(_event_cols(sl), 1_000_000 + k) for k, sl in enumerate(slices)]
+        + [
+            (_flush_row(spark, hi + 864_000), 1_000_010),
+            (_flush_row(spark, hi + 1_728_000), 1_000_020),
+        ],
+    )
     run_once()
 
     return spark.read.parquet(target).where(F.col("user_id") >= 0).select(
@@ -950,9 +1043,13 @@ def cms_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(root, "ckpt")
 
     ev = load_table(spark, sf_dir, "events")
-    for k in range(4):
-        _land(landing, _event_cols(ev.where(F.col("event_id") % 4 == k)),
-              1_000_000 + k)
+    _land_many(
+        landing,
+        [
+            (_event_cols(ev.where(F.col("event_id") % 4 == k)), 1_000_000 + k)
+            for k in range(4)
+        ],
+    )
 
     start_cms_sink(_stream(spark, landing), target, ckpt).awaitTermination()
 

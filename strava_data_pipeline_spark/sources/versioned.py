@@ -244,6 +244,114 @@ def commit_snapshot_partitioned(
     return ver
 
 
+def onepass_tokens_ok(part_values: list) -> bool:
+    """True iff every touched value round-trips the manifest token
+    scheme verbatim AND none is null — the precondition for
+    :func:`commit_snapshot_partitioned_onepass`, whose manifest tokens
+    are taken from Spark's own partition-dir names. A null value would
+    land under Hive's ``__HIVE_DEFAULT_PARTITION__`` dir (not the
+    store's reserved null token), and a sanitized value would not
+    round-trip; both keep the per-partition loop path. ``=`` is token-
+    clean but Hive-escaped in directory names, so it is excluded too."""
+    return all(
+        v is not None and _part_token(v) == str(v) and "=" not in str(v)
+        for v in part_values
+    )
+
+
+def commit_snapshot_partitioned_onepass(
+    changed: DataFrame,
+    root: str,
+    part_col: str,
+    part_values: list,
+    drop_part_values: list | None = None,
+) -> int:
+    """One-Spark-job sibling of :func:`commit_snapshot_partitioned` for
+    batches that touch MANY partitions: identical manifest-splice
+    contract (untouched entries reused verbatim, touched partitions
+    rewritten under ``seg/v<N>``), but the touched dirs are laid down
+    by a single dynamic ``partitionBy`` write instead of one
+    filter-and-write Spark job per partition. The loop path is the
+    right trade for a trigger touching a handful of days; a batch
+    touching every day of a month is 30 sequential jobs there (and a
+    100 TB churn batch thousands) against exactly one here — job-count
+    O(1) vs O(touched partitions), same committed bytes.
+
+    Two contract refinements over the loop, both strictly safer:
+    - a touched partition whose post-merge contents are EMPTY simply
+      produces no dir and drops out of the manifest (the loop path
+      needs the caller to pre-compute that set or it publishes an
+      empty dir that breaks schema inference);
+    - ``changed`` is evaluated exactly once (the loop persists it and
+      re-filters per partition).
+
+    Requires :func:`onepass_tokens_ok` — every touched value must be
+    non-null and render its own manifest token (dates/ints/safe
+    strings; the streaming sink's ``p_day`` always does). The data
+    files keep ``part_col`` (a duplicate ``__part`` column drives the
+    layout), so readers see the loop path's schema."""
+    spark = changed.sparkSession
+    prev = current_version(spark, root)
+    manifest: dict[str, str] = {}
+    if prev:
+        prev_manifest = read_manifest(spark, root, prev)
+        if prev_manifest is None:
+            raise ValueError(
+                f"snapshot v={prev} under {root} is a legacy full-directory "
+                "version with no partition manifest; use "
+                "commit_snapshot_partitioned(migrate_legacy=True) for the "
+                "one-time migration."
+            )
+        manifest = dict(prev_manifest)
+    if not onepass_tokens_ok(part_values):
+        raise ValueError(
+            "onepass partitioned commit requires non-null, token-clean "
+            "partition values; use commit_snapshot_partitioned for values "
+            "that need sanitizing"
+        )
+    ver = (prev or 0) + 1
+    seg_rel = f"seg/v{ver}"
+    # static overwrite of the whole unpublished seg dir: a crashed
+    # earlier attempt at this version number is wholly replaced
+    (
+        changed.withColumn("__part", F.col(part_col))
+        .write.mode("overwrite")
+        .partitionBy("__part")
+        .parquet(f"{root}/{seg_rel}")
+    )
+    fs, jvm = _fs(spark, root)
+    produced: dict[str, str] = {}
+    for status in fs.listStatus(jvm.org.apache.hadoop.fs.Path(f"{root}/{seg_rel}")):
+        name = status.getPath().getName()
+        if not status.isDirectory() or not name.startswith("__part="):
+            continue
+        raw = name[len("__part=") :]
+        if _part_token(raw) != raw:
+            raise ValueError(
+                f"onepass partition value {raw!r} does not round-trip the "
+                "manifest token scheme; use commit_snapshot_partitioned"
+            )
+        produced[raw] = f"{seg_rel}/{name}"
+    # touched-but-now-empty partitions produced no dir: they leave the
+    # manifest here, which is exactly the loop path's `drop` semantics
+    for val in list(part_values) + list(drop_part_values or []):
+        manifest.pop(_part_token(val), None)
+    manifest.update(produced)
+    if not manifest:
+        raise ValueError(
+            f"onepass partitioned commit under {root} would publish an "
+            "empty manifest (no partitions written or reused); refusing"
+        )
+    orphan = _manifest_path(jvm, root, ver)
+    if fs.exists(orphan):
+        # a crashed earlier attempt's manifest; its data dirs lived
+        # under seg/v<ver>, which the static overwrite just replaced
+        fs.delete(orphan, False)
+    _write_manifest(spark, root, ver, manifest)
+    fs.create(jvm.org.apache.hadoop.fs.Path(f"{root}/_v_{ver}.committed"), False).close()
+    return ver
+
+
 def commit_snapshot_bulk_partitioned(
     changed: DataFrame, root: str, part_col: str
 ) -> int:
