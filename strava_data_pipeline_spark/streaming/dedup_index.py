@@ -107,14 +107,38 @@ def start_minhash_dedup_sink(
         kept.write.mode("overwrite").parquet(
             os.path.join(kept_dir, f"batch={batch_id}")
         )
-        new_kept_sigs = sig_new.drop("is_new").join(
-            F.broadcast(kept.select("doc_id")), "doc_id", "left_semi"
+        # Survivor ids come BACK from the parquet just committed — a
+        # trigger-sized scan that cuts the lineage to the judge
+        # pipeline. ``kept`` itself is unpersisted lineage through
+        # minhash_incremental_pairs; using it to build the two
+        # broadcast id sets below re-ran the whole band-join judge
+        # once PER BROADCAST (measured: the index-commit write grew
+        # 3.3s -> 11.1s across four triggers at sf0.1). The committed
+        # file is also the exactly-once source of truth for what
+        # survived.
+        kept_ids = spark.read.parquet(
+            os.path.join(kept_dir, f"batch={batch_id}")
+        ).select("doc_id")
+        # derive the survivors' signatures from the PERSISTED sig_all
+        # (cache hit) — carving them out of the bare sig_new subtree
+        # re-ran the whole shingle→hash→min pipeline a second time per
+        # trigger for the index commit's write
+        new_kept_sigs = (
+            sig_all.where(F.col("is_new"))
+            .drop("is_new")
+            .join(F.broadcast(kept_ids), "doc_id", "left_semi")
         )
-        # dropDuplicates on the id: a crash-replayed batch's survivors
-        # are ALREADY in the index — the union must re-merge them as a
-        # no-op by value, not grow a second signature row per doc
+        # A crash-replayed batch's survivors are ALREADY in the index —
+        # the union must re-merge them as a no-op by value, not grow a
+        # second signature row per doc. A broadcast anti-join of the
+        # index against the batch's (batch-sized) id set does that
+        # without the full-index exchange a dropDuplicates pays per
+        # trigger: the index side never shuffles, which is also the
+        # 100 TB shape (index O(corpus), batch ids O(trigger)).
         kept_sigs = (
-            index.unionByName(new_kept_sigs).dropDuplicates(["doc_id"])
+            index.join(
+                F.broadcast(kept_ids), "doc_id", "left_anti"
+            ).unionByName(new_kept_sigs)
             if index is not None
             else new_kept_sigs
         )
