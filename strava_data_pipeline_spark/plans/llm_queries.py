@@ -3880,14 +3880,23 @@ def export_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     bodies = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "text"
     )
-    kept = clean.select("doc_id").join(meta, "doc_id").join(bodies, "doc_id")
+    # persisted across BOTH export calls: the replay's fingerprint
+    # check is then a cache scan instead of a second full run of the
+    # four-stage curation pipeline (export_corpus_shards only persists
+    # when the caller didn't)
+    kept = (
+        clean.select("doc_id").join(meta, "doc_id").join(bodies, "doc_id")
+    ).persist()
 
     tag = _hl.md5(sf_dir.encode()).hexdigest()[:6]
     root = f"spark-warehouse/_corpusexport_{tag}"
     _sh.rmtree(root, ignore_errors=True)
 
-    v1, wrote1 = export_corpus_shards(kept, root, _EXPORT_TARGET)
-    v2, wrote2 = export_corpus_shards(kept, root, _EXPORT_TARGET)
+    try:
+        v1, wrote1 = export_corpus_shards(kept, root, _EXPORT_TARGET)
+        v2, wrote2 = export_corpus_shards(kept, root, _EXPORT_TARGET)
+    finally:
+        kept.unpersist()
     assert wrote1 and not wrote2 and v1 == v2, (v1, wrote1, v2, wrote2)
 
     committed = read_snapshot(spark, root)
