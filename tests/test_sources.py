@@ -734,3 +734,113 @@ class TestCorpusExport:
         with _pytest.raises(ValueError, match="empty corpus export"):
             export_corpus_shards(empty, root, 100)
         assert V.committed_versions(spark, root) == []
+
+
+class TestOnepassPartitionedCommit:
+    """r11 optimization: the one-Spark-job sibling of
+    commit_snapshot_partitioned must splice manifests identically to
+    the loop path, auto-drop emptied partitions, and refuse values its
+    dir-name-derived tokens cannot represent."""
+
+    def test_onepass_matches_loop_semantics(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from strava_data_pipeline_spark.sources import versioned as V
+
+        root = str(tmp_path / "onepass_store")
+        full = spark.range(12).withColumn("p", (F.col("id") % 3).cast("int"))
+        v1 = V.commit_snapshot_partitioned(full, root, "p")  # loop path
+        assert v1 == 1
+        # one-pass rewrite of p in {0, 1}: p=2 must be reused verbatim
+        upd = spark.range(100, 108).withColumn(
+            "p", (F.col("id") % 2).cast("int")
+        )
+        v2 = V.commit_snapshot_partitioned_onepass(
+            upd, root, "p", part_values=[0, 1]
+        )
+        assert v2 == 2
+        got = V.read_snapshot(spark, root, v2)
+        ids = sorted(r["id"] for r in got.collect())
+        # p=2 keeps its v1 rows (2, 5, 8, 11); p=0/1 fully replaced
+        assert ids == [2, 5, 8, 11] + list(range(100, 108))
+        # manifest reuses the v1 dir for p=2 and points 0/1 at seg/v2
+        man = V.read_manifest(spark, root, v2)
+        assert man["2"].startswith("seg/v1/")
+        assert man["0"].startswith("seg/v2/") and man["1"].startswith("seg/v2/")
+
+    def test_onepass_drops_emptied_partition_without_a_dir(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from strava_data_pipeline_spark.sources import versioned as V
+
+        root = str(tmp_path / "onepass_empty")
+        full = spark.range(6).withColumn("p", (F.col("id") % 2).cast("int"))
+        V.commit_snapshot_partitioned(full, root, "p")
+        # the post-merge contents of touched {0, 1} hold only p=0 rows:
+        # p=1 emptied (every key moved) and must LEAVE the manifest
+        merged = spark.range(50, 53).withColumn("p", F.lit(0).cast("int"))
+        v2 = V.commit_snapshot_partitioned_onepass(
+            merged, root, "p", part_values=[0, 1]
+        )
+        man = V.read_manifest(spark, root, v2)
+        assert "1" not in man and man["0"].startswith("seg/v2/")
+        assert sorted(r["id"] for r in V.read_snapshot(spark, root, v2).collect()) == [
+            50,
+            51,
+            52,
+        ]
+        # partition-pruned read of the dropped day resolves to None
+        assert V.read_snapshot_parts(spark, root, [1], version=v2) is None
+
+    def test_onepass_refuses_unclean_tokens(self, spark, tmp_path):
+        import pytest
+        from pyspark.sql import functions as F
+
+        from strava_data_pipeline_spark.sources import versioned as V
+
+        assert not V.onepass_tokens_ok([None])
+        assert not V.onepass_tokens_ok(["a/b"])
+        assert not V.onepass_tokens_ok(["a=b"])
+        assert V.onepass_tokens_ok(["2024-01-01", 7, "tok_a"])
+        root = str(tmp_path / "onepass_unclean")
+        df = spark.range(2).withColumn("p", F.lit("a/b"))
+        with pytest.raises(ValueError, match="token-clean"):
+            V.commit_snapshot_partitioned_onepass(df, root, "p", part_values=["a/b"])
+        assert V.committed_versions(spark, root) == []
+
+
+class TestLandMany:
+    """r11 optimization: concurrent slice landings must keep the
+    one-file-per-batch, pinned-mtime contract the file-source batch
+    ordering depends on."""
+
+    def test_land_many_one_file_per_slice_mtimes_pinned(self, spark, tmp_path):
+        import os
+
+        from strava_data_pipeline_spark.plans.streaming_faces import _land_many
+
+        landing = str(tmp_path / "landing")
+        os.makedirs(landing)
+        staged = [
+            (spark.range(i * 10, i * 10 + 5), 2_000_000 + i) for i in range(5)
+        ]
+        _land_many(landing, staged)
+        files = sorted(
+            f for f in os.listdir(landing) if f.endswith(".parquet")
+        )
+        assert len(files) == 5
+        # no staging dirs left behind
+        assert not [f for f in os.listdir(landing) if f.startswith("_stage_")]
+        # mtime order must recover the staged order exactly, and each
+        # file must hold exactly its slice's rows
+        by_mtime = sorted(
+            files, key=lambda f: os.path.getmtime(os.path.join(landing, f))
+        )
+        for i, fname in enumerate(by_mtime):
+            got = sorted(
+                r["id"]
+                for r in spark.read.parquet(
+                    os.path.join(landing, fname)
+                ).collect()
+            )
+            assert got == list(range(i * 10, i * 10 + 5))
