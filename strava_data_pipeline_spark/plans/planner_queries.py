@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from strava_data_pipeline_spark.functions.hashing import md5_u32
+from strava_data_pipeline_spark.functions.local_frames import one_slice_frame
 from strava_data_pipeline_spark.plans.registry import register
 from strava_data_pipeline_spark.sources.catalog import load_table
 from strava_data_pipeline_spark.streaming.tuning import stream_tuned
@@ -625,7 +626,7 @@ def quarantine_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise AnalysisException("no published batches")
         published = grouped_audit(spark.read.parquet(target), "publish")
     except AnalysisException:
-        published = spark.createDataFrame([], audit_schema)
+        published = one_slice_frame(spark, [], audit_schema)
 
     # quarantined side: report the COMMITTED audit counts, associated
     # to their batch_key through the quarantined rows in the same
@@ -655,7 +656,7 @@ def quarantine_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rows",
         )
     else:
-        quarantined = spark.createDataFrame([], audit_schema)
+        quarantined = one_slice_frame(spark, [], audit_schema)
     return published.unionAll(quarantined)
 
 
@@ -887,10 +888,15 @@ def _attr_face_impl(
         # watermark is their min
         from datetime import datetime, timezone
 
+        from strava_data_pipeline_spark.functions.local_frames import (
+            one_slice_frame,
+        )
+
         t = datetime.fromtimestamp(hi + n * 864_000, tz=timezone.utc).replace(
             tzinfo=None
         )
-        return spark.createDataFrame(
+        return one_slice_frame(
+            spark,
             [(-1, t, -1, "view", 0.0), (-3, t, -1, "purchase", 0.0)],
             EVENT_SCHEMA,
         )

@@ -139,11 +139,14 @@ def _time_slices(ev: DataFrame, k: int = 4) -> list[DataFrame]:
 def _flush_row(spark: SparkSession, epoch_s: int) -> DataFrame:
     from datetime import datetime, timezone
 
+    from strava_data_pipeline_spark.functions.local_frames import (
+        one_slice_frame,
+    )
     from strava_data_pipeline_spark.streaming.sync import EVENT_SCHEMA
 
     t = datetime.fromtimestamp(epoch_s, tz=timezone.utc).replace(tzinfo=None)
-    return spark.createDataFrame(
-        [(-1, t, -1, _FLUSH_TYPE, 0.0)], EVENT_SCHEMA
+    return one_slice_frame(
+        spark, [(-1, t, -1, _FLUSH_TYPE, 0.0)], EVENT_SCHEMA
     )
 
 

@@ -30,6 +30,8 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from strava_data_pipeline_spark.functions.local_frames import one_slice_frame
+
 def _checks() -> list[tuple[str, F.Column]]:
     """(check_name, violation predicate) pairs over the event schema."""
     return [
@@ -80,8 +82,10 @@ def start_quality_gated_sink(
             batch.write.mode("overwrite").parquet(
                 os.path.join(bdir, "rows")
             )
-            batch.sparkSession.createDataFrame(
-                rows, "check_name string, n_violations bigint"
+            one_slice_frame(
+                batch.sparkSession,
+                rows,
+                "check_name string, n_violations bigint",
             ).coalesce(1).write.mode("overwrite").parquet(
                 os.path.join(bdir, "audit")
             )
