@@ -170,6 +170,7 @@ def minhash_incremental_pairs(
     rows_per_band: int = ROWS_PER_BAND,
     max_bucket: int = MAX_BUCKET,
     persist_sig: bool = True,
+    probe_prune: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs for a NEW BATCH against the full corpus
     — the production dedup shape: a 100 TB corpus's band index is built
@@ -221,6 +222,26 @@ def minhash_incremental_pairs(
     ).select(
         id_col, new_col, F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
     )
+    # Prune the corpus band table to the buckets the BATCH probes,
+    # BEFORE the hot-bucket window: a bucket with no batch row can
+    # produce no pair (side ``a`` is batch-only), and every batch row
+    # is its own probe, so dropping unprobed buckets changes nothing —
+    # while the per-bucket counts stay EXACT (the semi-join keeps every
+    # corpus row of a probed bucket, so the window still counts
+    # index + batch members alike, identical to the unpruned cap).
+    # This turns the per-trigger/per-call corpus-side work from a full
+    # band-table exchange + sort (the window) into a map-only scan
+    # against a broadcast of O(batch) bucket keys — the corpus never
+    # shuffles, which is the 100 TB shape (index O(corpus), batch
+    # O(trigger)).
+    if probe_prune:
+        # no .distinct() on the build side: a semi-join only tests
+        # containment, so duplicate probe keys are harmless and the
+        # dedup exchange inside the broadcast build is pure overhead
+        probe_keys = bands.where(F.col(new_col)).select("band", "bkey")
+        bands = bands.join(
+            F.broadcast(probe_keys), ["band", "bkey"], "left_semi"
+        )
     bands = cap_hot_buckets(bands, ["band", "bkey"], max_bucket, "minhash_inc_skew")
     a, b_ = bands.where(F.col(new_col)).alias("a"), bands.alias("b")
     pairs = (

@@ -19,14 +19,16 @@ rewrites the same rows instead of appending duplicates; a replay after
 the index snapshot but before the marker re-merges the same signatures
 — a set-union no-op by value; a marked batch is skipped outright.
 
-Scale notes: the index snapshot is a FULL rewrite per trigger —
-signatures are ~70 bytes/doc, so the index for a 1e9-doc corpus is
-~70 GB, at which point the upgrade path is the partitioned store
-(commit_snapshot_partitioned on a doc_id-range column) plus a persisted
-band index bucketed by (band, bkey) so the candidate join prunes to the
-batch's buckets instead of re-banding every signature. Both upgrades
-change this module only — the operator and verdict rules are shared
-with the batch path.
+Scale notes: the judge prunes the index band table to the BATCH's
+bucket keys before any shuffle (minhash_incremental_pairs' probe-
+bucket semi-join), so per-trigger exchange work is O(batch x bucket)
+and the index side is only ever a map-side scan. What stays O(index)
+per trigger is that scan plus the FULL snapshot rewrite — signatures
+are ~70 bytes/doc, so the index for a 1e9-doc corpus is ~70 GB, at
+which point the upgrade path is the partitioned store
+(commit_snapshot_partitioned on a doc_id-range column) so each trigger
+rewrites only touched ranges. That upgrade changes this module only —
+the operator and verdict rules are shared with the batch path.
 """
 
 from __future__ import annotations
@@ -87,7 +89,20 @@ def start_minhash_dedup_sink(
         if batch_committed(spark, index_root, batch_id, app_id=app_id):
             return
         batch = batch.persist()
-        sig_new = minhash_signatures(batch).withColumn("is_new", F.lit(True))
+        # Persist the TRIGGER-SIZED signature frame, not the full
+        # index ∪ batch union the judge consumes: the operator's
+        # probe-bucket prune (minhash_incremental_pairs) reads the
+        # index side as a map-only parquet scan filtered by a
+        # broadcast of the batch's bucket keys, so caching the whole
+        # index per trigger was an O(index) materialization that
+        # bought nothing — only the batch's shingle→minhash pipeline
+        # is worth pinning (it feeds the probe keys, the band table,
+        # the est joins and the commit below).
+        sig_new = (
+            minhash_signatures(batch)
+            .withColumn("is_new", F.lit(True))
+            .persist()
+        )
         index = None
         if current_version(spark, index_root) is not None:
             index = read_snapshot(spark, index_root)
@@ -96,7 +111,6 @@ def start_minhash_dedup_sink(
             )
         else:
             sig_all = sig_new
-        sig_all = sig_all.persist()
         dropped = (
             minhash_incremental_pairs(sig_all, persist_sig=False)
             .where(F.col("est_jaccard") >= threshold)
@@ -119,32 +133,37 @@ def start_minhash_dedup_sink(
         kept_ids = spark.read.parquet(
             os.path.join(kept_dir, f"batch={batch_id}")
         ).select("doc_id")
-        # derive the survivors' signatures from the PERSISTED sig_all
-        # (cache hit) — carving them out of the bare sig_new subtree
+        # derive the survivors' signatures from the PERSISTED sig_new
+        # (cache hit) — carving them out of a bare sig_new subtree
         # re-ran the whole shingle→hash→min pipeline a second time per
         # trigger for the index commit's write
-        new_kept_sigs = (
-            sig_all.where(F.col("is_new"))
-            .drop("is_new")
-            .join(F.broadcast(kept_ids), "doc_id", "left_semi")
+        new_kept_sigs = sig_new.drop("is_new").join(
+            F.broadcast(kept_ids), "doc_id", "left_semi"
         )
         # A crash-replayed batch's survivors are ALREADY in the index —
         # the union must re-merge them as a no-op by value, not grow a
         # second signature row per doc. A broadcast anti-join of the
-        # index against the batch's (batch-sized) id set does that
-        # without the full-index exchange a dropDuplicates pays per
-        # trigger: the index side never shuffles, which is also the
-        # 100 TB shape (index O(corpus), batch ids O(trigger)).
+        # index against the batch-sized id set does that without the
+        # full-index exchange a dropDuplicates pays per trigger: the
+        # index side never shuffles, which is also the 100 TB shape
+        # (index O(corpus), batch ids O(trigger)). The anti-join key is
+        # the SIGNATURE-BEARING survivors' ids, not all kept ids: a
+        # kept doc that produced no signature this batch (too short to
+        # shingle) must never evict an index row — under the doc_id-
+        # unique replay contract the two key sets are equal, this one
+        # is safe even outside it.
         kept_sigs = (
             index.join(
-                F.broadcast(kept_ids), "doc_id", "left_anti"
+                F.broadcast(new_kept_sigs.select("doc_id")),
+                "doc_id",
+                "left_anti",
             ).unionByName(new_kept_sigs)
             if index is not None
             else new_kept_sigs
         )
         commit_snapshot(kept_sigs, index_root)
         mark_batch(spark, index_root, batch_id, app_id=app_id)
-        sig_all.unpersist()
+        sig_new.unpersist()
         batch.unpersist()
 
     return (

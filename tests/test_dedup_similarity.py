@@ -100,6 +100,46 @@ class TestMinhashIncremental:
         } | {(a, b) for a, b in full if a >= 10}
         assert inc == expected
 
+    def test_probe_prune_is_invisible(self, spark, sig):
+        # the probe-bucket semi-join prune (r12) must be a pure plan
+        # optimization: identical (new_doc, partner, est_jaccard) rows
+        # with it on and off
+        on = sorted(
+            map(tuple, D.minhash_incremental_pairs(sig, probe_prune=True).collect())
+        )
+        off = sorted(
+            map(tuple, D.minhash_incremental_pairs(sig, probe_prune=False).collect())
+        )
+        spark.catalog.clearCache()
+        assert on == off and on  # equal and non-trivial
+
+    def test_probe_prune_keeps_exact_cap_counts(self, spark):
+        # the hot-bucket cap must still count index + batch members of
+        # a probed bucket TOGETHER: two index copies + two batch copies
+        # of one text share every band bucket (size 4); with cap 3 the
+        # bucket drops in both modes, so the batch copies survive; a
+        # 1+1 text stays under the cap and still pairs
+        rows = [
+            (1, DOC), (2, DOC), (11, DOC), (12, DOC),
+            (3, OTHER), (13, OTHER),
+        ]
+        sig = D.minhash_signatures(
+            spark.createDataFrame(rows, "doc_id bigint, text string")
+        ).withColumn("is_new", F.col("doc_id") >= 10)
+        out = {}
+        for mode in (True, False):
+            out[mode] = sorted(
+                (r["new_doc"], r["partner"])
+                for r in D.minhash_incremental_pairs(
+                    sig, max_bucket=3, probe_prune=mode
+                ).collect()
+            )
+            spark.catalog.clearCache()
+        assert out[True] == out[False]
+        judged = {nd for nd, _ in out[True]}
+        assert 11 not in judged and 12 not in judged  # capped bucket
+        assert (13, 3) in out[True]  # under-cap bucket still pairs
+
     def test_cache_lifecycle_is_caller_owned(self, spark, sig):
         # r5 VERDICT task 8: the default persist_sig=True caches the
         # signature frame and CANNOT unpersist behind its own lazy
