@@ -1160,18 +1160,36 @@ def _bsj_prefilter(spark: SparkSession, sf_dir: str):
     broadcast bitmap's forall/getbit test, and the selective orders
     side. Split out so tests can COUNT the surviving probe rows and
     pin the actual reduction (matches + FPR noise), not just the plan
-    strings (r10 ADVICE)."""
+    strings (r10 ADVICE).
+
+    ONE pass over the build side (r11 VERDICT task 6): the old shape
+    paid a separate ``sel.count()`` scan just to size m before the
+    bitmap scan — a full extra read of the filtered orders side at
+    every scale. Now the set-bit words are aggregated at the FIXED
+    2^26-position resolution (the existing m cap) with an ``observe``
+    riding the same scan to deliver n_sel, and the driver folds the
+    sparse words down to the adaptive m afterwards. The fold is exact,
+    not an approximation: m is a power of two dividing 2^26, so
+    ``pos % m == (pos % 2^26) % m`` and the bit offset within a word
+    (pos % 64) is unchanged — word w26 of the 2^26-grid ORs into word
+    ``w26 % (m/64)``, giving bit-for-bit the bitmap the two-pass build
+    produced. The sparse collect is bounded by min(3·n_sel, 2^20)
+    words ≤ 8 MB — the same driver-side ceiling the dense bitmap
+    already had."""
     import math
 
+    from pyspark.sql import Observation
+
+    _M0 = 1 << 26
+
     o = load_table(spark, sf_dir, "orders")
+    obs = Observation("bsj_n_sel")
     sel = o.where(
         (F.col("o_orderpriority") == "1-URGENT")
         & (F.col("o_totalprice") >= _BSJ_PRICE)
     ).select("o_orderkey")
-    n_sel = sel.count()
-    m = min(1 << 26, max(1 << 16, 1 << math.ceil(math.log2(16 * max(n_sel, 1)))))
 
-    def probes(key):
+    def probes(key, m):
         return F.array(
             *[
                 md5_u32(F.concat(F.lit(f"bsj{j}#"), key.cast("string"))) % m
@@ -1179,47 +1197,33 @@ def _bsj_prefilter(spark: SparkSession, sf_dir: str):
             ]
         )
 
-    words = (
-        sel.select(F.explode(probes(F.col("o_orderkey"))).alias("pos"))
+    sparse = (
+        sel.observe(obs, F.count(F.lit(1)).alias("n_sel"))
+        .select(F.explode(probes(F.col("o_orderkey"), _M0)).alias("pos"))
         .select(
             (F.col("pos") / 64).cast("int").alias("w"),
             (F.col("pos") % 64).cast("int").alias("b"),
         )
         .groupBy("w")
         .agg(F.bit_or(F.expr("shiftleft(1L, b)")).alias("mask"))
+        .collect()
     )
-    # Dense-array assembly WITHOUT a map: the previous shape
-    # (map_from_entries + per-position try_element_at) hid an O(W x E)
-    # wall — Spark's ArrayBasedMapData looks keys up by LINEAR scan,
-    # so at mult=100 (~260k word positions x ~600k set-bit entries)
-    # the single assembly task ground for hours (this is what stalled
-    # the r10 SCALING_M100_R10_new probe). Instead: a positions frame
-    # left-joins the sparse words (distributed, hash join), and ONE
-    # sorted collect builds the dense array — O(m log m) total, a few
-    # MB at the 2^26 cap. element_at on an ARRAY is O(1), so the probe
-    # side is unchanged.
-    positions = (
-        spark.range(m // 64).select(F.col("id").cast("int").alias("w"))
-    )
-    dense = positions.join(F.broadcast(words), "w", "left").select(
-        "w", F.coalesce("mask", F.lit(0).cast("bigint")).alias("mask")
-    )
-    bitmap = (
-        dense.groupBy()
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("w", "mask"))),
-                lambda s: s["mask"],
-            ).alias("bitmap")
-        )
-    )
+    n_sel = int(obs.get["n_sel"])
+    m = min(_M0, max(1 << 16, 1 << math.ceil(math.log2(16 * max(n_sel, 1)))))
+    dense = [0] * (m // 64)
+    for row in sparse:
+        # masks arrive as SIGNED 64-bit (bit 63 set -> negative);
+        # fold in unsigned space, wrap back to BIGINT at the end
+        dense[row["w"] % (m // 64)] |= row["mask"] & ((1 << 64) - 1)
+    dense = [v - (1 << 64) if v >= (1 << 63) else v for v in dense]
+    bitmap = one_slice_frame(spark, [(dense,)], "bitmap array<bigint>")
     li = load_table(spark, sf_dir, "lineitem")
     li_pre = (
         li.select("l_orderkey", "l_shipdate", "l_extendedprice", "l_discount")
         .crossJoin(F.broadcast(bitmap))
         .where(
             F.forall(
-                probes(F.col("l_orderkey")),
+                probes(F.col("l_orderkey"), m),
                 lambda p: F.getbit(
                     F.element_at(
                         "bitmap", (p / F.lit(64)).cast("int") + F.lit(1)

@@ -332,6 +332,18 @@ def commit_snapshot_partitioned_onepass(
                 "manifest token scheme; use commit_snapshot_partitioned"
             )
         produced[raw] = f"{seg_rel}/{name}"
+    # every produced dir must correspond to a DECLARED touched value:
+    # a changed-row value outside part_values, a NULL (Hive's
+    # __HIVE_DEFAULT_PARTITION__ dir, which round-trips the token check
+    # above), or a float whose JVM rendering differs from Python's
+    # str() would otherwise silently publish under a wrong token or
+    # overwrite an untouched partition's manifest entry
+    unexpected = set(produced) - {_part_token(v) for v in part_values}
+    if unexpected:
+        raise ValueError(
+            "onepass partitioned commit produced partition dirs outside "
+            f"the declared part_values: {sorted(unexpected)!r}"
+        )
     # touched-but-now-empty partitions produced no dir: they leave the
     # manifest here, which is exactly the loop path's `drop` semantics
     for val in list(part_values) + list(drop_part_values or []):

@@ -808,6 +808,29 @@ class TestOnepassPartitionedCommit:
             V.commit_snapshot_partitioned_onepass(df, root, "p", part_values=["a/b"])
         assert V.committed_versions(spark, root) == []
 
+    def test_onepass_refuses_undeclared_partition_values(self, spark, tmp_path):
+        # r11 ADVICE: a changed-row value OUTSIDE part_values (here a
+        # NULL, which lands under Hive's default-partition dir and
+        # round-trips the token check) must abort the commit instead
+        # of silently publishing under a wrong token
+        import pytest
+        from pyspark.sql import functions as F
+
+        from strava_data_pipeline_spark.sources import versioned as V
+
+        root = str(tmp_path / "onepass_undeclared")
+        df = spark.range(4).withColumn(
+            "p",
+            F.when(F.col("id") < 2, F.lit("a")).otherwise(
+                F.lit(None).cast("string")
+            ),
+        )
+        with pytest.raises(ValueError, match="outside the declared"):
+            V.commit_snapshot_partitioned_onepass(
+                df, root, "p", part_values=["a"]
+            )
+        assert V.committed_versions(spark, root) == []
+
 
 class TestLandMany:
     """r11 optimization: concurrent slice landings must keep the

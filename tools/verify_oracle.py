@@ -96,6 +96,24 @@ def main() -> int:
     spark = get_spark("verify-oracle")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Warm the Python worker runtime exactly like bench.py does: the
+    # first mapInPandas/Arrow query in a JVM pays one worker fork per
+    # core plus a pandas+numpy import in each (~10s at 32 cores,
+    # measured in r11) — a session startup cost, not any query's own
+    # work. One identity mapInPandas over one partition per core forks
+    # and warms them all before the first timed/compared query runs.
+    def _warm(it):
+        import numpy  # noqa: F401
+
+        return it
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or (
+        os.cpu_count() or 8
+    )
+    spark.range(0, cpus, 1, cpus).mapInPandas(_warm, "id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings"
