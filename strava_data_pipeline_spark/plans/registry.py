@@ -44,69 +44,41 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # Enumeration-order priority: the driver's correctness harness samples a
 # rotating subset of ``queries()`` per round, and dict order is the only
 # lever the engine has over which queries get officially recorded.  The
-# r11 ordering cycles OLDEST-GREEN-FIRST (VERDICT r10 task 5): the r10
-# window re-proved the r5 block, leaving histogram r6:25 r7:50 r8:48
-# r9:50 r10:50, so the head lists the 25 round-6 rows first, then the
-# round-7/8 blocks; everything r9+ falls to registration order at the
-# tail.  With the ~50-query window, r11 re-proves all of r6 + ~25 of r7
-# (minus any new-in-r11 rows prepended above), keeping no official green
-# older than round 7.
+# r12 ordering puts CHANGED-CODE rows first (r11 VERDICT task 2b: an
+# optimization round must officially re-green what it touched — 16 of
+# the 17 r11-touched rows fell outside the r11 window), then resumes
+# the oldest-official-green-first cycle: the r11 window re-proved the
+# r6 block and r7 through q12_returnflag_priority, so the remaining r7
+# rows and the r8 block follow; everything r9+ stays at registration
+# order in the tail.
 _ENUMERATE_FIRST: tuple[str, ...] = (
-    # --- new in r11: no official green row yet (prepend as registered) ---
-    "attribution_unmatched_audit",
-    "multimodal_decode_gif_anim",
-    "ann_binary_rerank",
-    # --- latest official green row is round 6 (post-r10 histogram:
-    #     r6:25 r7:50 r8:48 r9:50 r10:50, recomputed from
-    #     CORRECTNESS_r0*.json) ---
-    'fuzzy_dict_match',
-    'groupwise_quantiles',
-    'interval_coverage',
-    'join_cardinality_audit',
-    'join_delta_maintenance',
-    'kcore_peel',
-    'mad_outliers',
-    'multimodal_decode',
-    'parts_brand_stats',
-    'range_partition_plan',
-    'selectivity_audit',
-    'skyline_pareto',
-    'split_leakage',
-    'sync_window',
-    'table_stats',
-    'text_quality',
-    'token_count',
-    'token_histogram',
-    'tokenizer_fertility',
-    'trend_fit',
-    'user_activity_join',
-    'view_delta_maintenance',
-    'weighted_sample',
-    'wordpiece_encode',
-    'wordpiece_vocab',
-    # --- latest official green row is round 7 ---
-    'activities_keyset',
-    'ann_filtered',
-    'bm25_topk',
-    'boilerplate_prune',
-    'bucketed_join',
-    'corpus_chunk',
-    'corpus_dedup_keep_clusters',
-    'corpus_pack_bins',
-    'decontaminate',
-    'dedup_rate_by_source',
-    'events_sessionize_bucketed',
-    'events_sliding_window',
-    'events_zscore',
-    'heavy_hitters',
-    'heavy_hitters_sampled',
-    'hybrid_rank_fusion',
-    'order_priority_count',
-    'pagerank_parts',
-    'parts_bought_together',
-    'q10_returned_items',
-    'q11_important_parts',
-    'q12_returnflag_priority',
+    # --- r12 head: every row whose CODE changed in the r11/r12
+    #     optimization rounds leads the window, so the driver's
+    #     rotating ~50-query oracle sample officially re-greens the
+    #     touched faces first (r11 VERDICT task 2b: 16 of the 17
+    #     r11-touched rows fell outside the r11 window) ---
+    'dedup_index_audit',
+    'dedup_incremental',
+    'bloom_semi_join',
+    'quarantine_audit',
+    'versioned_sink_audit',
+    'attribution_audit',
+    'attribution_inner_audit',
+    'attribution_unmatched_audit',
+    'export_pipeline_e2e',
+    'curation_pipeline_e2e',
+    'sync_audit',
+    'windowed_counts_audit',
+    'dedup_stream_audit',
+    'session_window_audit',
+    'enrich_audit',
+    'ewma_audit',
+    'stateful_session_audit',
+    'cms_merge_audit',
+    'rollup_audit',
+    # --- oldest-official-green-first continues the r10/r11 cycle:
+    #     the r11 window re-proved r6 + r7 through q12; the
+    #     remaining r7 rows, then the r8 block, fill the window ---
     'q13_order_distribution',
     'q14_promo_revenue',
     'q15_top_supplier',
@@ -125,9 +97,7 @@ _ENUMERATE_FIRST: tuple[str, ...] = (
     'q7_nation_trade',
     'q8_market_share',
     'q9_product_profit',
-    'quarantine_audit',
     'retrieval_rank_agreement',
-    'rollup_audit',
     'scd2_intervals',
     'sessions_overlap_windows',
     'source_caps_sampled',
@@ -135,29 +105,20 @@ _ENUMERATE_FIRST: tuple[str, ...] = (
     'top_customers_by_revenue',
     'user_churn_setops',
     'weekly_type_trend',
-    # --- latest official green row is round 8 ---
-    'attribution_audit',
     'attribution_last_touch_bucketed',
     'cms_heavy_hitters',
-    'cms_merge_audit',
-    'curation_pipeline_e2e',
     'cusum_changepoint_bucketed',
     'dedup_clusters',
     'dedup_containment',
-    'dedup_incremental',
-    'dedup_index_audit',
     'dedup_simhash64',
-    'dedup_stream_audit',
     'dedup_substring',
     'embedding_centroids',
-    'enrich_audit',
     'events_asof_profile',
     'events_funnel',
     'events_in_windows',
     'events_pivot',
     'events_rolling_7d_bucketed',
     'events_rollup',
-    'ewma_audit',
     'jwt_validate',
     'key_lifecycle',
     'key_lookup',
@@ -177,13 +138,9 @@ _ENUMERATE_FIRST: tuple[str, ...] = (
     'scd2_intervals_bucketed',
     'semdedup',
     'session_stats',
-    'session_window_audit',
     'sessions_overlap_bucketed',
     'source_caps',
-    'stateful_session_audit',
     'stratified_sample',
-    'sync_audit',
-    'versioned_sink_audit',
 )
 
 
