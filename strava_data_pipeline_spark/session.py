@@ -63,4 +63,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )
+    # RDD-level parallelism (parallelize slices, keyless repartition()
+    # defaults, _spread targets). Unset = Spark's local default (total
+    # cores). Cluster deploys size it to the fleet; tiny-data harnesses
+    # (the unit-test session) cap it so per-slice fixed costs — one
+    # Python-worker round trip per pickled slice — don't dominate
+    # millisecond-sized jobs.
+    default_par = os.environ.get("SPARK_GRAFT_DEFAULT_PARALLELISM")
+    if default_par:
+        builder = builder.config("spark.default.parallelism", default_par)
     return builder.getOrCreate()
