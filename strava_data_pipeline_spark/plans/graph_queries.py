@@ -194,9 +194,11 @@ def _kcore_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     round r), so every (s,d) edge of u0 between them is still present
     in u_{r-1} — no earlier round can have removed it. That identity
     eliminates the per-round edge-list prune entirely: the edge list
-    is partitioned by the degree key and persisted ONCE (DISK_ONLY —
-    compact columnar blocks; the r6 mult=100 probe's 240M-row list
-    OOMed a 32g heap deserialized, disk-backed columnar does not),
+    is partitioned by the degree key and persisted ONCE
+    (MEMORY_AND_DISK — this mode only runs below the
+    _KCORE_PRUNE_ROWS gate, so the single list is bounded and spills
+    instead of OOMing; the r12 interleaved A/B measured the
+    memory-resident copy ~17% faster than DISK_ONLY every round),
     then each round is one cached-scan join against the node-sized
     peel set (filtering to edges that touch a peeled d) plus a
     map-side-combinable count by s and a node-sized LEFT join for the
@@ -218,7 +220,15 @@ def _kcore_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE upfront hash-partition on the degree key, persisted once and
     # never pruned: the initial count and every per-round lost-count
     # run exchange-free on this layout (peel sets broadcast).
-    und = und.repartition("s").persist(StorageLevel.DISK_ONLY)
+    # MEMORY_AND_DISK, not DISK_ONLY (r12 A/B, interleaved min-of-3:
+    # 6.4-6.5s vs 7.7-7.8s at sf0.1 — every per-round lost-join scans
+    # this list, and the memory-resident copy wins every round): this
+    # mode only runs BELOW the _KCORE_PRUNE_ROWS gate, so the list is
+    # bounded and eviction-to-disk (not OOM) is the pressure behavior;
+    # the r6 mult=100 OOM that mandated DISK_ONLY came from five
+    # per-round edge GENERATIONS in the pruned shape, which keeps its
+    # own policy above the gate.
+    und = und.repartition("s").persist(StorageLevel.MEMORY_AND_DISK)
     # Round-1 degrees: the only full count. Every node of u0 has >= 1
     # edge, so the groupBy covers nodes0 exactly.
     deg = (

@@ -205,19 +205,20 @@ class TestKcoreFixpointOperator:
 
 class TestKcorePlan:
     """Pins the r7 incremental-degree physical shape of kcore_peel:
-    exactly ONE persisted edge relation (DISK_ONLY) however many
-    rounds run — the prune-per-round shape persisted one edge
-    generation per round — plus one node-sized degree frame per round
+    exactly ONE persisted edge relation (MEMORY_AND_DISK serialized
+    since the r12 A/B; the prune-per-round shape persisted one edge
+    generation per round) plus one node-sized degree frame per round
     boundary; and BOTH peel-join modes (AQE auto-broadcast under the
     threshold, shuffle fallback above it) produce identical rows."""
 
     def test_one_edge_persist_total(self, spark):
         # sf0.001 through the registry entry: after full execution the
-        # cache inventory must hold exactly 1 DISK_ONLY relation (the
-        # edge list, persisted once, never pruned) and
-        # _KCORE_ROUNDS + 1 memory degree frames (initial + one per
-        # round). A second DISK_ONLY entry would mean the per-round
-        # edge prune crept back in.
+        # cache inventory must hold exactly 1 serialized MEMORY_AND_DISK
+        # relation (the edge list, persisted once, never pruned — r12
+        # moved it off DISK_ONLY, measured ~17% on the whole query) and
+        # _KCORE_ROUNDS + 1 deserialized memory degree frames (initial
+        # + one per round). A second edge-shaped entry would mean the
+        # per-round edge prune crept back in.
         spark.catalog.clearCache()
         # earlier tests' localCheckpoint RDDs linger in storage until
         # GC (clearCache only drops catalog-cached relations) — count
@@ -238,11 +239,17 @@ class TestKcorePlan:
                 for lvl, n in levels.items()
                 if "Disk" in lvl and "Memory" not in lvl
             )
-            in_memory = sum(
-                n for lvl, n in levels.items() if "Memory" in lvl
+            edge_list = sum(
+                n
+                for lvl, n in levels.items()
+                if "Serialized" in lvl and "Disk" in lvl and "Memory" in lvl
             )
-            assert disk_only == 1, levels
-            assert in_memory == G._KCORE_ROUNDS + 1, levels
+            deg_frames = sum(
+                n for lvl, n in levels.items() if "Deserialized" in lvl
+            )
+            assert disk_only == 0, levels  # DISK_ONLY retired (r12)
+            assert edge_list == 1, levels
+            assert deg_frames == G._KCORE_ROUNDS + 1, levels
         finally:
             spark.catalog.clearCache()
 
@@ -296,8 +303,9 @@ class TestKcorePlan:
         # r8 size-adaptive gate: past _KCORE_PRUNE_ROWS lineitem rows
         # the registry entry must route to the per-round-prune shape
         # (its signature: MULTIPLE DISK_ONLY edge generations — the
-        # incremental shape persists exactly one), and both modes must
-        # produce identical rows on the same planted cascade.
+        # incremental shape keeps its ONE edge list in MEMORY_AND_DISK
+        # since r12, i.e. zero pure-disk relations), and both modes
+        # must produce identical rows on the same planted cascade.
         monkeypatch.setattr(G, "_KCORE_K", 2)
         edges = [(1, 2), (2, 3), (3, 101)]
         cliques = [(101, 102, 103)]
@@ -334,10 +342,11 @@ class TestKcorePlan:
 
         try:
             # default gate: the planted graph is far below the bound →
-            # incremental (one DISK_ONLY edge relation)
+            # incremental (edge list in MEMORY_AND_DISK, no pure-disk
+            # relations)
             rows_inc, disk_inc = run()
             assert rows_inc == want
-            assert disk_inc == 1
+            assert disk_inc == 0
             # gate forced low → pruned mode: one persisted generation
             # per non-final round plus the initial list
             monkeypatch.setattr(G, "_KCORE_PRUNE_ROWS", 0)
