@@ -267,7 +267,13 @@ def minhash_incremental_pairs(
         .distinct()
     )
     n_perms = n_bands * rows_per_band
-    sa = sig.alias("sa")
+    # ``new_doc`` is batch-only by construction (side ``a`` of the pair
+    # join filters on ``new_col``), so the signature lookup for the
+    # judged side never needs the corpus branch — filtering here prunes
+    # the union to the batch subtree (one less full-corpus scan per
+    # call; value-identical, the equi-join would drop corpus rows
+    # anyway)
+    sa = sig.where(F.col(new_col)).alias("sa")
     sb = sig.alias("sb")
     eq_sum = sum(
         F.when(F.col(f"sa.mh_{j}") == F.col(f"sb.mh_{j}"), 1).otherwise(0)
